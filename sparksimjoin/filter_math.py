@@ -1,0 +1,233 @@
+"""Prefix/size/overlap filter mathematics (SURVEY.md §2.3).
+
+Formulas follow the published prefix-filtering literature the
+reference implements (Gravano VLDB'01 count/position filters; SSJoin
+ICDE'06 prefix filter; PPJoin WWW'08 position filter), matching
+``[R] py_stringsimjoin/filter/filter_utils.py::get_prefix_length /
+get_size_lower_bound / get_size_upper_bound / get_overlap_threshold``.
+
+Every function has a plain-Python form (naive oracle, filter_pair)
+and a Spark ``Column`` form (pure expressions -> whole-stage codegen;
+the ceilings are float64 ceilings in both, so boundary behavior is
+bit-identical between oracle and plan).
+
+OVERLAP_COEFFICIENT admits no record-local prefix/size bound without
+knowing the partner's size (a tiny set contained in a huge one has
+coefficient 1.0), so its joins use full-token blocking; its pairwise
+required-overlap bound ceil(t*min(s1,s2)) is still provided.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+JACCARD = "JACCARD"
+COSINE = "COSINE"
+DICE = "DICE"
+OVERLAP = "OVERLAP"
+OVERLAP_COEFFICIENT = "OVERLAP_COEFFICIENT"
+EDIT_DISTANCE = "EDIT_DISTANCE"
+
+SET_SIM_MEASURES = (JACCARD, COSINE, DICE, OVERLAP, OVERLAP_COEFFICIENT)
+
+_BIG = 2**62  # stand-in for "no upper bound"
+
+
+# ---------------------------------------------------------------- python
+def prefix_length_py(num_tokens: int, measure: str, threshold: float, qval: int = 2) -> int:
+    if num_tokens == 0:
+        return 0
+    if measure == JACCARD:
+        p = num_tokens - math.ceil(threshold * num_tokens) + 1
+    elif measure == COSINE:
+        p = num_tokens - math.ceil(threshold * threshold * num_tokens) + 1
+    elif measure == DICE:
+        p = num_tokens - math.ceil((threshold / (2 - threshold)) * num_tokens) + 1
+    elif measure == OVERLAP:
+        p = num_tokens - int(threshold) + 1
+    elif measure == OVERLAP_COEFFICIENT:
+        p = num_tokens  # no record-local bound; block on all tokens
+    elif measure == EDIT_DISTANCE:
+        p = qval * int(threshold) + 1
+    else:
+        raise ValueError(measure)
+    return max(min(int(p), num_tokens), 0)
+
+
+def size_lower_bound_py(num_tokens: int, measure: str, threshold: float) -> int:
+    if measure == JACCARD:
+        return int(math.ceil(threshold * num_tokens))
+    if measure == COSINE:
+        return int(math.ceil(threshold * threshold * num_tokens))
+    if measure == DICE:
+        return int(math.ceil((threshold / (2 - threshold)) * num_tokens))
+    if measure == OVERLAP:
+        return int(threshold)
+    if measure == OVERLAP_COEFFICIENT:
+        return 0
+    if measure == EDIT_DISTANCE:
+        return max(num_tokens - int(threshold), 0)
+    raise ValueError(measure)
+
+
+def size_upper_bound_py(num_tokens: int, measure: str, threshold: float) -> int:
+    if measure == JACCARD:
+        return int(math.floor(num_tokens / threshold)) if threshold > 0 else _BIG
+    if measure == COSINE:
+        return int(math.floor(num_tokens / (threshold * threshold))) if threshold > 0 else _BIG
+    if measure == DICE:
+        return int(math.floor(((2 - threshold) / threshold) * num_tokens)) if threshold > 0 else _BIG
+    if measure in (OVERLAP, OVERLAP_COEFFICIENT):
+        return _BIG
+    if measure == EDIT_DISTANCE:
+        return num_tokens + int(threshold)
+    raise ValueError(measure)
+
+
+def overlap_threshold_py(s1: int, s2: int, measure: str, threshold: float, qval: int = 2) -> float:
+    """Minimum token overlap a qualifying pair must have."""
+    if measure == JACCARD:
+        return math.ceil((threshold / (1 + threshold)) * (s1 + s2))
+    if measure == COSINE:
+        return math.ceil(threshold * math.sqrt(s1 * s2))
+    if measure == DICE:
+        return math.ceil((threshold / 2) * (s1 + s2))
+    if measure == OVERLAP:
+        return threshold
+    if measure == OVERLAP_COEFFICIENT:
+        return math.ceil(threshold * min(s1, s2))
+    if measure == EDIT_DISTANCE:
+        return max(s1, s2) - qval * threshold
+    raise ValueError(measure)
+
+
+def sim_py(tokens1: list[str], tokens2: list[str], measure: str) -> float:
+    """Exact set-similarity on token *sets* (python oracle path)."""
+    a, b = set(tokens1), set(tokens2)
+    o = len(a & b)
+    s1, s2 = len(a), len(b)
+    if measure == OVERLAP:
+        return float(o)
+    if s1 == 0 and s2 == 0:
+        return 1.0
+    if s1 == 0 or s2 == 0:
+        return 0.0
+    if measure == JACCARD:
+        return o / (s1 + s2 - o)
+    if measure == COSINE:
+        return o / math.sqrt(s1 * s2)
+    if measure == DICE:
+        return 2 * o / (s1 + s2)
+    if measure == OVERLAP_COEFFICIENT:
+        return o / min(s1, s2)
+    raise ValueError(measure)
+
+
+# ---------------------------------------------------------------- spark
+NumOrCol = Union[int, float, Column]
+
+
+def prefix_length_expr(num_tokens: Column, measure: str, threshold: float, qval: int = 2) -> Column:
+    n = num_tokens.cast("double")
+    if measure == JACCARD:
+        p = num_tokens - F.ceil(F.lit(threshold) * n) + 1
+    elif measure == COSINE:
+        p = num_tokens - F.ceil(F.lit(threshold * threshold) * n) + 1
+    elif measure == DICE:
+        p = num_tokens - F.ceil(F.lit(threshold / (2 - threshold)) * n) + 1
+    elif measure == OVERLAP:
+        p = num_tokens - F.lit(int(threshold)) + 1
+    elif measure == OVERLAP_COEFFICIENT:
+        p = num_tokens
+    elif measure == EDIT_DISTANCE:
+        p = F.lit(qval * int(threshold) + 1)
+    else:
+        raise ValueError(measure)
+    return F.greatest(F.least(p.cast("int"), num_tokens), F.lit(0))
+
+
+def size_bounds_expr(num_tokens: Column, measure: str, threshold: float) -> tuple[Column, Column]:
+    n = num_tokens.cast("double")
+    if measure == JACCARD:
+        lo = F.ceil(F.lit(threshold) * n)
+        hi = F.floor(n / F.lit(threshold)) if threshold > 0 else F.lit(_BIG)
+    elif measure == COSINE:
+        lo = F.ceil(F.lit(threshold * threshold) * n)
+        hi = F.floor(n / F.lit(threshold * threshold)) if threshold > 0 else F.lit(_BIG)
+    elif measure == DICE:
+        lo = F.ceil(F.lit(threshold / (2 - threshold)) * n)
+        hi = F.floor(F.lit((2 - threshold) / threshold) * n) if threshold > 0 else F.lit(_BIG)
+    elif measure == OVERLAP:
+        lo, hi = F.lit(int(threshold)), F.lit(_BIG)
+    elif measure == OVERLAP_COEFFICIENT:
+        lo, hi = F.lit(0), F.lit(_BIG)
+    elif measure == EDIT_DISTANCE:
+        lo = F.greatest(num_tokens - F.lit(int(threshold)), F.lit(0))
+        hi = num_tokens + F.lit(int(threshold))
+    else:
+        raise ValueError(measure)
+    return lo.cast("long"), hi.cast("long")
+
+
+def overlap_threshold_expr(s1: Column, s2: Column, measure: str, threshold: float, qval: int = 2) -> Column:
+    d1, d2 = s1.cast("double"), s2.cast("double")
+    if measure == JACCARD:
+        return F.ceil(F.lit(threshold / (1 + threshold)) * (d1 + d2)).cast("double")
+    if measure == COSINE:
+        return F.ceil(F.lit(threshold) * F.sqrt(d1 * d2)).cast("double")
+    if measure == DICE:
+        return F.ceil(F.lit(threshold / 2) * (d1 + d2)).cast("double")
+    if measure == OVERLAP:
+        return F.lit(float(threshold))
+    if measure == OVERLAP_COEFFICIENT:
+        return F.ceil(F.lit(threshold) * F.least(d1, d2)).cast("double")
+    if measure == EDIT_DISTANCE:
+        return (F.greatest(d1, d2) - F.lit(float(qval) * threshold)).cast("double")
+    raise ValueError(measure)
+
+
+def sim_expr(l_tokens: Column, r_tokens: Column, measure: str) -> Column:
+    """Exact set similarity as a pure Column expression over two token
+    arrays (any orderable element type; arrays must be duplicate-free).
+    JVM-side — no Python in the verify hot path."""
+    o = F.size(F.array_intersect(l_tokens, r_tokens)).cast("double")
+    s1 = F.size(l_tokens).cast("double")
+    s2 = F.size(r_tokens).cast("double")
+    if measure == OVERLAP:
+        return o
+    both_empty = (s1 == 0) & (s2 == 0)
+    either_empty = (s1 == 0) | (s2 == 0)
+    if measure == JACCARD:
+        core = o / (s1 + s2 - o)
+    elif measure == COSINE:
+        core = o / F.sqrt(s1 * s2)
+    elif measure == DICE:
+        core = F.lit(2.0) * o / (s1 + s2)
+    elif measure == OVERLAP_COEFFICIENT:
+        core = o / F.least(s1, s2)
+    else:
+        raise ValueError(measure)
+    return F.when(both_empty, F.lit(1.0)).when(either_empty, F.lit(0.0)).otherwise(core)
+
+
+COMP_OP_MAP = {
+    ">=": lambda c, t: c >= t,
+    ">": lambda c, t: c > t,
+    "<=": lambda c, t: c <= t,
+    "<": lambda c, t: c < t,
+    "=": lambda c, t: c == t,
+    "!=": lambda c, t: c != t,
+}
+
+COMP_OP_PY = {
+    ">=": lambda a, b: a >= b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    "<": lambda a, b: a < b,
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}

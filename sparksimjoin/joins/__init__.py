@@ -1,0 +1,19 @@
+from .set_sim import (
+    cosine_join,
+    dice_join,
+    jaccard_join,
+    overlap_coefficient_join,
+    overlap_join,
+    set_sim_join,
+)
+from .edit_distance import edit_distance_join
+
+__all__ = [
+    "cosine_join",
+    "dice_join",
+    "edit_distance_join",
+    "jaccard_join",
+    "overlap_coefficient_join",
+    "overlap_join",
+    "set_sim_join",
+]

@@ -1,0 +1,306 @@
+"""Shared machinery for the filter-verify set-similarity joins.
+
+Spark-first re-expression of the reference's pipeline
+(``[R] py_stringsimjoin/join/set_sim_join_py.py`` +
+``utils/token_ordering.py`` + ``index/position_index.py``; see
+SURVEY.md §3.1):
+
+- the in-memory global token-frequency ordering becomes a
+  ``groupBy(token).count()`` aggregation; records are re-ordered by a
+  join against that rank table + ``array_sort`` on ``struct(cnt,tok)``
+  (rarest-first, token tie-break) — no driver-side state;
+- the hash inverted/position indexes become a shuffle equi-join on
+  the exploded *prefix* tokens, with size bounds and the PPJoin
+  position bound as residual predicates (Vernica et al., SIGMOD 2010);
+- verification is a pure Column expression over the full ordered
+  token arrays (``array_intersect``) — whole-stage codegen, no Python
+  in the hot path;
+- optional deterministic salting splits hot blocking tokens: a tiny
+  broadcast map ``token -> nsalts`` (doc-freq > cap) assigns the left
+  row to ``pmod(xxhash64(id), nsalts)`` and replicates only the right
+  rows of hot tokens across salts — no lost pairs (property-tested).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..filter_math import (
+    COMP_OP_MAP,
+    COMP_OP_PY,
+    overlap_threshold_expr,
+    prefix_length_expr,
+    size_bounds_expr,
+    sim_expr,
+)
+from ..tokenizers import Tokenizer
+
+def _empty_str_array() -> Column:
+    return F.array().cast("array<string>")
+
+
+def tokenize_table(df: DataFrame, key_attr: str, join_attr: str, tokenizer: Tokenizer) -> DataFrame:
+    """-> (id, strlen, toks). Null join-attr rows are dropped here;
+    ``allow_missing`` handles them in a separate branch."""
+    return df.where(F.col(join_attr).isNotNull()).select(
+        F.col(key_attr).alias("id"),
+        F.length(F.col(join_attr)).alias("strlen"),
+        tokenizer.spark_expr(F.col(join_attr)).alias("toks"),
+    )
+
+
+def build_token_ranks(tok_dfs: list[DataFrame]) -> DataFrame:
+    """Global document-frequency table (token, cnt) across all inputs.
+    The (cnt, token) pair IS the global rarity order — no dense rank /
+    single-partition window needed."""
+    ex = reduce(
+        DataFrame.unionAll,
+        [t.select(F.explode("toks").alias("token")) for t in tok_dfs],
+    )
+    return ex.groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+def order_tokens(tok_df: DataFrame, ranks: DataFrame) -> DataFrame:
+    """-> (id, strlen, tokens[array<string> rarity-ordered], size).
+    Records whose token list is empty are retained with size=0."""
+    ex = tok_df.select("id", F.explode("toks").alias("token")).join(ranks, "token")
+    ordered = (
+        ex.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("cnt", "token"))).alias("st"))
+        .select(
+            "id",
+            F.transform("st", lambda x: x["token"]).alias("tokens"),
+            F.size("st").alias("size"),
+        )
+    )
+    return tok_df.select("id", "strlen").join(ordered, "id", "left").select(
+        "id",
+        "strlen",
+        F.coalesce("tokens", _empty_str_array()).alias("tokens"),
+        F.coalesce("size", F.lit(0)).alias("size"),
+    )
+
+
+def prepare_sides(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer: Tokenizer,
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Tokenize + globally order both sides. Returns (prep_l, prep_r,
+    ranks); when the two sides are the same table/attrs the prep is
+    computed once and shared."""
+    same = l_df is r_df and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+    tok_l = tokenize_table(l_df, l_key_attr, l_join_attr, tokenizer)
+    tok_r = tok_l if same else tokenize_table(r_df, r_key_attr, r_join_attr, tokenizer)
+    ranks = build_token_ranks([tok_l] if same else [tok_l, tok_r])
+    if persist:
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    prep_l = order_tokens(tok_l, ranks)
+    if persist:
+        prep_l = prep_l.persist(StorageLevel.MEMORY_AND_DISK)
+    if same:
+        prep_r = prep_l
+    else:
+        prep_r = order_tokens(tok_r, ranks)
+        if persist:
+            prep_r = prep_r.persist(StorageLevel.MEMORY_AND_DISK)
+    return prep_l, prep_r, ranks
+
+
+def prefix_explode(
+    prep: DataFrame, side: str, measure: str, threshold: float, qval: int = 2
+) -> DataFrame:
+    """Explode the (measure-dependent) prefix of each ordered token
+    array, carrying 1-based position and set size for the residual
+    filters. -> (token, {side}_id, {side}_size, {side}_pos)."""
+    plen = prefix_length_expr(F.col("size"), measure, threshold, qval)
+    pref = F.slice(F.col("tokens"), F.lit(1), plen)
+    return (
+        prep.select(F.col("id"), F.col("size"), F.posexplode(pref).alias("p0", "token"))
+        .select(
+            "token",
+            F.col("id").alias(f"{side}_id"),
+            F.col("size").alias(f"{side}_size"),
+            (F.col("p0") + 1).alias(f"{side}_pos"),
+        )
+    )
+
+
+def build_salt_map(ranks: DataFrame, salt_cap: int) -> DataFrame:
+    """Tokens whose doc frequency exceeds ``salt_cap`` get
+    ``nsalts = ceil(cnt / salt_cap)`` splits. The result is tiny
+    (hot tokens only) and broadcast."""
+    return (
+        ranks.where(F.col("cnt") > salt_cap)
+        .select("token", F.ceil(F.col("cnt") / F.lit(salt_cap)).cast("int").alias("nsalts"))
+    )
+
+
+def candidate_pairs(
+    ex_l: DataFrame,
+    ex_r: DataFrame,
+    measure: str,
+    threshold: float,
+    qval: int = 2,
+    self_join: bool = False,
+    salt_map: DataFrame | None = None,
+    extra_predicate: Column | None = None,
+    position_filter: bool = True,
+) -> DataFrame:
+    """Equi-join the exploded prefixes on token (+ optional salt),
+    apply size-bound and position-bound residual predicates, and
+    project distinct (l_id, r_id)."""
+    if salt_map is not None:
+        sm = F.broadcast(salt_map)
+        ex_l = (
+            ex_l.join(sm, "token", "left")
+            .withColumn("nsalts", F.coalesce("nsalts", F.lit(1)))
+            .withColumn("salt", F.pmod(F.xxhash64("l_id"), F.col("nsalts")).cast("int"))
+            .drop("nsalts")
+        )
+        ex_r = (
+            ex_r.join(sm, "token", "left")
+            .withColumn("nsalts", F.coalesce("nsalts", F.lit(1)))
+            .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("nsalts") - 1)))
+            .drop("nsalts")
+        )
+        join_keys = ["token", "salt"]
+    else:
+        join_keys = ["token"]
+
+    lo, hi = size_bounds_expr(F.col("l_size"), measure, threshold)
+    cond = F.col("r_size").between(lo, hi)
+    if position_filter:
+        req = overlap_threshold_expr(F.col("l_size"), F.col("r_size"), measure, threshold, qval)
+        bound = 1 + F.least(
+            F.col("l_size") - F.col("l_pos"), F.col("r_size") - F.col("r_pos")
+        )
+        cond = cond & (bound.cast("double") >= req)
+    if self_join:
+        cond = cond & (F.col("l_id") < F.col("r_id"))
+    if extra_predicate is not None:
+        cond = cond & extra_predicate
+    return ex_l.join(ex_r, join_keys).where(cond).select("l_id", "r_id").distinct()
+
+
+def verify_pairs(
+    cand: DataFrame,
+    prep_l: DataFrame,
+    prep_r: DataFrame,
+    measure: str,
+    threshold: float,
+    comp_op: str = ">=",
+) -> DataFrame:
+    """Exact similarity on the full token sets; JVM-side
+    ``array_intersect`` (ordered, duplicate-free arrays).
+    -> (l_id, r_id, _sim_score) filtered by comp_op/threshold."""
+    out = (
+        cand.join(
+            prep_l.select(F.col("id").alias("l_id"), F.col("tokens").alias("_lt")), "l_id"
+        )
+        .join(prep_r.select(F.col("id").alias("r_id"), F.col("tokens").alias("_rt")), "r_id")
+        .withColumn("_sim_score", sim_expr(F.col("_lt"), F.col("_rt"), measure))
+        .where(COMP_OP_MAP[comp_op](F.col("_sim_score"), F.lit(float(threshold))))
+        .select("l_id", "r_id", "_sim_score")
+    )
+    return out
+
+
+def empty_pairs(
+    prep_l: DataFrame,
+    prep_r: DataFrame,
+    threshold: float,
+    comp_op: str,
+    self_join: bool = False,
+) -> DataFrame | None:
+    """``allow_empty`` branch: both-sides-empty token sets match with
+    similarity 1.0 (``[R] py_stringsimjoin/join/set_sim_join_py.py``
+    empty-set branch)."""
+    if not COMP_OP_PY[comp_op](1.0, threshold):
+        return None
+    el = prep_l.where(F.col("size") == 0).select(F.col("id").alias("l_id"))
+    er = prep_r.where(F.col("size") == 0).select(F.col("id").alias("r_id"))
+    out = el.crossJoin(er).withColumn("_sim_score", F.lit(1.0))
+    if self_join:
+        out = out.where(F.col("l_id") < F.col("r_id"))
+    return out
+
+
+def missing_pairs(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+) -> DataFrame:
+    """``allow_missing`` branch (``[R] py_stringsimjoin/utils/
+    missing_value_handler.py::get_pairs_with_missing_value``):
+    null-join-attr left rows pair with every right row; non-null left
+    rows pair with null-join-attr right rows. Score is null."""
+    l_null = l_df.where(F.col(l_join_attr).isNull()).select(F.col(l_key_attr).alias("l_id"))
+    l_ok = l_df.where(F.col(l_join_attr).isNotNull()).select(F.col(l_key_attr).alias("l_id"))
+    r_null = r_df.where(F.col(r_join_attr).isNull()).select(F.col(r_key_attr).alias("r_id"))
+    r_all = r_df.select(F.col(r_key_attr).alias("r_id"))
+    out = l_null.crossJoin(r_all).unionAll(l_ok.crossJoin(r_null))
+    return out.withColumn("_sim_score", F.lit(None).cast("double"))
+
+
+def project_output(
+    pairs: DataFrame,
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_out_attrs: list[str] | None,
+    r_out_attrs: list[str] | None,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+    out_sim_score: bool = True,
+    dense_id: bool = False,
+) -> DataFrame:
+    """Reference-shaped output: ``_id``, prefixed keys, optional
+    projected attrs, optional ``_sim_score`` (``[R] py_stringsimjoin/
+    utils/generic_helper.py::get_output_header_from_tables``).
+
+    ``_id`` is ``monotonically_increasing_id`` (unique, not dense) by
+    default; ``dense_id=True`` uses a global row_number — small-scale
+    parity tests only (single-partition sort)."""
+    l_out = [a for a in (l_out_attrs or []) if a != l_key_attr]
+    r_out = [a for a in (r_out_attrs or []) if a != r_key_attr]
+    out = pairs
+    if l_out:
+        out = out.join(
+            l_df.select(F.col(l_key_attr).alias("l_id"), *[F.col(a) for a in l_out]), "l_id", "left"
+        )
+    if r_out:
+        renamed = [F.col(a).alias(f"__r_{a}") for a in r_out]
+        out = out.join(
+            r_df.select(F.col(r_key_attr).alias("r_id"), *renamed), "r_id", "left"
+        )
+    cols = [
+        F.col("l_id").alias(f"{l_out_prefix}{l_key_attr}"),
+        F.col("r_id").alias(f"{r_out_prefix}{r_key_attr}"),
+    ]
+    cols += [F.col(a).alias(f"{l_out_prefix}{a}") for a in l_out]
+    cols += [F.col(f"__r_{a}").alias(f"{r_out_prefix}{a}") for a in r_out]
+    if out_sim_score:
+        cols.append(F.col("_sim_score"))
+    out = out.select(*cols)
+    if dense_id:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*out.columns)
+        out = out.withColumn("_id", F.row_number().over(w) - 1)
+    else:
+        out = out.withColumn("_id", F.monotonically_increasing_id())
+    return out.select("_id", *[c for c in out.columns if c != "_id"])

@@ -1,0 +1,132 @@
+"""Edit-distance join (``[R] py_stringsimjoin/join/edit_distance_join.py``
+-> ``edit_distance_join_py.py``; SURVEY.md §2.1 #6, §3.2).
+
+Plan: padded-qgram *bag* tokenization -> global rarity ordering ->
+prefix explode with prefix length ``q*k + 1`` -> equi-join on gram
+with a string-length band residual (``|len_l - len_r| <= k``) ->
+exact verification with the built-in banded ``F.levenshtein(l, r, k)``
+(JVM-side; no UDF anywhere in this join).
+
+Lossless-ness note (pigeonhole): the q*k+1-prefix scheme requires a
+record to have > q*k grams. Padded strings of length
+``< q*(k-1) + 2`` can have <= q*k grams, so such *short* records are
+routed through a separate branch that pairs them with every record in
+their length band (tiny set; broadcast). The reference's single-node
+probe loop does not need this split because it probes records
+one-by-one; the distributed join does.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..filter_math import COMP_OP_MAP, EDIT_DISTANCE
+from ..tokenizers import QgramTokenizer
+from ..validation import validate_join_inputs
+from .core import (
+    build_salt_map,
+    candidate_pairs,
+    missing_pairs,
+    prefix_explode,
+    prepare_sides,
+    project_output,
+)
+
+
+def edit_distance_join(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    threshold: float,
+    comp_op: str = "<=",
+    allow_missing: bool = False,
+    l_out_attrs: list[str] | None = None,
+    r_out_attrs: list[str] | None = None,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+    out_sim_score: bool = True,
+    tokenizer: QgramTokenizer | None = None,
+    *,
+    self_join: bool = False,
+    salt_cap: int | None = None,
+    dense_id: bool = False,
+) -> DataFrame:
+    validate_join_inputs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+                         l_out_attrs, r_out_attrs)
+    assert comp_op in ("<=", "<", "="), f"invalid comp_op for edit distance: {comp_op}"
+    assert threshold >= 0, "edit-distance threshold must be >= 0"
+    tokenizer = tokenizer or QgramTokenizer(qval=2, padding=True)
+    assert isinstance(tokenizer, QgramTokenizer), "edit distance requires a qgram tokenizer"
+    # bag mode: the reference coerces return_set=False for edit distance
+    tok = tokenizer.with_return_set(False)
+    q = tokenizer.qval
+    k = int(math.floor(threshold)) if comp_op != "<" else int(math.ceil(threshold - 1))
+    # effective band: lev(l, r) must satisfy comp_op threshold; the
+    # largest admissible distance is `band`
+    band = int(math.floor(threshold)) if comp_op in ("<=", "=") else max(int(math.ceil(threshold)) - 1, 0)
+
+    prep_l, prep_r, ranks = prepare_sides(
+        l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok
+    )
+    ex_l = prefix_explode(prep_l, "l", EDIT_DISTANCE, band, q)
+    ex_r = prefix_explode(prep_r, "r", EDIT_DISTANCE, band, q)
+    salt_map = build_salt_map(ranks, salt_cap) if salt_cap else None
+    # size residual (qgram-count band == string-length band for padded
+    # grams) is applied by candidate_pairs via size_bounds_expr
+    cand = candidate_pairs(
+        ex_l, ex_r, EDIT_DISTANCE, band, qval=q,
+        self_join=self_join, salt_map=salt_map, position_filter=False,
+    )
+
+    # short-record branch: records with <= q*band grams can defeat the
+    # prefix pigeonhole -> pair them with everything in the length band
+    min_grams = q * band + 1
+    shorts_l = prep_l.where(F.col("size") < min_grams).select(
+        F.col("id").alias("l_id"), F.col("size").alias("l_size")
+    )
+    shorts_r = prep_r.where(F.col("size") < min_grams).select(
+        F.col("id").alias("r_id"), F.col("size").alias("r_size")
+    )
+    all_l = prep_l.select(F.col("id").alias("l_id"), F.col("size").alias("l_size"))
+    all_r = prep_r.select(F.col("id").alias("r_id"), F.col("size").alias("r_size"))
+    band_pred = F.abs(F.col("l_size") - F.col("r_size")) <= F.lit(band)
+    short_cand = (
+        F.broadcast(shorts_l).crossJoin(all_r).where(band_pred)
+        .unionAll(all_l.crossJoin(F.broadcast(shorts_r)).where(band_pred))
+        .select("l_id", "r_id")
+    )
+    if self_join:
+        short_cand = short_cand.where(F.col("l_id") < F.col("r_id"))
+    cand = cand.unionAll(short_cand).distinct()
+
+    # verify with the banded built-in levenshtein (returns -1 above band)
+    l_str = l_df.where(F.col(l_join_attr).isNotNull()).select(
+        F.col(l_key_attr).alias("l_id"), F.col(l_join_attr).alias("_ls")
+    )
+    r_str = r_df.where(F.col(r_join_attr).isNotNull()).select(
+        F.col(r_key_attr).alias("r_id"), F.col(r_join_attr).alias("_rs")
+    )
+    dist = F.levenshtein(F.col("_ls"), F.col("_rs"), band)
+    pairs = (
+        cand.join(l_str, "l_id").join(r_str, "r_id")
+        .withColumn("_sim_score", dist.cast("double"))
+        .where(
+            (F.col("_sim_score") >= 0)
+            & COMP_OP_MAP[comp_op](F.col("_sim_score"), F.lit(float(threshold)))
+        )
+        .select("l_id", "r_id", "_sim_score")
+    )
+    if allow_missing:
+        pairs = pairs.unionByName(
+            missing_pairs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
+        )
+    return project_output(
+        pairs, l_df, r_df, l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+        l_out_prefix, r_out_prefix, out_sim_score, dense_id,
+    )

@@ -1,0 +1,162 @@
+"""Public set-similarity joins: jaccard / cosine / dice / overlap /
+overlap-coefficient (``[R] py_stringsimjoin/join/{jaccard,cosine,dice,
+overlap,overlap_coefficient}_join.py``; SURVEY.md §2.1 #1-5).
+
+One generic filter-verify plan (joins/core.py); per-measure bounds and
+verify formulas from filter_math. All signatures mirror the reference,
+with Spark-specific extras keyword-only:
+
+- ``self_join``: dedupe symmetric pairs (emit l_id < r_id only) when
+  joining a table with itself — the canonical dedup/ER mode.
+- ``salt_cap``: explicit salting of hot blocking tokens (see
+  joins/core.build_salt_map); None -> rely on AQE skew handling.
+- ``dense_id``: reference emits dense 0..n-1 ``_id``; we default to
+  ``monotonically_increasing_id`` (documented deviation; dense only in
+  small-scale parity tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .. import filter_math as fm
+from ..tokenizers import Tokenizer
+from ..validation import (
+    validate_comp_op_for_sim_measure,
+    validate_join_inputs,
+    validate_threshold,
+)
+from .core import (
+    build_salt_map,
+    candidate_pairs,
+    empty_pairs,
+    missing_pairs,
+    prefix_explode,
+    prepare_sides,
+    project_output,
+    verify_pairs,
+)
+
+
+def set_sim_join(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    measure: str,
+    comp_op: str = ">=",
+    allow_empty: bool = True,
+    allow_missing: bool = False,
+    l_out_attrs: list[str] | None = None,
+    r_out_attrs: list[str] | None = None,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+    out_sim_score: bool = True,
+    *,
+    self_join: bool = False,
+    salt_cap: int | None = None,
+    dense_id: bool = False,
+    position_filter: bool = True,
+) -> DataFrame:
+    validate_join_inputs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+                         l_out_attrs, r_out_attrs)
+    validate_threshold(threshold, measure)
+    validate_comp_op_for_sim_measure(comp_op, measure)
+
+    # set-sims operate on token *sets* (tokenizer coerced, as the
+    # reference does at the head of every join function)
+    tok = tokenizer.with_return_set(True)
+    prep_l, prep_r, ranks = prepare_sides(
+        l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok
+    )
+    ex_l = prefix_explode(prep_l, "l", measure, threshold)
+    ex_r = prefix_explode(prep_r, "r", measure, threshold)
+    salt_map = build_salt_map(ranks, salt_cap) if salt_cap else None
+    cand = candidate_pairs(
+        ex_l, ex_r, measure, threshold,
+        self_join=self_join, salt_map=salt_map, position_filter=position_filter,
+    )
+    pairs = verify_pairs(cand, prep_l, prep_r, measure, threshold, comp_op)
+
+    if allow_empty and measure != fm.OVERLAP:
+        ep = empty_pairs(prep_l, prep_r, threshold, comp_op, self_join=self_join)
+        if ep is not None:
+            pairs = pairs.unionByName(ep)
+    if allow_missing:
+        pairs = pairs.unionByName(
+            missing_pairs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
+        )
+    return project_output(
+        pairs, l_df, r_df, l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,
+        l_out_prefix, r_out_prefix, out_sim_score, dense_id,
+    )
+
+
+def _make(measure: str, default_allow_empty: bool = True):
+    def join_fn(
+        l_df: DataFrame,
+        r_df: DataFrame,
+        l_key_attr: str,
+        r_key_attr: str,
+        l_join_attr: str,
+        r_join_attr: str,
+        tokenizer: Tokenizer,
+        threshold: float,
+        comp_op: str = ">=",
+        allow_empty: bool = default_allow_empty,
+        allow_missing: bool = False,
+        l_out_attrs: list[str] | None = None,
+        r_out_attrs: list[str] | None = None,
+        l_out_prefix: str = "l_",
+        r_out_prefix: str = "r_",
+        out_sim_score: bool = True,
+        **spark_opts,
+    ) -> DataFrame:
+        return set_sim_join(
+            l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+            tokenizer, threshold, measure, comp_op, allow_empty, allow_missing,
+            l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix, out_sim_score,
+            **spark_opts,
+        )
+
+    join_fn.__name__ = f"{measure.lower()}_join"
+    return join_fn
+
+
+jaccard_join = _make(fm.JACCARD)
+cosine_join = _make(fm.COSINE)
+dice_join = _make(fm.DICE)
+overlap_coefficient_join = _make(fm.OVERLAP_COEFFICIENT)
+
+
+def overlap_join(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    comp_op: str = ">=",
+    allow_missing: bool = False,
+    l_out_attrs: list[str] | None = None,
+    r_out_attrs: list[str] | None = None,
+    l_out_prefix: str = "l_",
+    r_out_prefix: str = "r_",
+    out_sim_score: bool = True,
+    **spark_opts,
+) -> DataFrame:
+    """Overlap join (``[R] py_stringsimjoin/join/overlap_join.py``):
+    score is the absolute token-set intersection size; no
+    ``allow_empty`` (empty sets have overlap 0)."""
+    return set_sim_join(
+        l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+        tokenizer, threshold, fm.OVERLAP, comp_op, False, allow_missing,
+        l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix, out_sim_score,
+        **spark_opts,
+    )

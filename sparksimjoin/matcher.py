@@ -1,0 +1,98 @@
+"""apply_matcher (``[R] py_stringsimjoin/matcher/apply_matcher.py``;
+SURVEY.md §2.1 #12): generic verify stage over a pre-built candset.
+
+``sim_function`` is either a measure name ('JACCARD', 'COSINE',
+'DICE', 'OVERLAP', 'OVERLAP_COEFFICIENT', 'EDIT_DISTANCE') — scored
+with pure Column expressions (JVM, no Python) — or an arbitrary
+Python callable ``(l_tokens, r_tokens) -> float`` (the reference's
+extension point), scored through an Arrow-batched pandas UDF."""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .filter_math import COMP_OP_MAP, EDIT_DISTANCE, SET_SIM_MEASURES, sim_expr
+from .tokenizers import Tokenizer
+
+SimFunction = Union[str, Callable[[list, list], float]]
+
+
+def apply_matcher(
+    candset: DataFrame,
+    candset_l_key_attr: str,
+    candset_r_key_attr: str,
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_match_attr: str,
+    r_match_attr: str,
+    tokenizer: Tokenizer | None,
+    sim_function: SimFunction,
+    threshold: float,
+    comp_op: str = ">=",
+    allow_missing: bool = False,
+    out_sim_score: bool = True,
+    score_attr: str = "_sim_score",
+) -> DataFrame:
+    """Score each candset pair on (l_match_attr, r_match_attr) and
+    keep pairs satisfying comp_op/threshold. Candset columns are
+    preserved; the score is appended when out_sim_score."""
+    l_side = l_df.select(
+        F.col(l_key_attr).alias("__lk"), F.col(l_match_attr).alias("__ls")
+    )
+    r_side = r_df.select(
+        F.col(r_key_attr).alias("__rk"), F.col(r_match_attr).alias("__rs")
+    )
+    joined = candset.join(
+        l_side, candset[candset_l_key_attr] == l_side["__lk"], "left"
+    ).join(r_side, candset[candset_r_key_attr] == r_side["__rk"], "left")
+
+    if isinstance(sim_function, str):
+        measure = sim_function.upper()
+        if measure == EDIT_DISTANCE:
+            score = F.levenshtein(F.col("__ls"), F.col("__rs")).cast("double")
+        else:
+            assert measure in SET_SIM_MEASURES, measure
+            assert tokenizer is not None, "tokenizer required for set measures"
+            tok = tokenizer.with_return_set(True)
+            score = sim_expr(
+                tok.spark_expr(F.col("__ls")), tok.spark_expr(F.col("__rs")), measure
+            )
+    else:
+        assert tokenizer is not None, "tokenizer required for callable sim_function"
+        tok = tokenizer
+        fn = sim_function
+
+        @F.pandas_udf(T.DoubleType())
+        def score_udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None
+                    if a is None or b is None
+                    else float(fn(tok.tokenize(a), tok.tokenize(b)))
+                    for a, b in zip(ls, rs)
+                ]
+            )
+
+        score = score_udf(F.col("__ls"), F.col("__rs"))
+
+    scored = joined.withColumn(score_attr, score)
+    missing = F.col("__ls").isNull() | F.col("__rs").isNull()
+    keep = COMP_OP_MAP[comp_op](F.col(score_attr), F.lit(float(threshold)))
+    if allow_missing:
+        keep = keep | missing
+        scored = scored.withColumn(
+            score_attr, F.when(missing, F.lit(None).cast("double")).otherwise(F.col(score_attr))
+        )
+    else:
+        keep = keep & ~missing
+    out_cols = [candset[c] for c in candset.columns]
+    if out_sim_score:
+        out_cols.append(F.col(score_attr))
+    return scored.where(keep).select(*out_cols)

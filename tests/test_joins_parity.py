@@ -1,0 +1,198 @@
+"""Naive-oracle parity for all six joins (reference test strategy:
+expected sets computed in-test by brute force — SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparksimjoin import (
+    QgramTokenizer,
+    WhitespaceTokenizer,
+    cosine_join,
+    dice_join,
+    edit_distance_join,
+    jaccard_join,
+    overlap_coefficient_join,
+    overlap_join,
+)
+from sparksimjoin.fixtures import make_person_tables
+from sparksimjoin.naive import naive_edit_distance_join, naive_set_sim_join
+
+A_PDF, B_PDF = make_person_tables(60, 80, seed=7)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    a = spark.createDataFrame(A_PDF).cache()
+    b = spark.createDataFrame(B_PDF).cache()
+    a.count(), b.count()
+    return a, b
+
+
+def _collect_pairs(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        key = (d["l_id"], d["r_id"])
+        assert key not in out, f"duplicate pair {key}"
+        out[key] = d.get("_sim_score")
+    return out
+
+
+def _expected_pairs(triples):
+    out = {}
+    for lid, rid, score in triples:
+        out[(lid, rid)] = score
+    return out
+
+
+def _assert_match(got, expected, ctx):
+    assert set(got) == set(expected), (
+        f"{ctx}: missing={sorted(set(expected) - set(got))[:10]} "
+        f"extra={sorted(set(got) - set(expected))[:10]}"
+    )
+    for k, v in expected.items():
+        g = got[k]
+        if v is None:
+            assert g is None, (ctx, k, g)
+        else:
+            assert g is not None and math.isclose(g, v, rel_tol=0, abs_tol=1e-9), (ctx, k, g, v)
+
+
+SET_JOINS = {
+    "JACCARD": jaccard_join,
+    "COSINE": cosine_join,
+    "DICE": dice_join,
+    "OVERLAP_COEFFICIENT": overlap_coefficient_join,
+}
+
+
+@pytest.mark.parametrize("measure", list(SET_JOINS))
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+@pytest.mark.parametrize(
+    "tok", [WhitespaceTokenizer(), QgramTokenizer(qval=2, padding=True)],
+    ids=["ws", "qg2"],
+)
+def test_set_sim_joins(spark, tables, measure, threshold, tok):
+    a, b = tables
+    df = SET_JOINS[measure](a, b, "id", "id", "name", "name", tok, threshold)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_set_sim_join(A_PDF, B_PDF, "id", "id", "name", "name", tok, threshold, measure)
+    )
+    _assert_match(got, expected, f"{measure}@{threshold}")
+
+
+@pytest.mark.parametrize("threshold", [1, 2, 3])
+def test_overlap_join(spark, tables, threshold):
+    a, b = tables
+    tok = WhitespaceTokenizer()
+    df = overlap_join(a, b, "id", "id", "name", "name", tok, threshold)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_set_sim_join(A_PDF, B_PDF, "id", "id", "name", "name", tok, threshold,
+                           "OVERLAP", allow_empty=False)
+    )
+    _assert_match(got, expected, f"OVERLAP@{threshold}")
+
+
+@pytest.mark.parametrize("comp_op", [">", ">="])
+def test_comp_ops(spark, tables, comp_op):
+    a, b = tables
+    tok = WhitespaceTokenizer()
+    df = jaccard_join(a, b, "id", "id", "name", "name", tok, 0.5, comp_op=comp_op)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_set_sim_join(A_PDF, B_PDF, "id", "id", "name", "name", tok, 0.5,
+                           "JACCARD", comp_op=comp_op)
+    )
+    _assert_match(got, expected, f"JACCARD {comp_op} 0.5")
+
+
+@pytest.mark.parametrize("allow_empty", [True, False])
+@pytest.mark.parametrize("allow_missing", [True, False])
+def test_empty_and_missing(spark, tables, allow_empty, allow_missing):
+    a, b = tables
+    tok = WhitespaceTokenizer()
+    df = jaccard_join(a, b, "id", "id", "name", "name", tok, 0.5,
+                      allow_empty=allow_empty, allow_missing=allow_missing)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_set_sim_join(A_PDF, B_PDF, "id", "id", "name", "name", tok, 0.5,
+                           "JACCARD", allow_empty=allow_empty, allow_missing=allow_missing)
+    )
+    _assert_match(got, expected, f"empty={allow_empty} missing={allow_missing}")
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_edit_distance_join(spark, tables, k):
+    a, b = tables
+    df = edit_distance_join(a, b, "id", "id", "name", "name", k)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_edit_distance_join(A_PDF, B_PDF, "id", "id", "name", "name", k)
+    )
+    _assert_match(got, expected, f"EDIT@{k}")
+
+
+@pytest.mark.parametrize("comp_op", ["<", "="])
+def test_edit_distance_comp_ops(spark, tables, comp_op):
+    a, b = tables
+    df = edit_distance_join(a, b, "id", "id", "name", "name", 2, comp_op=comp_op)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_edit_distance_join(A_PDF, B_PDF, "id", "id", "name", "name", 2, comp_op=comp_op)
+    )
+    _assert_match(got, expected, f"EDIT {comp_op} 2")
+
+
+def test_self_join_dedupes(spark, tables):
+    a, _ = tables
+    tok = WhitespaceTokenizer()
+    df = jaccard_join(a, a, "id", "id", "name", "name", tok, 0.5, self_join=True)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_set_sim_join(A_PDF, A_PDF, "id", "id", "name", "name", tok, 0.5,
+                           "JACCARD", self_join=True)
+    )
+    _assert_match(got, expected, "self-join")
+    assert all(l < r for (l, r) in got)
+
+
+def test_salted_equals_unsalted(spark, tables):
+    """Salting must not lose or duplicate pairs (SURVEY.md §7 risk)."""
+    a, b = tables
+    tok = WhitespaceTokenizer()
+    plain = _collect_pairs(jaccard_join(a, b, "id", "id", "name", "name", tok, 0.3))
+    salted = _collect_pairs(
+        jaccard_join(a, b, "id", "id", "name", "name", tok, 0.3, salt_cap=2)
+    )
+    assert plain == salted
+
+
+def test_output_projection(spark, tables):
+    a, b = tables
+    tok = WhitespaceTokenizer()
+    df = jaccard_join(a, b, "id", "id", "name", "name", tok, 0.5,
+                      l_out_attrs=["name", "zipcode"], r_out_attrs=["name"])
+    assert df.columns == ["_id", "l_id", "r_id", "l_name", "l_zipcode", "r_name", "_sim_score"]
+    row = df.limit(1).collect()
+    if row:
+        d = row[0].asDict()
+        assert d["l_name"] == A_PDF.set_index("id").loc[d["l_id"], "name"]
+
+
+def test_validation_errors(spark, tables):
+    a, b = tables
+    tok = WhitespaceTokenizer()
+    with pytest.raises(AssertionError):
+        jaccard_join(a, b, "id", "id", "nope", "name", tok, 0.5)
+    with pytest.raises(AssertionError):
+        jaccard_join(a, b, "id", "id", "name", "name", tok, 1.5)
+    with pytest.raises(AssertionError):
+        jaccard_join(a, b, "id", "id", "name", "name", tok, 0.5, comp_op="<=")
+    with pytest.raises(AssertionError):
+        jaccard_join(a, b, "id", "id", "birth_year", "name", tok, 0.5)

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksimjoin.tokenizers import (
+    AlphanumericTokenizer,
+    DelimiterTokenizer,
+    QgramTokenizer,
+    WhitespaceTokenizer,
+)
+
+CASES = [
+    "hello world",
+    "  leading and   trailing  ",
+    "",
+    "x",
+    "ab",
+    "one,two;three four",
+    "MiXeD CaSe 123",
+    "ααβ unicode ßtr",
+    "a  b",
+]
+
+TOKENIZERS = [
+    QgramTokenizer(qval=2, padding=True),
+    QgramTokenizer(qval=3, padding=True),
+    QgramTokenizer(qval=2, padding=False),
+    QgramTokenizer(qval=2, padding=True, return_set=True),
+    WhitespaceTokenizer(),
+    WhitespaceTokenizer(return_set=True),
+    DelimiterTokenizer(delim=","),
+    AlphanumericTokenizer(),
+]
+
+
+@pytest.mark.parametrize("tok", TOKENIZERS, ids=lambda t: repr(t))
+def test_spark_expr_matches_python(spark, tok):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)], ["id", "s"])
+    got = {
+        r["id"]: r["toks"]
+        for r in df.select("id", tok.spark_expr(F.col("s")).alias("toks")).collect()
+    }
+    for i, s in enumerate(CASES):
+        expected = tok.tokenize(s)
+        # spark preserves multiset but may order set-dedupe differently;
+        # dedupe order is irrelevant downstream (global reordering) so
+        # compare as multisets for return_set=False, sets otherwise
+        if tok.return_set:
+            assert sorted(got[i]) == sorted(expected), (s, tok)
+        else:
+            assert got[i] == expected, (s, tok)
+
+
+def test_qgram_padding_semantics():
+    t = QgramTokenizer(qval=2, padding=True)
+    assert t.tokenize("") == ["#$"]
+    assert t.tokenize("a") == ["#a", "a$"]
+    t3 = QgramTokenizer(qval=3, padding=True)
+    assert t3.tokenize("ab") == ["##a", "#ab", "ab$", "b$$"]
+    nopad = QgramTokenizer(qval=3, padding=False)
+    assert nopad.tokenize("ab") == []
+
+
+def test_with_return_set_roundtrip():
+    t = QgramTokenizer(qval=3, padding=False)
+    s = t.with_return_set(True)
+    assert s.qval == 3 and s.padding is False and s.return_set is True
+    assert s.with_return_set(True) is s
