@@ -1,0 +1,180 @@
+"""Training-data deduplication operators (beyond the reference —
+first-class components for the 100 TB pipeline; see task brief):
+
+- exact_dedup: hash-groupBy duplicate groups (one shuffle).
+- minhash_lsh_dedup: shingle -> 64-perm MinHash -> banded LSH
+  bucket-join -> exact Jaccard verify. All JVM-side: per-permutation
+  min-hash is a single explode + groupBy with 64 min() aggregates.
+- simhash_dedup: 64-bit SimHash; near-dup candidates via the
+  pigeonhole band join (k+1 chunks for Hamming<=k), verified with
+  bit_count(xor).
+- ngram_jaccard_dedup: thin wrapper over the prefix-filtered jaccard
+  self-join (joins/set_sim.py) with qgram shingles.
+
+Each returns pair- or group-shaped DataFrames with stable column
+names for the DuckDB oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .filter_math import sim_expr
+from .tokenizers import QgramTokenizer, Tokenizer, WhitespaceTokenizer
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (id, group_id) where group_id = min id among rows with
+    byte-identical text. Null texts are their own singleton groups."""
+    w = Window.partitionBy(text_col)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .withColumn(
+            "group_id",
+            F.when(F.col("_t").isNull(), F.col("id")).otherwise(F.min("id").over(w)),
+        )
+        .select("id", "group_id")
+    )
+
+
+def _minhash_sigs(df: DataFrame, id_col: str, tokens_col: str, num_perm: int) -> DataFrame:
+    """-> (id, mh_0 .. mh_{num_perm-1}) via explode + min aggregates."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens_col).alias("tok"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh_{i}") for i in range(num_perm)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    tokenizer: Tokenizer | None = None,
+) -> DataFrame:
+    """-> (l_id, r_id, jaccard_sim) for near-duplicate pairs found in
+    at least one LSH band and verified with exact token-set Jaccard
+    >= threshold. Deterministic (seeded xxhash permutations)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    tok = (tokenizer or WhitespaceTokenizer()).with_return_set(True)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), tok.spark_expr(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") > 0)
+    sigs = _minhash_sigs(base, "id", "toks", num_perm)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    l = buckets.select(F.col("id").alias("l_id"), "band", "sig")
+    r = buckets.select(F.col("id").alias("r_id"), "band", "sig")
+    cand = (
+        l.join(r, ["band", "sig"]).where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id").distinct()
+    )
+    toks = base.select(F.col("id"), F.col("toks"))
+    verified = (
+        cand.join(toks.select(F.col("id").alias("l_id"), F.col("toks").alias("_lt")), "l_id")
+        .join(toks.select(F.col("id").alias("r_id"), F.col("toks").alias("_rt")), "r_id")
+        .withColumn("jaccard_sim", sim_expr(F.col("_lt"), F.col("_rt"), "JACCARD"))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("l_id", "r_id", "jaccard_sim")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, tokenizer: Tokenizer | None = None) -> DataFrame:
+    """-> (id, simhash) 64-bit SimHash over token hashes: bit b of the
+    output is 1 iff sum over tokens of (+1 if bit b of xxhash64(token)
+    else -1) is positive."""
+    tok = (tokenizer or WhitespaceTokenizer()).with_return_set(False)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), tok.spark_expr(F.col(text_col)).alias("toks")
+    )
+    ex = base.select("id", F.xxhash64(F.explode("toks")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(64)
+    ]
+    sums = ex.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0).cast("long")
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hamming_k: int = 3,
+    tokenizer: Tokenizer | None = None,
+) -> DataFrame:
+    """-> (l_id, r_id, hamming) pairs with SimHash Hamming distance
+    <= k. Candidates via the pigeonhole band join: split 64 bits into
+    k+1 chunks; any pair within distance k shares >= 1 exact chunk."""
+    sigs = simhash(df, id_col, text_col, tokenizer)
+    chunks = hamming_k + 1
+    if chunks == 1:
+        l0 = sigs.select(F.col("id").alias("l_id"), F.col("simhash").alias("l_sig"))
+        r0 = sigs.select(F.col("id").alias("r_id"), F.col("simhash").alias("r_sig"))
+        return (
+            l0.join(r0, l0["l_sig"] == r0["r_sig"]).where(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "r_id", F.lit(0).alias("hamming"))
+        )
+    width = 64 // chunks
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
+        )
+        for c in range(chunks)
+    ]
+    buckets = sigs.select("id", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")).select(
+        "id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+    )
+    l = buckets.select(F.col("id").alias("l_id"), F.col("simhash").alias("l_sig"), "chunk", "val")
+    r = buckets.select(F.col("id").alias("r_id"), F.col("simhash").alias("r_sig"), "chunk", "val")
+    cand = (
+        l.join(r, ["chunk", "val"]).where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id", "l_sig", "r_sig").distinct()
+    )
+    ham = F.bit_count(F.col("l_sig").bitwiseXOR(F.col("r_sig")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= hamming_k)
+        .select("l_id", "r_id", "hamming")
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8, qval: int = 3
+) -> DataFrame:
+    """Character-shingle near-dup detection: prefix-filtered jaccard
+    self-join over padded q-grams."""
+    from .joins.set_sim import jaccard_join
+
+    out = jaccard_join(
+        df, df, id_col, id_col, text_col, text_col,
+        QgramTokenizer(qval=qval, padding=True), threshold,
+        allow_empty=False, self_join=True,
+    )
+    return out.select(
+        F.col(f"l_{id_col}").alias("l_id"),
+        F.col(f"r_{id_col}").alias("r_id"),
+        F.col("_sim_score").alias("jaccard_sim"),
+    )

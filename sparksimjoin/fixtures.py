@@ -9,7 +9,7 @@ from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 
-_VOCAB_WORDS = [
+_BASE_WORDS = [
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
     "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa",
     "quebec", "romeo", "sierra", "tango", "uniform", "victor", "whiskey",
@@ -20,6 +20,10 @@ _VOCAB_WORDS = [
     "write", "code", "test", "build", "ship", "merge", "join", "scan",
     "sort", "hash", "batch", "stream", "spark", "table", "query", "plan",
 ]
+# ~210-word vocabulary (FIXTURES.md §1: "~200 words") — base words plus
+# deterministic suffixed variants so random conversations stay
+# dissimilar while injected duplicates stay similar
+_VOCAB_WORDS = _BASE_WORDS + [f"{w}{s}" for s in ("ly", "ish") for w in _BASE_WORDS]
 _SYNONYMS = {
     "run": "sprint", "jump": "leap", "walk": "stroll", "read": "peruse",
     "write": "compose", "apple": "pomme", "banana": "plantain",

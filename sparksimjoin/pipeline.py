@@ -1,0 +1,174 @@
+"""End-to-end record-linkage pipeline over conversation transcripts
+(north_rule / input_hint, BASELINE.json:14-15; SURVEY.md §7):
+
+  transcripts(conv_id, turn_idx, role, text, tool, ts)
+    S0 records: per-conversation doc string, turns concatenated in
+       stable (conv_id, turn_idx) order — deterministic (array_sort on
+       struct, never bare collect_list order)
+    S1 tokens:  tokenize + global rarity ordering (checkpointed — the
+       blocking and scoring stages both consume it, and it is the
+       resume point after a kill)
+    S2 candidates: prefix-blocked salted token join
+    S3 scored: exact set-sim verify, threshold filter
+    S4 clusters: large-star/small-star connected components with
+       per-round checkpoints; singletons keep their own conv_id
+
+Every stage is checkpointed through CheckpointManager with
+per-partition counters + lineage, and re-entry skips completed stages
+(kill/resume equivalence is tested in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointManager
+from .clustering import CCStats, connected_components
+from .filter_math import JACCARD
+from .joins.core import (
+    build_salt_map,
+    build_token_ranks,
+    candidate_pairs,
+    order_tokens,
+    prefix_explode,
+    verify_pairs,
+)
+from .tokenizers import Tokenizer, WhitespaceTokenizer
+
+
+@dataclass
+class PipelineConfig:
+    measure: str = JACCARD
+    threshold: float = 0.7
+    comp_op: str = ">="
+    tokenizer: Tokenizer = WhitespaceTokenizer()
+    salt_cap: int | None = 10_000
+    max_cc_rounds: int = 50
+
+
+def prepare_records(transcripts: DataFrame) -> DataFrame:
+    """S0: one row per conversation; doc = turn texts joined in
+    turn_idx order. array_sort(struct(turn_idx, text)) gives a
+    deterministic ordering regardless of shuffle nondeterminism."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_turns"),
+        )
+        .select(
+            "conv_id",
+            F.concat_ws(" ", F.transform("_turns", lambda x: x["text"])).alias("doc"),
+            F.size("_turns").alias("n_turns"),
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    workdir: str,
+    config: PipelineConfig | None = None,
+) -> DataFrame:
+    """-> clusters DataFrame(conv_id, component). Resumable: rerun
+    with the same workdir after a failure and completed stages are
+    read back instead of recomputed."""
+    cfg = config or PipelineConfig()
+    ckpt = CheckpointManager(spark, workdir)
+
+    records = ckpt.get_or_compute("records", lambda: prepare_records(transcripts),
+                                  inputs=["transcripts"])
+
+    def _tokens() -> DataFrame:
+        tok = cfg.tokenizer.with_return_set(True)
+        tok_df = records.select(
+            F.col("conv_id").alias("id"),
+            F.length("doc").alias("strlen"),
+            tok.spark_expr(F.col("doc")).alias("toks"),
+        ).where(F.col("doc").isNotNull())
+        ranks = build_token_ranks([tok_df])
+        return order_tokens(tok_df, ranks)
+
+    tokens = ckpt.get_or_compute("tokens", _tokens, inputs=["records"])
+
+    def _candidates() -> DataFrame:
+        ex_l = prefix_explode(tokens, "l", cfg.measure, cfg.threshold)
+        ex_r = prefix_explode(tokens, "r", cfg.measure, cfg.threshold)
+        salt_map = None
+        if cfg.salt_cap:
+            ranks = (
+                tokens.select(F.explode("tokens").alias("token"))
+                .groupBy("token")
+                .agg(F.count("*").alias("cnt"))
+            )
+            salt_map = build_salt_map(ranks, cfg.salt_cap)
+        return candidate_pairs(
+            ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map
+        )
+
+    candidates = ckpt.get_or_compute(
+        "candidates", _candidates, inputs=["tokens"],
+        extra={"measure": cfg.measure, "threshold": cfg.threshold},
+    )
+
+    def _scored() -> DataFrame:
+        return verify_pairs(candidates, tokens, tokens, cfg.measure, cfg.threshold, cfg.comp_op)
+
+    scored = ckpt.get_or_compute("scored", _scored, inputs=["candidates", "tokens"])
+
+    def _clusters() -> DataFrame:
+        stats = CCStats()
+
+        def round_ckpt(df: DataFrame, rnd: int) -> DataFrame:
+            return ckpt.write(df, f"cc_round_{rnd}", inputs=["scored"])
+
+        comp = connected_components(
+            scored, "l_id", "r_id", max_rounds=cfg.max_cc_rounds,
+            round_checkpoint=round_ckpt, stats=stats,
+        )
+        all_ids = records.select(F.col("conv_id"))
+        return (
+            all_ids.join(comp, comp["id"] == all_ids["conv_id"], "left")
+            .select(
+                "conv_id",
+                F.coalesce("component", F.col("conv_id")).alias("component"),
+            )
+        )
+
+    clusters = ckpt.get_or_compute("clusters", _clusters, inputs=["scored", "records"])
+    return clusters
+
+
+def pairwise_f1(
+    clusters: DataFrame, gold: DataFrame, id_col: str = "conv_id", gold_col: str = "entity_id"
+) -> dict:
+    """Pairwise precision/recall/F1 of predicted components vs gold
+    entities, computed distributed (no driver-side pair expansion):
+    |intra-pairs| via groupBy-size on each labeling, TP via groupBy on
+    the (component, entity) contingency."""
+    joined = clusters.join(gold, id_col).select("component", gold_col)
+
+    def n_pairs(df, cols):
+        return (
+            df.groupBy(*cols).agg(F.count("*").alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("p"))
+            .collect()[0]["p"]
+            or 0
+        )
+
+    pred_pairs = n_pairs(joined, ["component"])
+    gold_pairs = n_pairs(joined, [gold_col])
+    tp = n_pairs(joined, ["component", gold_col])
+    precision = tp / pred_pairs if pred_pairs else 1.0
+    recall = tp / gold_pairs if gold_pairs else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "precision": float(precision),
+        "recall": float(recall),
+        "f1": float(f1),
+        "tp_pairs": int(tp),
+        "pred_pairs": int(pred_pairs),
+        "gold_pairs": int(gold_pairs),
+    }

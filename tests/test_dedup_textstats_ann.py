@@ -1,0 +1,149 @@
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksimjoin.ann import brute_force_topk, lsh_topk
+from sparksimjoin.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash,
+    simhash_dedup,
+)
+from sparksimjoin.textstats import text_stats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumped over the lazy dog"),         # near dup
+    (3, "el rapido zorro marron salta sobre el perro que duerme y que corre"),
+    (4, "completely different text about spark and distributed joins"),
+    (5, "the quick brown fox leaps over the lazy dog today"),    # near dup
+    (6, None),
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+    df.count()
+    return df
+
+
+def test_exact_dedup(spark, docs):
+    got = {r["id"]: r["group_id"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert got[0] == 0 and got[1] == 0       # identical texts share min id
+    assert got[2] == 2 and got[4] == 4
+    assert got[6] == 6                        # null is its own group
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["l_id"], r["r_id"])
+        for r in minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs          # exact dup always survives
+    assert (0, 2) in pairs          # 1-token change at jaccard>=0.5
+    assert all(l < r for l, r in pairs)
+    # verified jaccard: no false positives below threshold
+    from sparksimjoin.naive import naive_set_sim_join
+    import pandas as pd
+
+    pdf = pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    truth = {
+        (l, r)
+        for l, r, _ in naive_set_sim_join(
+            pdf, pdf, "doc_id", "doc_id", "text", "text",
+            __import__("sparksimjoin").WhitespaceTokenizer(), 0.5, "JACCARD",
+            allow_empty=False, self_join=True,
+        )
+    }
+    assert pairs <= truth
+
+
+def test_simhash_deterministic_and_dedup(spark, docs):
+    s1 = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    s2 = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text -> identical simhash
+    pairs = {
+        (r["l_id"], r["r_id"]): r["hamming"]
+        for r in simhash_dedup(docs, "doc_id", "text", hamming_k=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    for (l, r), h in pairs.items():
+        assert h == bin(s1[l] ^ s1[r]).count("1")
+
+
+def test_ngram_jaccard_dedup(spark, docs):
+    pairs = {
+        (r["l_id"], r["r_id"]) for r in ngram_jaccard_dedup(docs, "doc_id", "text", 0.8).collect()
+    }
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_text_stats(spark, docs):
+    got = {r["id"]: r.asDict() for r in text_stats(docs, "doc_id", "text").collect()}
+    assert got[0]["n_tokens"] == 9
+    assert got[0]["lang"] == "en"
+    assert got[3]["lang"] == "es"
+    assert got[0]["fingerprint"] == got[1]["fingerprint"]
+    assert got[0]["fingerprint"] != got[4]["fingerprint"]
+    assert 0.0 <= got[0]["quality"] <= 1.0
+    assert got[7]["n_tokens"] == 0
+
+
+VECS = None
+
+
+def _vectors():
+    global VECS
+    if VECS is None:
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((20, 16))
+        # rows 0/1 nearly identical, 2 close to 0
+        base[1] = base[0] + 0.001 * rng.standard_normal(16)
+        base[2] = base[0] + 0.2 * rng.standard_normal(16)
+        VECS = [(i, [float(x) for x in row]) for i, row in enumerate(base)]
+    return VECS
+
+
+def test_brute_force_topk(spark):
+    df = spark.createDataFrame(_vectors(), "vec_id long, embedding array<double>")
+    top = brute_force_topk(df, "vec_id", "embedding", k=3)
+    rows = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in top.collect()}
+    assert rows[(0, 1)] == 1      # nearest neighbor of 0 is its near-copy
+    assert rows[(1, 1)] == 0
+    # oracle check vs numpy
+    import numpy.linalg as la
+
+    vecs = dict(_vectors())
+    a = np.array(vecs[0])
+    sims = {
+        j: float(a @ np.array(v) / (la.norm(a) * la.norm(np.array(v))))
+        for j, v in vecs.items() if j != 0
+    }
+    expect_top3 = [j for j, _ in sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:3]]
+    got_top3 = [rows[(0, r)] for r in (1, 2, 3)]
+    assert got_top3 == expect_top3
+
+
+def test_lsh_topk_recall(spark):
+    df = spark.createDataFrame(_vectors(), "vec_id long, embedding array<double>")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, "vec_id", "embedding", k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(df, "vec_id", "embedding", k=1, n_planes=6, n_tables=6).collect()
+    }
+    # near-identical pairs must be found; overall top-1 recall >= 0.5
+    assert (0, 1) in approx and (1, 0) in approx
+    assert len(exact & approx) / len(exact) >= 0.5

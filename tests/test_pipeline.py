@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksimjoin.fixtures import make_transcripts
+from sparksimjoin.naive import naive_connected_components, naive_set_sim_join
+from sparksimjoin.pipeline import (
+    PipelineConfig,
+    pairwise_f1,
+    prepare_records,
+    run_pipeline,
+)
+from sparksimjoin.tokenizers import WhitespaceTokenizer
+
+T_PDF, E_PDF = make_transcripts(n_conv=300, seed=42)
+# fixture calibration (seed 42, 210-word vocab): intra-entity pair
+# sims ≥ 0.615, cross-entity ≤ 0.333 — 0.6 cleanly separates with the
+# whitespace-jaccard measure
+CFG = PipelineConfig(threshold=0.6)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = spark.createDataFrame(T_PDF).cache()
+    df.count()
+    return df
+
+
+def _reference_clusters():
+    """Oracle: naive join over record docs + union-find (SURVEY.md
+    §5.2 item 3) — this stands in for the reference implementation's
+    clusters in the F1 gate."""
+    records = (
+        T_PDF.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["text"]
+        .apply(lambda s: " ".join(s))
+        .reset_index()
+        .rename(columns={"text": "doc"})
+    )
+    pairs = naive_set_sim_join(
+        records, records, "conv_id", "conv_id", "doc", "doc",
+        WhitespaceTokenizer(), CFG.threshold, "JACCARD", self_join=True,
+    )
+    edges = [(l, r) for l, r, _ in pairs]
+    comp = naive_connected_components(edges, nodes=list(records["conv_id"]))
+    return comp
+
+
+def test_prepare_records_stable_ordering(spark, transcripts):
+    """Per-turn text equality under stable (conv_id, turn_idx)
+    ordering (input_hint invariant): docs must equal the pandas
+    groupby-sorted concatenation regardless of input partitioning."""
+    recs = {r["conv_id"]: r["doc"] for r in prepare_records(transcripts).collect()}
+    shuffled = transcripts.repartition(7).sortWithinPartitions("text")
+    recs2 = {r["conv_id"]: r["doc"] for r in prepare_records(shuffled).collect()}
+    expected = (
+        T_PDF.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")["text"].apply(" ".join)
+    )
+    for cid, doc in expected.items():
+        assert recs[cid] == doc
+        assert recs2[cid] == doc
+
+
+def test_pipeline_end_to_end_f1(spark, transcripts, tmp_path):
+    clusters = run_pipeline(spark, transcripts, str(tmp_path / "wd"), CFG)
+    gold = spark.createDataFrame(E_PDF)
+    m = pairwise_f1(clusters, gold)
+    # our clusters must match the reference(-oracle) clusters exactly
+    ref = _reference_clusters()
+    got = {r["conv_id"]: r["component"] for r in clusters.collect()}
+    # compare as partitions (component labels may differ)
+    def as_partition(d):
+        inv = {}
+        for k, v in d.items():
+            inv.setdefault(v, set()).add(k)
+        return {frozenset(v) for v in inv.values()}
+
+    assert as_partition(got) == as_partition(ref)
+    # and the F1 gate vs injected gold entities
+    assert m["f1"] >= 0.99, m
+
+
+def test_pipeline_resume_byte_identical(spark, transcripts, tmp_path):
+    """Kill-after-stage-k resume: delete later stages, rerun, final
+    clusters identical (BASELINE.md resumability row)."""
+    wd = str(tmp_path / "wd2")
+    c1 = run_pipeline(spark, transcripts, wd, CFG)
+    rows1 = sorted((r["conv_id"], r["component"]) for r in c1.collect())
+    # simulate kill after 'candidates': remove 'scored' and beyond
+    import os
+
+    for stage in os.listdir(wd):
+        if stage.startswith(("scored", "clusters", "cc_round")):
+            shutil.rmtree(os.path.join(wd, stage))
+    c2 = run_pipeline(spark, transcripts, wd, CFG)
+    rows2 = sorted((r["conv_id"], r["component"]) for r in c2.collect())
+    assert rows1 == rows2
+
+
+def test_pipeline_manifests(spark, transcripts, tmp_path):
+    from sparksimjoin.checkpoint import CheckpointManager
+
+    wd = str(tmp_path / "wd3")
+    run_pipeline(spark, transcripts, wd, CFG)
+    ckpt = CheckpointManager(spark, wd)
+    names = {m["stage"] for m in ckpt.all_manifests()}
+    assert {"records", "tokens", "candidates", "scored", "clusters"} <= names
+    rec = ckpt.manifest("records")
+    assert rec["rows"] == 300
+    assert sum(rec["partitions"].values()) == rec["rows"]
+    assert rec["inputs"] == ["transcripts"]
