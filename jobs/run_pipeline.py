@@ -1,0 +1,63 @@
+"""spark-submit entrypoint (north_rule: ``spark-submit --py-files
+sparksimjoin.zip jobs/run_pipeline.py``).
+
+Reads a transcripts table (parquet path or Iceberg table name),
+runs the blocking -> scoring -> clustering pipeline with checkpoints
+under --workdir, writes clusters to --output, and prints the stage
+manifests (per-partition lineage + counters).
+
+Packaging:
+  cd /root/repo && zip -r sparksimjoin.zip sparksimjoin
+  spark-submit --py-files sparksimjoin.zip jobs/run_pipeline.py \
+      --input /path/transcripts.parquet --workdir /path/ckpt \
+      --output /path/clusters --threshold 0.7
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from sparksimjoin.checkpoint import CheckpointManager
+from sparksimjoin.pipeline import PipelineConfig, run_pipeline
+from sparksimjoin.tokenizers import QgramTokenizer, WhitespaceTokenizer
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path or iceberg table")
+    ap.add_argument("--workdir", required=True, help="checkpoint root")
+    ap.add_argument("--output", required=True, help="clusters output path")
+    ap.add_argument("--measure", default="JACCARD")
+    ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--tokenizer", default="whitespace", choices=["whitespace", "qgram2", "qgram3"])
+    ap.add_argument("--salt-cap", type=int, default=10_000)
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("sparksimjoin-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tok = {
+        "whitespace": WhitespaceTokenizer(),
+        "qgram2": QgramTokenizer(qval=2),
+        "qgram3": QgramTokenizer(qval=3),
+    }[args.tokenizer]
+    cfg = PipelineConfig(
+        measure=args.measure, threshold=args.threshold, tokenizer=tok,
+        salt_cap=args.salt_cap,
+    )
+    if args.input.endswith(".parquet") or "/" in args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:  # pragma: no cover - iceberg path for real clusters
+        transcripts = spark.read.table(args.input)
+    clusters = run_pipeline(spark, transcripts, args.workdir, cfg)
+    clusters.write.mode("overwrite").parquet(args.output)
+    for m in CheckpointManager(spark, args.workdir).all_manifests():
+        print(json.dumps(m), file=sys.stderr)
+    print(f"clusters written to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,13 +19,22 @@ from .joins.set_sim import (
 )
 from .joins.edit_distance import edit_distance_join
 from .session import get_spark
+from .matcher import apply_matcher
+from .profiler import profile_table_for_join
+from .converter import column_to_str
+from .clustering import connected_components
+from .pipeline import PipelineConfig, pairwise_f1, prepare_records, run_pipeline
 
 __all__ = [
     "AlphanumericTokenizer",
     "DelimiterTokenizer",
+    "PipelineConfig",
     "QgramTokenizer",
     "Tokenizer",
     "WhitespaceTokenizer",
+    "apply_matcher",
+    "column_to_str",
+    "connected_components",
     "cosine_join",
     "dice_join",
     "edit_distance_join",
@@ -33,5 +42,9 @@ __all__ = [
     "jaccard_join",
     "overlap_coefficient_join",
     "overlap_join",
+    "pairwise_f1",
+    "prepare_records",
+    "profile_table_for_join",
+    "run_pipeline",
     "set_sim_join",
 ]

@@ -27,7 +27,7 @@ from .tokenizers import QgramTokenizer, Tokenizer, WhitespaceTokenizer
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """-> (id, group_id) where group_id = min id among rows with
     byte-identical text. Null texts are their own singleton groups."""
-    w = Window.partitionBy(text_col)
+    w = Window.partitionBy("_t")
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .withColumn(
@@ -101,10 +101,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, tokenizer: Tokenizer | No
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), tok.spark_expr(F.col(text_col)).alias("toks")
     )
-    ex = base.select("id", F.xxhash64(F.explode("toks")).alias("h"))
+    ex = base.select("id", F.explode("toks").alias("_tok")).select(
+        "id", F.xxhash64("_tok").alias("h")
+    )
+    # bit 63 of a signed long is the sign bit: 1<<63 overflows, so use
+    # its two's-complement value
     aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            F.when(
+                F.col("h").bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0, 1
+            ).otherwise(-1)
         ).alias(f"s_{b}")
         for b in range(64)
     ]

@@ -66,7 +66,6 @@ def edit_distance_join(
     # bag mode: the reference coerces return_set=False for edit distance
     tok = tokenizer.with_return_set(False)
     q = tokenizer.qval
-    k = int(math.floor(threshold)) if comp_op != "<" else int(math.ceil(threshold - 1))
     # effective band: lev(l, r) must satisfy comp_op threshold; the
     # largest admissible distance is `band`
     band = int(math.floor(threshold)) if comp_op in ("<=", "=") else max(int(math.ceil(threshold)) - 1, 0)
