@@ -77,8 +77,21 @@ def _edit_text(rng: random.Random, text: str, rate: float = 0.10) -> str:
     return " ".join(out)
 
 
+def expanded_vocab(size: int) -> list[str]:
+    """Deterministic vocabulary of ``size`` distinct words (bench
+    realism knob: real corpora have 10^4+ word vocabularies, so
+    blocking selectivity at scale is driven by vocab size)."""
+    out = list(_BASE_WORDS)
+    i = 0
+    while len(out) < size:
+        out.extend(f"{w}{i}" for w in _BASE_WORDS)
+        i += 1
+    return out[:size]
+
+
 def make_transcripts(
-    n_conv: int = 2000, seed: int = 42, hot_token_rate: float = 0.35
+    n_conv: int = 2000, seed: int = 42, hot_token_rate: float = 0.35,
+    vocab: list[str] | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """-> (transcripts_pdf, entities_pdf).
 
@@ -88,6 +101,7 @@ def make_transcripts(
     entities: (conv_id, entity_id) gold mapping.
     """
     rng = random.Random(seed)
+    words_pool = vocab if vocab is not None else _VOCAB_WORDS
     rows = []
     entities = []
     conv_i = 0
@@ -100,7 +114,7 @@ def make_transcripts(
         base_turns = []
         for t in range(n_turns):
             n_words = rng.randint(4, 14)
-            words = [rng.choice(_VOCAB_WORDS) for _ in range(n_words)]
+            words = [rng.choice(words_pool) for _ in range(n_words)]
             if rng.random() < hot_token_rate:
                 words.insert(0, "the")
                 words.append("boilerplate standard disclaimer applies")

@@ -103,7 +103,7 @@ def run_pipeline(
                 .groupBy("token")
                 .agg(F.count("*").alias("cnt"))
             )
-            salt_map = build_salt_map(ranks, cfg.salt_cap)
+            salt_map = build_salt_map(ranks, cfg.salt_cap, key_col="token")
         return candidate_pairs(
             ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map
         )
