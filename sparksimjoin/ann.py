@@ -39,21 +39,50 @@ def brute_force_topk(
     """Exact cosine top-k neighbors per query row (excluding self).
     -> (query_id, neighbor_id, cosine, rank). Baseline / verifier:
     O(N*Q) — use lsh_topk at scale."""
-    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
-    q = (queries or df).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    scored = (
-        q.crossJoin(base)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_sim_expr(F.col("_qv"), F.col("_nv")), 6))
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # base matrix rides to executors as a broadcast; scoring is a
+    # numpy matmul per Arrow batch (vectorized pandas path — the
+    # Column-expression dot product via F.aggregate is an interpreted
+    # higher-order function, ~100x slower at N*Q pairs)
+    base_rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    base_ids = np.array([r[0] for r in base_rows])
+    base_mat = np.array([list(r[1]) for r in base_rows], dtype=np.float64)
+    base_norm = np.linalg.norm(base_mat, axis=1)
+    bc = spark.sparkContext.broadcast((base_ids, base_mat, base_norm))
+
+    q = (queries or df).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).repartition(n_part, "query_id")
+
+    def score(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qm = np.array([list(v) for v in pdf["_qv"]], dtype=np.float64)
+            qnorm = np.linalg.norm(qm, axis=1)
+            sims = (qm @ mat.T) / np.outer(qnorm, norms)
+            sims = np.round(sims, 6)
+            out_rows = []
+            for qi, qid in enumerate(pdf["query_id"]):
+                row = sims[qi]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                # sort by (-cosine, neighbor_id) for deterministic ties
+                order = np.lexsort((ids[cand_idx], -row[cand_idx]))[:k]
+                for rank, j in enumerate(cand_idx[order], start=1):
+                    out_rows.append((qid, ids[j], float(row[j]), rank))
+            yield pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+    out_schema = (
+        f"query_id {df.schema[id_col].dataType.simpleString()}, "
+        f"neighbor_id {df.schema[id_col].dataType.simpleString()}, "
+        "cosine double, rank int"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return q.mapInPandas(score, schema=out_schema)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -86,7 +115,10 @@ def lsh_topk(
     -> (query_id, neighbor_id, cosine, rank)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")).repartition(
+        n_part, "id"
+    )
     bucket_cols = [
         F.struct(
             F.lit(t).alias("tbl"),

@@ -40,7 +40,18 @@ from ..filter_math import (
 from ..tokenizers import Tokenizer
 
 def _empty_long_array() -> Column:
-    return F.array().cast("array<bigint>")
+    # slice of a non-null-element literal array keeps containsNull=false
+    # in the result type; a bare cast sets containsNull=true, which
+    # knocks array_intersect off its primitive codegen fast path
+    # (observed: interpreted SQLOpenHashSet eval, ~25x slower)
+    return F.slice(F.array(F.lit(0).cast("bigint")), 1, 0)
+
+
+def nonnull_long_array(col: Column) -> Column:
+    """Re-assert containsNull=false on an array<bigint> column (lost
+    through parquet round-trips and coalesce) so array_intersect /
+    array ops take the primitive codegen path."""
+    return F.transform(col, lambda x: F.coalesce(x, F.lit(0).cast("bigint")))
 
 
 def tokenize_table(df: DataFrame, key_attr: str, join_attr: str, tokenizer: Tokenizer) -> DataFrame:
@@ -111,7 +122,9 @@ def prepare_sides(
     """Tokenize + globally order both sides. Returns (prep_l, prep_r,
     ranks); when the two sides are the same table/attrs the prep is
     computed once and shared."""
-    same = l_df is r_df and l_key_attr == r_key_attr and l_join_attr == r_join_attr
+    same = l_key_attr == r_key_attr and l_join_attr == r_join_attr and (
+        l_df is r_df or l_df.sameSemantics(r_df)
+    )
     tok_l = tokenize_table(l_df, l_key_attr, l_join_attr, tokenizer)
     tok_r = tok_l if same else tokenize_table(r_df, r_key_attr, r_join_attr, tokenizer)
     ranks = build_token_ranks([tok_l] if same else [tok_l, tok_r])
@@ -219,13 +232,36 @@ def verify_pairs(
     comp_op: str = ">=",
 ) -> DataFrame:
     """Exact similarity on the full token sets; JVM-side
-    ``array_intersect`` (ordered, duplicate-free arrays).
-    -> (l_id, r_id, _sim_score) filtered by comp_op/threshold."""
+    ``array_intersect`` (ordered, duplicate-free int arrays — the
+    primitive codegen fast path). -> (l_id, r_id, _sim_score)
+    filtered by comp_op/threshold.
+
+    The candidate set is explicitly repartitioned to the session
+    parallelism first: candidates are narrow (two ids) so AQE's
+    byte-based coalescing would otherwise collapse this CPU-heavy
+    stage to a handful of tasks (observed: one task doing all 1.8M
+    intersections)."""
+    spark = cand.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # containsNull=false is re-asserted ONCE PER RECORD on the prep
+    # side (pre-join): interpreted ArrayTransform on N records is
+    # cheap, and the resulting type keeps array_intersect on its
+    # primitive codegen path for every candidate pair
+    l_tok = prep_l.select(
+        F.col("id").alias("l_id"), nonnull_long_array(F.col("tokens")).alias("_lt")
+    )
+    r_tok = prep_r.select(
+        F.col("id").alias("r_id"), nonnull_long_array(F.col("tokens")).alias("_rt")
+    )
+    # hash-repartition on the full pair key: unique per row -> uniform
+    # spread with no skew (l_id alone skews on hot records) and no
+    # local sort (round-robin repartition sorts each input partition
+    # serially); the token-array joins broadcast, so co-partitioning
+    # is irrelevant
     out = (
-        cand.join(
-            prep_l.select(F.col("id").alias("l_id"), F.col("tokens").alias("_lt")), "l_id"
-        )
-        .join(prep_r.select(F.col("id").alias("r_id"), F.col("tokens").alias("_rt")), "r_id")
+        cand.repartition(n_part, "l_id", "r_id")
+        .join(l_tok, "l_id")
+        .join(r_tok, "r_id")
         .withColumn("_sim_score", sim_expr(F.col("_lt"), F.col("_rt"), measure))
         .where(COMP_OP_MAP[comp_op](F.col("_sim_score"), F.lit(float(threshold))))
         .select("l_id", "r_id", "_sim_score")

@@ -112,8 +112,13 @@ def edit_distance_join(
         F.col(r_key_attr).alias("r_id"), F.col(r_join_attr).alias("_rs")
     )
     dist = F.levenshtein(F.col("_ls"), F.col("_rs"), band)
+    n_part = int(l_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # pair-key repartition: uniform spread for the CPU-heavy banded
+    # levenshtein stage (AQE byte-based coalescing would otherwise
+    # shrink it to a handful of tasks)
     pairs = (
-        cand.join(l_str, "l_id").join(r_str, "r_id")
+        cand.repartition(n_part, "l_id", "r_id")
+        .join(l_str, "l_id").join(r_str, "r_id")
         .withColumn("_sim_score", dist.cast("double"))
         .where(
             (F.col("_sim_score") >= 0)

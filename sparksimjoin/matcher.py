@@ -49,6 +49,19 @@ def apply_matcher(
     r_side = r_df.select(
         F.col(r_key_attr).alias("__rk"), F.col(r_match_attr).alias("__rs")
     )
+    named_set_measure = (
+        isinstance(sim_function, str) and sim_function.upper() in SET_SIM_MEASURES
+    )
+    if named_set_measure:
+        # tokenize + hash ONCE PER SIDE ROW (not per candidate pair):
+        # int arrays keep array_intersect on the primitive codegen path
+        tok = tokenizer.with_return_set(True)
+
+        def hashed(col):
+            return F.array_sort(F.transform(tok.spark_expr(col), lambda x: F.xxhash64(x)))
+
+        l_side = l_side.withColumn("__lt", hashed(F.col("__ls")))
+        r_side = r_side.withColumn("__rt", hashed(F.col("__rs")))
     joined = candset.join(
         l_side, candset[candset_l_key_attr] == l_side["__lk"], "left"
     ).join(r_side, candset[candset_r_key_attr] == r_side["__rk"], "left")
@@ -60,10 +73,7 @@ def apply_matcher(
         else:
             assert measure in SET_SIM_MEASURES, measure
             assert tokenizer is not None, "tokenizer required for set measures"
-            tok = tokenizer.with_return_set(True)
-            score = sim_expr(
-                tok.spark_expr(F.col("__ls")), tok.spark_expr(F.col("__rs")), measure
-            )
+            score = sim_expr(F.col("__lt"), F.col("__rt"), measure)
     else:
         assert tokenizer is not None, "tokenizer required for callable sim_function"
         tok = tokenizer
