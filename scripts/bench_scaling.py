@@ -24,7 +24,7 @@ REPO = Path(__file__).resolve().parent.parent
 CHILD = r"""
 import json, sys, tempfile, time
 sys.path.insert(0, {repo!r})
-from sparksimjoin.fixtures import make_transcripts
+from sparksimjoin.fixtures import make_transcripts, expanded_vocab
 from sparksimjoin.pipeline import PipelineConfig, run_pipeline
 from sparksimjoin.checkpoint import CheckpointManager
 from sparksimjoin.session import get_spark
@@ -32,7 +32,7 @@ from sparksimjoin.session import get_spark
 cores = {cores}
 n_conv = {n_conv}
 spark = get_spark(app_name="scalebench", cores=cores, shuffle_partitions=cores)
-tpdf, _ = make_transcripts(n_conv=n_conv, seed=42)
+tpdf, _ = make_transcripts(n_conv=n_conv, seed=42, vocab=expanded_vocab(2000))
 tdf = spark.createDataFrame(tpdf).repartition(cores).cache()
 n_turns = tdf.count()
 with tempfile.TemporaryDirectory() as wd:
@@ -40,11 +40,14 @@ with tempfile.TemporaryDirectory() as wd:
     clusters = run_pipeline(spark, tdf, wd, PipelineConfig(threshold=0.6))
     n = clusters.count()
     dt = time.time() - t0
-    n_cand = CheckpointManager(spark, wd).manifest("candidates")["rows"]
+    ckpt = CheckpointManager(spark, wd)
+    n_cand = ckpt.manifest("candidates")["rows"]
+    stages = {{m["stage"]: m["wall_time_sec"] for m in ckpt.all_manifests()}}
 print(json.dumps({{"cores": cores, "n_conv": n_conv, "n_turns": n_turns,
                   "sec": round(dt, 2), "candidates": n_cand,
                   "cand_per_sec": round(n_cand / dt, 1),
-                  "turns_per_sec": round(n_turns / dt, 1)}}))
+                  "turns_per_sec": round(n_turns / dt, 1),
+                  "stages": stages}}))
 """
 
 

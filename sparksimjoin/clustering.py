@@ -95,12 +95,24 @@ def connected_components(
             return round_checkpoint(df, rnd)
         return df.localCheckpoint(eager=True)
 
+    def _sig(df: DataFrame) -> tuple:
+        # order-insensitive multiset signature: (count, sum of row
+        # hashes) — one cheap agg instead of two exceptAll shuffles
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = _ckpt(e, -1)
+    prev_sig = _sig(e)
     for rnd in range(max_rounds):
         e1 = _large_star(e).localCheckpoint(eager=True)
         e2 = _ckpt(_small_star(e1), rnd)
         # convergence: the star-contracted edge set is a fixpoint
-        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        cur_sig = _sig(e2)
+        changed = 0 if cur_sig == prev_sig else 1
+        prev_sig = cur_sig
         if stats is not None:
             stats.rounds = rnd + 1
             stats.round_changes.append(changed)
