@@ -20,6 +20,7 @@ from .joins.set_sim import (
 from .joins.edit_distance import edit_distance_join
 from .session import get_spark
 from .matcher import apply_matcher
+from .missing import get_pairs_with_missing_value
 from .profiler import profile_table_for_join
 from .converter import column_to_str
 from .clustering import connected_components
@@ -38,6 +39,7 @@ __all__ = [
     "cosine_join",
     "dice_join",
     "edit_distance_join",
+    "get_pairs_with_missing_value",
     "get_spark",
     "jaccard_join",
     "overlap_coefficient_join",

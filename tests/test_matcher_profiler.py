@@ -100,3 +100,17 @@ def test_dense_id_output(spark, tables):
     df = jaccard_join(a, b, "id", "id", "name", "name", WS, 0.5, dense_id=True)
     ids = sorted(r["_id"] for r in df.select("_id").collect())
     assert ids == list(range(len(ids)))
+
+
+def test_get_pairs_with_missing_value(spark, tables):
+    from sparksimjoin import get_pairs_with_missing_value
+
+    a, b = tables
+    out = get_pairs_with_missing_value(a, b, "id", "id", "name", "name")
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    l_null = set(A_PDF[A_PDF["name"].isna()]["id"])
+    r_null = set(B_PDF[B_PDF["name"].isna()]["id"])
+    expected = {(l, r) for l in l_null for r in B_PDF["id"]} | {
+        (l, r) for l in A_PDF["id"] if l not in l_null for r in r_null
+    }
+    assert got == expected
