@@ -52,11 +52,14 @@ def edit_distance_join(
     r_out_prefix: str = "r_",
     out_sim_score: bool = True,
     tokenizer: QgramTokenizer | None = None,
+    n_jobs: int = 1,
+    show_progress: bool = False,
     *,
     self_join: bool = False,
     salt_cap: int | None = None,
     dense_id: bool = False,
 ) -> DataFrame:
+    del n_jobs, show_progress  # reference-compat; subsumed by Spark partitioning
     validate_join_inputs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
                          l_out_attrs, r_out_attrs)
     assert comp_op in ("<=", "<", "="), f"invalid comp_op for edit distance: {comp_op}"

@@ -56,12 +56,19 @@ def set_sim_join(
     l_out_prefix: str = "l_",
     r_out_prefix: str = "r_",
     out_sim_score: bool = True,
+    n_jobs: int = 1,
+    show_progress: bool = False,
     *,
     self_join: bool = False,
     salt_cap: int | None = None,
     dense_id: bool = False,
     position_filter: bool = True,
 ) -> DataFrame:
+    # n_jobs / show_progress are accepted for drop-in compatibility
+    # with the reference signature and ignored: Spark's partitioning
+    # subsumes the joblib split (SURVEY.md §2.2 #29) and progress is
+    # the Spark UI / checkpoint manifests
+    del n_jobs, show_progress
     validate_join_inputs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
                          l_out_attrs, r_out_attrs)
     validate_threshold(threshold, measure)
@@ -114,12 +121,15 @@ def _make(measure: str, default_allow_empty: bool = True):
         l_out_prefix: str = "l_",
         r_out_prefix: str = "r_",
         out_sim_score: bool = True,
+        n_jobs: int = 1,
+        show_progress: bool = False,
         **spark_opts,
     ) -> DataFrame:
         return set_sim_join(
             l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
             tokenizer, threshold, measure, comp_op, allow_empty, allow_missing,
             l_out_attrs, r_out_attrs, l_out_prefix, r_out_prefix, out_sim_score,
+            n_jobs, show_progress,
             **spark_opts,
         )
 

@@ -46,6 +46,14 @@ class PipelineConfig:
     comp_op: str = ">="
     tokenizer: Tokenizer = WhitespaceTokenizer()
     salt_cap: int | None = 10_000
+    # tokens with doc frequency above this cap are excluded from the
+    # BLOCKING join keys (never from verification). Lossy: a pair whose
+    # only shared prefix token is a stop token is missed — so the cap
+    # must sit far above correctness-relevant frequencies (SURVEY.md
+    # §4 item 3); the number of dropped tokens is recorded in the
+    # candidates manifest ("no silent caps"). None = off (default, and
+    # required for the parity/F1 gates).
+    stop_token_cap: int | None = None
     max_cc_rounds: int = 50
 
 
@@ -93,24 +101,36 @@ def run_pipeline(
 
     tokens = ckpt.get_or_compute("tokens", _tokens, inputs=["records"])
 
+    cand_extra = {"measure": cfg.measure, "threshold": cfg.threshold}
+
     def _candidates() -> DataFrame:
         ex_l = prefix_explode(tokens, "l", cfg.measure, cfg.threshold)
         ex_r = prefix_explode(tokens, "r", cfg.measure, cfg.threshold)
-        salt_map = None
-        if cfg.salt_cap:
+        ranks = None
+        if cfg.salt_cap or cfg.stop_token_cap:
             ranks = (
                 tokens.select(F.explode("tokens").alias("token"))
                 .groupBy("token")
                 .agg(F.count("*").alias("cnt"))
             )
+        if cfg.stop_token_cap:
+            stop = ranks.where(F.col("cnt") > cfg.stop_token_cap).select("token")
+            n_stop = stop.count()
+            cand_extra["stop_token_cap"] = cfg.stop_token_cap
+            cand_extra["dropped_stop_tokens"] = int(n_stop)
+            if n_stop:
+                stop_b = F.broadcast(stop)
+                ex_l = ex_l.join(stop_b, "token", "left_anti")
+                ex_r = ex_r.join(stop_b, "token", "left_anti")
+        salt_map = None
+        if cfg.salt_cap:
             salt_map = build_salt_map(ranks, cfg.salt_cap, key_col="token")
         return candidate_pairs(
             ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map
         )
 
     candidates = ckpt.get_or_compute(
-        "candidates", _candidates, inputs=["tokens"],
-        extra={"measure": cfg.measure, "threshold": cfg.threshold},
+        "candidates", _candidates, inputs=["tokens"], extra=cand_extra,
     )
 
     def _scored() -> DataFrame:

@@ -112,3 +112,28 @@ def test_pipeline_manifests(spark, transcripts, tmp_path):
     assert rec["rows"] == 300
     assert sum(rec["partitions"].values()) == rec["rows"]
     assert rec["inputs"] == ["transcripts"]
+
+
+def test_stop_token_cap_metrics(spark, transcripts, tmp_path):
+    """Cap above all frequencies -> byte-identical output, zero drops;
+    low cap -> drops recorded in the candidates manifest (no silent
+    caps, SURVEY.md §4 item 3)."""
+    from dataclasses import replace
+    from sparksimjoin.checkpoint import CheckpointManager
+
+    wd_hi = str(tmp_path / "hi")
+    hi = run_pipeline(spark, transcripts, wd_hi, replace(CFG, stop_token_cap=10**9))
+    rows_hi = sorted((r["conv_id"], r["component"]) for r in hi.collect())
+    m_hi = CheckpointManager(spark, wd_hi).manifest("candidates")
+    assert m_hi["dropped_stop_tokens"] == 0
+
+    wd_ref = str(tmp_path / "ref")
+    ref = run_pipeline(spark, transcripts, wd_ref, CFG)
+    rows_ref = sorted((r["conv_id"], r["component"]) for r in ref.collect())
+    assert rows_hi == rows_ref
+
+    wd_lo = str(tmp_path / "lo")
+    run_pipeline(spark, transcripts, wd_lo, replace(CFG, stop_token_cap=50))
+    m_lo = CheckpointManager(spark, wd_lo).manifest("candidates")
+    assert m_lo["dropped_stop_tokens"] > 0
+    assert m_lo["stop_token_cap"] == 50
