@@ -47,18 +47,36 @@ def _minhash_sigs(df: DataFrame, id_col: str, tokens_col: str, num_perm: int) ->
     return ex.groupBy("id").agg(*aggs)
 
 
+def _auto_bands(num_perm: int, threshold: float, min_recall: float = 0.95) -> int:
+    """Pick the band count whose (b, r) banding keeps LSH recall at
+    ``threshold`` above ``min_recall`` with the FEWEST bands (largest
+    rows-per-band -> fewest false-positive bucket collisions).
+    recall(b, r) = 1 - (1 - t^r)^b."""
+    best = num_perm  # r=1: recall ~1, most collisions — worst case
+    for b in sorted({d for d in range(1, num_perm + 1) if num_perm % d == 0}):
+        r = num_perm // b
+        recall = 1 - (1 - threshold**r) ** b
+        if recall >= min_recall:
+            return b
+    return best
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     tokenizer: Tokenizer | None = None,
 ) -> DataFrame:
     """-> (l_id, r_id, jaccard_sim) for near-duplicate pairs found in
     at least one LSH band and verified with exact token-set Jaccard
-    >= threshold. Deterministic (seeded xxhash permutations)."""
+    >= threshold. Deterministic (seeded xxhash permutations).
+    bands=None auto-tunes the banding to the threshold (>=95% LSH
+    recall with minimal bucket collisions)."""
+    if bands is None:
+        bands = _auto_bands(num_perm, threshold)
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     tok = (tokenizer or WhitespaceTokenizer()).with_return_set(True)

@@ -1,0 +1,79 @@
+"""Edge-case robustness: empty tables, all-null join attrs, unicode,
+single-row inputs — every operator should return empty/correct
+results, never throw."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksimjoin import (
+    QgramTokenizer,
+    WhitespaceTokenizer,
+    edit_distance_join,
+    jaccard_join,
+    overlap_join,
+)
+from sparksimjoin.clustering import connected_components
+from sparksimjoin.dedup import exact_dedup, minhash_lsh_dedup
+
+WS = WhitespaceTokenizer()
+SCHEMA = "id long, name string"
+
+
+@pytest.fixture(scope="module")
+def empty(spark):
+    return spark.createDataFrame([], SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def nulls(spark):
+    return spark.createDataFrame([(1, None), (2, None)], SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "héllo wörld"), (2, "héllo wörld"), (3, "ζeta функция 漢字")], SCHEMA
+    )
+
+
+def test_empty_tables(spark, empty, tiny):
+    assert jaccard_join(empty, tiny, "id", "id", "name", "name", WS, 0.5).count() == 0
+    assert jaccard_join(tiny, empty, "id", "id", "name", "name", WS, 0.5).count() == 0
+    assert edit_distance_join(empty, empty, "id", "id", "name", "name", 1).count() == 0
+
+
+def test_all_null_attrs(spark, nulls, tiny):
+    assert jaccard_join(nulls, tiny, "id", "id", "name", "name", WS, 0.5).count() == 0
+    withmissing = jaccard_join(
+        nulls, tiny, "id", "id", "name", "name", WS, 0.5, allow_missing=True
+    )
+    assert withmissing.count() == 2 * 3  # every null row x every right row
+
+
+def test_unicode(spark, tiny):
+    out = jaccard_join(tiny, tiny, "id", "id", "name", "name", WS, 0.9, self_join=True)
+    pairs = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
+    ed = edit_distance_join(tiny, tiny, "id", "id", "name", "name", 0, self_join=True)
+    assert {(r["l_id"], r["r_id"]) for r in ed.collect()} == {(1, 2)}
+    qg = jaccard_join(tiny, tiny, "id", "id", "name", "name",
+                      QgramTokenizer(qval=2), 0.9, self_join=True)
+    assert {(r["l_id"], r["r_id"]) for r in qg.collect()} == {(1, 2)}
+
+
+def test_overlap_empty_result(spark, tiny):
+    out = overlap_join(tiny, tiny, "id", "id", "name", "name", WS, 5, self_join=True)
+    assert out.count() == 0
+
+
+def test_cc_empty_edges(spark):
+    edges = spark.createDataFrame([], "l_id long, r_id long")
+    assert connected_components(edges).count() == 0
+
+
+def test_dedup_edge_cases(spark, empty, nulls):
+    assert exact_dedup(empty, "id", "name").count() == 0
+    got = {r["id"]: r["group_id"] for r in exact_dedup(nulls, "id", "name").collect()}
+    assert got == {1: 1, 2: 2}  # nulls are singleton groups
+    assert minhash_lsh_dedup(empty, "id", "name").count() == 0
