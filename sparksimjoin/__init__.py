@@ -18,6 +18,7 @@ from .joins.set_sim import (
     set_sim_join,
 )
 from .joins.edit_distance import edit_distance_join
+from .cache import release_all, scoped_caches
 from .session import get_spark
 from .matcher import apply_matcher
 from .missing import get_pairs_with_missing_value
@@ -47,6 +48,8 @@ __all__ = [
     "pairwise_f1",
     "prepare_records",
     "profile_table_for_join",
+    "release_all",
     "run_pipeline",
+    "scoped_caches",
     "set_sim_join",
 ]

@@ -18,7 +18,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from .cache import track
 
 
 @dataclass
@@ -82,11 +83,10 @@ def connected_components(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
-    nodes = (
+    nodes = track(
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e = e.where(F.col("src") != F.col("dst"))
 

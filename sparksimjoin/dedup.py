@@ -17,25 +17,37 @@ names for the DuckDB oracle harness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import track
 from .filter_math import sim_expr
 from .tokenizers import QgramTokenizer, Tokenizer, WhitespaceTokenizer
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """-> (id, group_id) where group_id = min id among rows with
-    byte-identical text. Null texts are their own singleton groups."""
-    w = Window.partitionBy("_t")
-    return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-        .withColumn(
-            "group_id",
-            F.when(F.col("_t").isNull(), F.col("id")).otherwise(F.min("id").over(w)),
-        )
+    byte-identical text. Null texts are their own singleton groups.
+
+    Scale shape: ``groupBy(text).min(id)`` pre-aggregates map-side, so
+    a hot duplicate text (a billion-copy boilerplate doc) collapses to
+    one row per input partition before the shuffle — unlike a
+    ``Window.partitionBy(text)``, which would sort every copy inside a
+    single reducer. The join back to assign group ids shuffles on an
+    8-byte ``xxhash64(text)`` key (text equality re-checked as a
+    residual), not the full text."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    nn = base.where(F.col("_t").isNotNull()).withColumn("_h", F.xxhash64("_t"))
+    groups = nn.groupBy("_h", "_t").agg(F.min("id").alias("group_id"))
+    grouped = (
+        nn.join(groups.withColumnRenamed("_t", "_gt"), "_h")
+        .where(F.col("_t") == F.col("_gt"))
         .select("id", "group_id")
     )
+    singletons = base.where(F.col("_t").isNull()).select(
+        "id", F.col("id").alias("group_id")
+    )
+    return grouped.unionByName(singletons)
 
 
 def _minhash_sigs(df: DataFrame, id_col: str, tokens_col: str, num_perm: int) -> DataFrame:
@@ -89,9 +101,11 @@ def minhash_lsh_dedup(
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # widen early: a single-file parquet scan otherwise serializes the
     # signature aggregation and the bucket join behind one task
-    base = base.repartition(n_part, "id").withColumn(
-        "toks_h", F.array_sort(F.transform("toks", lambda x: F.xxhash64(x)))
-    ).persist()
+    base = track(
+        base.repartition(n_part, "id").withColumn(
+            "toks_h", F.array_sort(F.transform("toks", lambda x: F.xxhash64(x)))
+        )
+    )
     sigs = _minhash_sigs(base, "id", "toks", num_perm)
     band_cols = [
         F.struct(

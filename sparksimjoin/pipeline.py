@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cache import release_all
 from .checkpoint import CheckpointManager
 from .clustering import CCStats, connected_components
 from .filter_math import JACCARD
@@ -158,6 +159,10 @@ def run_pipeline(
         )
 
     clusters = ckpt.get_or_compute("clusters", _clusters, inputs=["scored", "records"])
+    # every stage is durably checkpointed by now — drop the internal
+    # caches (e.g. connected_components' node set) so back-to-back
+    # pipeline runs in one session don't accumulate executor storage
+    release_all()
     return clusters
 
 

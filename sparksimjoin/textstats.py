@@ -61,7 +61,6 @@ def lang_id(col: Column) -> Column:
             for lang in sorted(LANG_STOPWORDS)
         ]
     )
-    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
     # array_max on struct compares (score, lang) lexicographically:
     # highest score wins, then the lexicographically LAST lang; invert
     # tie-break to first by sorting desc on lang below
