@@ -54,7 +54,8 @@ class Filter:
         if self.allow_missing:
             pairs = pairs.unionByName(
                 missing_pairs(
-                    l_df, r_df, l_key_attr, r_key_attr, l_filter_attr, r_filter_attr
+                    l_df, r_df, l_key_attr, r_key_attr, l_filter_attr, r_filter_attr,
+                    self_join=self_join,
                 ).drop("_sim_score")
             )
         return project_output(

@@ -47,10 +47,17 @@ class OverlapFilter(Filter):
             COMP_OP_MAP[self.comp_op](F.col("_overlap"), F.lit(float(self.overlap_size)))
         ).select("l_id", "r_id")
         if COMP_OP_PY[self.comp_op](0, self.overlap_size):
-            # degenerate bound satisfied by zero overlap: every pair
-            # survives (reference semantics) — cross join
-            pairs = (
+            all_pairs = (
                 prep_l.select(F.col("id").alias("l_id"))
                 .crossJoin(prep_r.select(F.col("id").alias("r_id")))
             )
+            if self.comp_op in (">=", ">"):
+                # bound satisfied by zero overlap -> every pair
+                # survives (matches filter_pair): cross join
+                pairs = all_pairs
+            else:
+                # comp_op '=' with overlap_size 0: keep only pairs
+                # with NO common token — anti-join the overlapping set
+                overlapping = counted.select("l_id", "r_id")
+                pairs = all_pairs.join(overlapping, ["l_id", "r_id"], "left_anti")
         return pairs

@@ -27,8 +27,8 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ..cache import track
 from ..filter_math import (
     COMP_OP_MAP,
     COMP_OP_PY,
@@ -129,16 +129,16 @@ def prepare_sides(
     tok_r = tok_l if same else tokenize_table(r_df, r_key_attr, r_join_attr, tokenizer)
     ranks = build_token_ranks([tok_l] if same else [tok_l, tok_r])
     if persist:
-        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks = track(ranks)
     prep_l = order_tokens(tok_l, ranks)
     if persist:
-        prep_l = prep_l.persist(StorageLevel.MEMORY_AND_DISK)
+        prep_l = track(prep_l)
     if same:
         prep_r = prep_l
     else:
         prep_r = order_tokens(tok_r, ranks)
         if persist:
-            prep_r = prep_r.persist(StorageLevel.MEMORY_AND_DISK)
+            prep_r = track(prep_r)
     return prep_l, prep_r, ranks
 
 
@@ -296,16 +296,24 @@ def missing_pairs(
     r_key_attr: str,
     l_join_attr: str,
     r_join_attr: str,
+    self_join: bool = False,
 ) -> DataFrame:
     """``allow_missing`` branch (``[R] py_stringsimjoin/utils/
     missing_value_handler.py::get_pairs_with_missing_value``):
     null-join-attr left rows pair with every right row; non-null left
-    rows pair with null-join-attr right rows. Score is null."""
+    rows pair with null-join-attr right rows. Score is null.
+
+    ``self_join=True`` keeps only the ``l_id < r_id`` orientation —
+    without it a null-attr row would emit both (a,b)/(b,a) plus the
+    (a,a) self-pair, diverging from the naive oracle's semantics of
+    filtering orientations before missing handling."""
     l_null = l_df.where(F.col(l_join_attr).isNull()).select(F.col(l_key_attr).alias("l_id"))
     l_ok = l_df.where(F.col(l_join_attr).isNotNull()).select(F.col(l_key_attr).alias("l_id"))
     r_null = r_df.where(F.col(r_join_attr).isNull()).select(F.col(r_key_attr).alias("r_id"))
     r_all = r_df.select(F.col(r_key_attr).alias("r_id"))
     out = l_null.crossJoin(r_all).unionAll(l_ok.crossJoin(r_null))
+    if self_join:
+        out = out.where(F.col("l_id") < F.col("r_id"))
     return out.withColumn("_sim_score", F.lit(None).cast("double"))
 
 

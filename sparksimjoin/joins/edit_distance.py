@@ -131,7 +131,8 @@ def edit_distance_join(
     )
     if allow_missing:
         pairs = pairs.unionByName(
-            missing_pairs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
+            missing_pairs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+                          self_join=self_join)
         )
     return project_output(
         pairs, l_df, r_df, l_key_attr, r_key_attr, l_out_attrs, r_out_attrs,

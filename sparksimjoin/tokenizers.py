@@ -102,7 +102,12 @@ class WhitespaceTokenizer(Tokenizer):
         return self._maybe_set_py(s.split())
 
     def spark_expr(self, col: Column) -> Column:
-        arr = F.filter(F.split(col, r"\s+"), lambda x: x != "")
+        # (?U) = Java UNICODE_CHARACTER_CLASS so \s matches the same
+        # non-ASCII whitespace (NBSP, U+2028, ideographic space, ...)
+        # that the Python twin's str.split() treats as separators;
+        # ASCII \s+ alone would tokenize non-ASCII input differently
+        # from the oracle/filter_pair path
+        arr = F.filter(F.split(col, r"(?U)\s+"), lambda x: x != "")
         return self._maybe_set_sql(arr)
 
 

@@ -134,3 +134,24 @@ def test_filter_candset(spark, tables):
     surv = _pairs(pruned)
     assert surv <= _pairs(candset)
     assert _true_matches("JACCARD", 0.7) <= surv
+
+
+def test_overlap_filter_eq_zero(spark, tables):
+    """comp_op '=' with overlap_size=0 must keep only ZERO-overlap
+    pairs (matching filter_pair), not degenerate to a cross join
+    (ADVICE r1)."""
+    a, b = tables
+    f = OverlapFilter(WS, overlap_size=0, comp_op="=")
+    got = _pairs(f.filter_tables(a, b, "id", "id", "name", "name"))
+    tok = WS.with_return_set(True)
+    expected = set()
+    for lid, ls in zip(A_PDF["id"], A_PDF["name"]):
+        for rid, rs in zip(B_PDF["id"], B_PDF["name"]):
+            if ls is None or rs is None:
+                continue
+            if not (set(tok.tokenize(ls)) & set(tok.tokenize(rs))):
+                expected.add((lid, rid))
+    assert got == expected
+    # pair mode agrees on a known-overlapping and a disjoint pair
+    assert f.filter_pair("alpha beta", "beta gamma") is True   # dropped
+    assert f.filter_pair("alpha beta", "gamma delta") is False

@@ -196,3 +196,28 @@ def test_validation_errors(spark, tables):
         jaccard_join(a, b, "id", "id", "name", "name", tok, 0.5, comp_op="<=")
     with pytest.raises(AssertionError):
         jaccard_join(a, b, "id", "id", "birth_year", "name", tok, 0.5)
+
+
+@pytest.mark.parametrize("join_kind", ["jaccard", "edit"])
+def test_self_join_allow_missing(spark, tables, join_kind):
+    """self_join + allow_missing: null-attr rows must emit only the
+    l_id < r_id orientation and no self-pairs (ADVICE r1)."""
+    a, _ = tables
+    tok = WhitespaceTokenizer()
+    if join_kind == "jaccard":
+        df = jaccard_join(a, a, "id", "id", "name", "name", tok, 0.5,
+                          allow_missing=True, self_join=True)
+        expected = _expected_pairs(
+            naive_set_sim_join(A_PDF, A_PDF, "id", "id", "name", "name", tok, 0.5,
+                               "JACCARD", allow_missing=True, self_join=True)
+        )
+    else:
+        df = edit_distance_join(a, a, "id", "id", "name", "name", 2,
+                                allow_missing=True, self_join=True)
+        expected = _expected_pairs(
+            naive_edit_distance_join(A_PDF, A_PDF, "id", "id", "name", "name", 2,
+                                     allow_missing=True, self_join=True)
+        )
+    got = _collect_pairs(df)
+    assert all(l < r for l, r in got)
+    _assert_match(got, expected, f"self+missing {join_kind}")

@@ -18,6 +18,9 @@ CASES = [
     "ab",
     "one,two;three four",
     "MiXeD CaSe 123",
+    # non-ASCII whitespace: NBSP, line/para separators, em-space,
+    # ideographic space — Spark (?U)\s+ must agree with str.split()
+    "a b c d e　f",
     "ααβ unicode ßtr",
     "a  b",
 ]
