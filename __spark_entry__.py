@@ -27,7 +27,7 @@ from sparksimjoin import (
     overlap_coefficient_join,
     overlap_join,
 )
-from sparksimjoin.ann import brute_force_topk
+from sparksimjoin.ann import brute_force_topk, lsh_topk
 from sparksimjoin.clustering import connected_components
 from sparksimjoin.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_dedup, simhash
 from sparksimjoin.filters import OverlapFilter, PrefixFilter, SizeFilter
@@ -198,13 +198,29 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_minhash_dedup_doc(spark, sf_dir):
+    """hash_fn='md5': the DuckDB-replicable permutation hash, so the
+    oracle reproduces signatures/banding/verify exactly (the default
+    xxhash64 path is pytest-tested and benched instead)."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(d, "doc_id", "text", threshold=0.5)
+    return minhash_lsh_dedup(d, "doc_id", "text", threshold=0.5, hash_fn="md5")
 
 
 def q_simhash_doc(spark, sf_dir):
+    """md5 60-bit variant — bit-identical signature in DuckDB SQL."""
     d = _t(spark, sf_dir, "documents")
-    return simhash(d, "doc_id", "text")
+    return simhash(d, "doc_id", "text", hash_fn="md5")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """The scale path: random-hyperplane bucketed candidates + exact
+    cosine rerank. The oracle replicates the ALGORITHM (same seeded
+    hyperplane literals, same banding, same rerank) in DuckDB SQL, so
+    the approximate result is checked hash-exactly — not against
+    brute force, whose top-k an ANN method can legitimately miss."""
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, "vec_id", "embedding", k=3, n_planes=8, n_tables=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -233,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "user_event_doc": q_user_event_doc,
         "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "minhash_dedup_doc": q_minhash_dedup_doc,
         "simhash_doc": q_simhash_doc,
     }
@@ -270,6 +287,108 @@ ov AS (
   FROM ex a JOIN ex b ON a.token = b.token AND a.id < b.id
   GROUP BY 1, 2, 3, 4
 )
+"""
+
+
+# 60-bit simhash replicated in SQL: per-bit signed sums over the md5
+# token-bag hashes, then the positive-sum bits assembled into a long
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}" for b in range(60)
+)
+_SIMHASH_SIG = " + ".join(f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))
+
+# minhash banding mirrors _auto_bands(64, 0.5) = 32 bands of r=2 rows;
+# bucket equality is on the exact (mh_{2b}, mh_{2b+1}) tuple — the
+# engine hashes that tuple with xxhash64, which only ever ADDS
+# candidates on collision, and the exact-jaccard verify absorbs those
+_MINHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+nz AS (SELECT id, toks FROM tok WHERE len(toks) > 0),
+ex AS (SELECT id, len(toks) AS sz, unnest(toks) AS token FROM nz),
+h AS (
+  SELECT ex.id, p.i,
+         ('0x' || substr(md5(CAST(p.i AS VARCHAR) || '|' || ex.token), 1, 15))::BIGINT AS hv
+  FROM ex CROSS JOIN range(64) p(i)
+),
+sigs AS (SELECT id, i, min(hv) AS mh FROM h GROUP BY id, i),
+bands AS (
+  SELECT id, i // 2 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM sigs GROUP BY id, i // 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+ov AS (
+  SELECT a.id AS l_id, b.id AS r_id, a.sz AS s1, b.sz AS s2, count(*) AS o
+  FROM ex a JOIN ex b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c.l_id, c.r_id, CAST(o AS DOUBLE)/(s1+s2-o) AS jaccard_sim
+FROM cand c JOIN ov USING (l_id, r_id)
+WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.5
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+nz AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+ex AS (SELECT id, unnest(toks) AS token FROM nz),
+h AS (SELECT id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM ex),
+s AS (SELECT id, {_SIMHASH_SUMS} FROM h GROUP BY id)
+SELECT id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM s
+"""
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                    seed: int = 42, k: int = 3) -> str:
+    """Replicate lsh_topk in DuckDB: the same seeded hyperplanes are
+    embedded as float literals; bucket bit p = sign(dot(vec, plane));
+    candidates share a (table, signature) bucket; exact cosine rerank
+    with the same rounding/tie-break."""
+    from sparksimjoin.ann import _planes
+
+    tables = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding, {[float(c) for c in pl]}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p, pl in enumerate(planes)
+        )
+        tables.append(
+            f"SELECT vec_id AS id, embedding, {t} AS tbl, ({bits})::BIGINT AS sig FROM embeddings"
+        )
+    buckets = " UNION ALL ".join(tables)
+    return f"""
+WITH buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id <> b.id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(qa.embedding, qb.embedding) /
+               (sqrt(list_dot_product(qa.embedding, qa.embedding)) *
+                sqrt(list_dot_product(qb.embedding, qb.embedding))), 6) AS cosine
+  FROM cand c
+  JOIN embeddings qa ON qa.vec_id = c.query_id
+  JOIN embeddings qb ON qb.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 """
 
 
@@ -455,6 +574,7 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
 """,
-        # minhash_dedup_doc / simhash_doc: engine-specific xxhash64
-        # signatures, not SQL-expressible -> rows-only checks
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "minhash_dedup_doc": _MINHASH_ORACLE,
+        "simhash_doc": _SIMHASH_ORACLE,
     }

@@ -31,7 +31,7 @@ from sparksimjoin import (  # noqa: E402
     edit_distance_join,
     jaccard_join,
 )
-from sparksimjoin.ann import brute_force_topk  # noqa: E402
+from sparksimjoin.ann import brute_force_topk, lsh_topk  # noqa: E402
 from sparksimjoin.dedup import minhash_lsh_dedup, simhash  # noqa: E402
 from sparksimjoin.session import get_spark  # noqa: E402
 from sparksimjoin.textstats import text_stats  # noqa: E402
@@ -71,7 +71,12 @@ def bench_queries():
             _docs(s, d), "doc_id", "text", threshold=0.9
         ),
         "simhash_doc": lambda s, d: simhash(_docs(s, d), "doc_id", "text"),
+        # exact baseline (distributed block nested-loop, no driver
+        # collect) and the LSH scale path
         "ann_topk": lambda s, d: brute_force_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"), "vec_id", "embedding", k=3
+        ),
+        "ann_lsh_topk": lambda s, d: lsh_topk(
             s.read.parquet(f"{d}/embeddings.parquet"), "vec_id", "embedding", k=3
         ),
         "text_stats_doc": lambda s, d: text_stats(_docs(s, d), "doc_id", "text"),

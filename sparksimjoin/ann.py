@@ -2,18 +2,28 @@
 task brief): brute-force cosine top-k as the exactness baseline, and
 a random-hyperplane LSH-bucketed variant as the scale path.
 
-Cosine is computed JVM-side with ``zip_with`` + ``aggregate`` — no
-Python in the scoring loop. The LSH planes are deterministic
-(seeded numpy) and shipped as literal arrays; at 100 TB the bucketed
-join replaces the O(N^2) cross join with an equi-join on bucket
-signatures."""
+Scoring is vectorized numpy over Arrow batches (pandas UDFs) — the
+Column-expression dot product via ``F.aggregate`` is an interpreted
+higher-order function, ~100x slower at pair volume, so it is kept
+only for the tiny per-record bucket signatures.
+
+``brute_force_topk`` is fully distributed: a block nested-loop over
+(query-chunk x base-chunk) cogroups, each task doing one numpy matmul
+and emitting a per-chunk partial top-k, merged by a final window. No
+``collect()``/driver-side broadcast anywhere — at 100 TB the driver
+never sees the base table; each task holds one chunk pair. Exact
+search is still O(Q*B) work by definition; ``lsh_topk`` is the
+sub-quadratic path.
+"""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -33,56 +43,105 @@ def cosine_sim_expr(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+_COSINE_UDF = None
+
+
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two array columns, numpy-vectorized per
+    Arrow batch (the pair-volume hot path). UDF built lazily — the
+    pandas_udf decorator needs an active session to parse its DDL."""
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+
+        @F.pandas_udf("double")
+        def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
+            if len(x) == 0:
+                return pd.Series([], dtype=float)
+            am = np.array(x.tolist(), dtype=np.float64)
+            bm = np.array(y.tolist(), dtype=np.float64)
+            num = np.einsum("ij,ij->i", am, bm)
+            den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+            return pd.Series(num / den)
+
+        _COSINE_UDF = _udf
+    return _COSINE_UDF(a, b)
+
+
+def _partial_topk(qm, q_ids, bm, b_ids, k):
+    """numpy: per query row, top-k (cosine desc, id asc) over bm,
+    excluding self-matches. -> list of (qid, nid, cosine) rows."""
+    sims = (qm @ bm.T) / np.outer(
+        np.linalg.norm(qm, axis=1), np.linalg.norm(bm, axis=1)
+    )
+    sims = np.round(sims, 6)
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        row = sims[qi]
+        cand_idx = np.nonzero(b_ids != qid)[0]
+        order = np.lexsort((b_ids[cand_idx], -row[cand_idx]))[:k]
+        for j in cand_idx[order]:
+            rows.append((qid, b_ids[j], float(row[j])))
+    return rows
+
+
 def brute_force_topk(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 5, queries: DataFrame | None = None
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query row (excluding self).
-    -> (query_id, neighbor_id, cosine, rank). Baseline / verifier:
-    O(N*Q) — use lsh_topk at scale."""
-    import pandas as pd
+    -> (query_id, neighbor_id, cosine, rank).
 
+    Distributed block nested-loop: queries and base are hash-chunked,
+    every (q-chunk, b-chunk) pair meets in one cogroup task (queries
+    replicated across base chunks and vice versa — the replication
+    factor is the chunk count, not the table size), each task emits a
+    numpy-matmul partial top-k, and a window merges partials. Exact
+    O(Q*B) scoring — the baseline/verifier; use lsh_topk at scale."""
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # base matrix rides to executors as a broadcast; scoring is a
-    # numpy matmul per Arrow batch (vectorized pandas path — the
-    # Column-expression dot product via F.aggregate is an interpreted
-    # higher-order function, ~100x slower at N*Q pairs)
-    base_rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    base_ids = np.array([r[0] for r in base_rows])
-    base_mat = np.array([list(r[1]) for r in base_rows], dtype=np.float64)
-    base_norm = np.linalg.norm(base_mat, axis=1)
-    bc = spark.sparkContext.broadcast((base_ids, base_mat, base_norm))
+    c = max(n_chunks or math.isqrt(n_part), 1)
+    id_t = df.schema[id_col].dataType.simpleString()
 
-    q = (queries or df).select(
+    qdf = (queries or df).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).repartition(n_part, "query_id")
-
-    def score(batches):
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            qm = np.array([list(v) for v in pdf["_qv"]], dtype=np.float64)
-            qnorm = np.linalg.norm(qm, axis=1)
-            sims = (qm @ mat.T) / np.outer(qnorm, norms)
-            sims = np.round(sims, 6)
-            out_rows = []
-            for qi, qid in enumerate(pdf["query_id"]):
-                row = sims[qi]
-                mask = ids != qid
-                cand_idx = np.nonzero(mask)[0]
-                # sort by (-cosine, neighbor_id) for deterministic ties
-                order = np.lexsort((ids[cand_idx], -row[cand_idx]))[:k]
-                for rank, j in enumerate(cand_idx[order], start=1):
-                    out_rows.append((qid, ids[j], float(row[j]), rank))
-            yield pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
-
-    out_schema = (
-        f"query_id {df.schema[id_col].dataType.simpleString()}, "
-        f"neighbor_id {df.schema[id_col].dataType.simpleString()}, "
-        "cosine double, rank int"
     )
-    return q.mapInPandas(score, schema=out_schema)
+    bdf = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    chunks = spark.range(c).select(F.col("id").cast("int").alias("_rep"))
+    q_rep = qdf.withColumn(
+        "_qc", F.pmod(F.xxhash64("query_id"), F.lit(c)).cast("int")
+    ).crossJoin(chunks.withColumnRenamed("_rep", "_bc"))
+    b_rep = bdf.withColumn(
+        "_bc", F.pmod(F.xxhash64("neighbor_id"), F.lit(c)).cast("int")
+    ).crossJoin(chunks.withColumnRenamed("_rep", "_qc"))
+
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
+
+    def score(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+        qm = np.array(left["_qv"].tolist(), dtype=np.float64)
+        bm = np.array(right["_nv"].tolist(), dtype=np.float64)
+        rows = _partial_topk(qm, left["query_id"].to_numpy(), bm,
+                             right["neighbor_id"].to_numpy(), k)
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = (
+        q_rep.groupBy("_qc", "_bc")
+        .cogroup(b_rep.groupBy("_qc", "_bc"))
+        .applyInPandas(score, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -111,8 +170,11 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = pairs sharing a bucket
-    in >= 1 of ``n_tables`` hyperplane hash tables; exact cosine rerank.
-    -> (query_id, neighbor_id, cosine, rank)."""
+    in >= 1 of ``n_tables`` hyperplane hash tables; exact cosine rerank
+    (numpy over Arrow batches). -> (query_id, neighbor_id, cosine,
+    rank). The bucket equi-join replaces the O(N^2) cross join; pair
+    dedup happens on the id pair alone, with vectors re-joined after —
+    never shuffled as part of a distinct key."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -126,19 +188,22 @@ def lsh_topk(
         )
         for t in range(n_tables)
     ]
-    buckets = base.select("id", "_v", F.explode(F.array(*bucket_cols)).alias("bk")).select(
-        "id", "_v", F.col("bk.tbl").alias("tbl"), F.col("bk.sig").alias("sig")
+    buckets = base.select("id", F.explode(F.array(*bucket_cols)).alias("bk")).select(
+        "id", F.col("bk.tbl").alias("tbl"), F.col("bk.sig").alias("sig")
     )
-    l = buckets.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv"), "tbl", "sig")
-    r = buckets.select(F.col("id").alias("neighbor_id"), F.col("_v").alias("_nv"), "tbl", "sig")
+    l = buckets.select(F.col("id").alias("query_id"), "tbl", "sig")
+    r = buckets.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
     cand = (
-        l.join(r.drop("_qv"), ["tbl", "sig"])
+        l.join(r, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_nv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine_sim_expr(F.col("_qv"), F.col("_nv")), 6)
+    scored = (
+        cand.repartition(n_part, "query_id", "neighbor_id")
+        .join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")), "query_id")
+        .join(base.select(F.col("id").alias("neighbor_id"), F.col("_v").alias("_nv")), "neighbor_id")
+        .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -50,11 +50,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return grouped.unionByName(singletons)
 
 
-def _minhash_sigs(df: DataFrame, id_col: str, tokens_col: str, num_perm: int) -> DataFrame:
+def _perm_hash(i: int, tok, hash_fn: str):
+    """Per-permutation token hash. ``xxhash64`` (default) is the fast
+    JVM codegen path; ``md5`` is a 60-bit hash both Spark and DuckDB
+    compute identically (conv(substr(md5(...),1,15),16,10)), existing
+    so the driver's SQL oracle can replicate signatures exactly."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(i), tok)
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), tok)), 1, 15), 16, 10
+        ).cast("bigint")
+    raise ValueError(hash_fn)
+
+
+def _minhash_sigs(
+    df: DataFrame, id_col: str, tokens_col: str, num_perm: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """-> (id, mh_0 .. mh_{num_perm-1}) via explode + min aggregates."""
     ex = df.select(F.col(id_col).alias("id"), F.explode(tokens_col).alias("tok"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh_{i}") for i in range(num_perm)
+        F.min(_perm_hash(i, F.col("tok"), hash_fn)).alias(f"mh_{i}")
+        for i in range(num_perm)
     ]
     return ex.groupBy("id").agg(*aggs)
 
@@ -81,12 +98,14 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int | None = None,
     tokenizer: Tokenizer | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """-> (l_id, r_id, jaccard_sim) for near-duplicate pairs found in
     at least one LSH band and verified with exact token-set Jaccard
-    >= threshold. Deterministic (seeded xxhash permutations).
-    bands=None auto-tunes the banding to the threshold (>=95% LSH
-    recall with minimal bucket collisions)."""
+    >= threshold. Deterministic (seeded permutation hashes; see
+    _perm_hash for the xxhash64/md5 choice — md5 is the
+    oracle-replicable variant). bands=None auto-tunes the banding to
+    the threshold (>=95% LSH recall with minimal bucket collisions)."""
     if bands is None:
         bands = _auto_bands(num_perm, threshold)
     assert num_perm % bands == 0
@@ -106,7 +125,7 @@ def minhash_lsh_dedup(
             "toks_h", F.array_sort(F.transform("toks", lambda x: F.xxhash64(x)))
         )
     )
-    sigs = _minhash_sigs(base, "id", "toks", num_perm)
+    sigs = _minhash_sigs(base, "id", "toks", num_perm, hash_fn)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -134,17 +153,35 @@ def minhash_lsh_dedup(
     return verified
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, tokenizer: Tokenizer | None = None) -> DataFrame:
-    """-> (id, simhash) 64-bit SimHash over token hashes: bit b of the
-    output is 1 iff sum over tokens of (+1 if bit b of xxhash64(token)
-    else -1) is positive."""
+def simhash_bits(hash_fn: str) -> int:
+    """Signature width: 64 for xxhash64, 60 for the md5 oracle
+    variant (15 hex chars -> 60 bits; both engines compute it)."""
+    return 64 if hash_fn == "xxhash64" else 60
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer: Tokenizer | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """-> (id, simhash) SimHash over token-bag hashes: bit b of the
+    output is 1 iff sum over token occurrences of (+1 if bit b of
+    hash(token) else -1) is positive. 64-bit with xxhash64 (default);
+    60-bit with the DuckDB-replicable md5 hash (driver oracle)."""
+    n_bits = simhash_bits(hash_fn)
     tok = (tokenizer or WhitespaceTokenizer()).with_return_set(False)
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), tok.spark_expr(F.col(text_col)).alias("toks")
     )
-    ex = base.select("id", F.explode("toks").alias("_tok")).select(
-        "id", F.xxhash64("_tok").alias("h")
-    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("_tok")
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("bigint")
+    else:
+        raise ValueError(hash_fn)
+    ex = base.select("id", F.explode("toks").alias("_tok")).select("id", h.alias("h"))
     # bit 63 of a signed long is the sign bit: 1<<63 overflows, so use
     # its two's-complement value
     aggs = [
@@ -153,11 +190,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, tokenizer: Tokenizer | No
                 F.col("h").bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0, 1
             ).otherwise(-1)
         ).alias(f"s_{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     sums = ex.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         sig = sig + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0).cast("long")
     return sums.select("id", sig.alias("simhash"))
 
@@ -168,11 +205,14 @@ def simhash_dedup(
     text_col: str,
     hamming_k: int = 3,
     tokenizer: Tokenizer | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """-> (l_id, r_id, hamming) pairs with SimHash Hamming distance
-    <= k. Candidates via the pigeonhole band join: split 64 bits into
-    k+1 chunks; any pair within distance k shares >= 1 exact chunk."""
-    sigs = simhash(df, id_col, text_col, tokenizer)
+    <= k. Candidates via the pigeonhole band join: split the signature
+    bits into k+1 chunks; any pair within distance k shares >= 1 exact
+    chunk."""
+    n_bits = simhash_bits(hash_fn)
+    sigs = simhash(df, id_col, text_col, tokenizer, hash_fn)
     chunks = hamming_k + 1
     if chunks == 1:
         l0 = sigs.select(F.col("id").alias("l_id"), F.col("simhash").alias("l_sig"))
@@ -181,7 +221,7 @@ def simhash_dedup(
             l0.join(r0, l0["l_sig"] == r0["r_sig"]).where(F.col("l_id") < F.col("r_id"))
             .select("l_id", "r_id", F.lit(0).alias("hamming"))
         )
-    width = 64 // chunks
+    width = n_bits // chunks
     chunk_cols = [
         F.struct(
             F.lit(c).alias("chunk"),

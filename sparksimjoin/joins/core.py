@@ -142,6 +142,136 @@ def prepare_sides(
     return prep_l, prep_r, ranks
 
 
+def resolve_dedup(
+    dedup_strings: bool | str,
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_join_attr: str,
+    r_join_attr: str,
+    min_pair_reduction: float = 4.0,
+) -> bool:
+    """Decide whether the exact-string dedup pre-pass pays. "auto"
+    samples duplication factors with one cheap agg per side (runtime
+    stats — the same spirit as AQE) and opts in when collapsing
+    duplicates would cut pairwise work by >= ``min_pair_reduction``x;
+    True/False force."""
+    if dedup_strings is True or dedup_strings is False:
+        return dedup_strings
+    same = l_join_attr == r_join_attr and (l_df is r_df or l_df.sameSemantics(r_df))
+    fl = dup_factor(l_df, l_join_attr)
+    fr = fl if same else dup_factor(r_df, r_join_attr)
+    return fl * fr >= min_pair_reduction
+
+
+def dup_factor(df: DataFrame, attr: str) -> float:
+    """Average duplication of non-null ``attr`` values (approximate;
+    one cheap agg job). Drives the auto string-dedup decision."""
+    r = df.where(F.col(attr).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"), F.approx_count_distinct(attr).alias("d")
+    ).first()
+    return (r["n"] or 0) / max(r["d"] or 1, 1)
+
+
+def string_dedup_maps(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Exact-duplicate collapse before pairwise work: one
+    representative row per DISTINCT join-attr value, plus membership
+    maps to expand group results back to original record ids.
+
+    -> (l_reps(__gid, __val), r_reps, l_map(__gid, __oid), r_map).
+    Reps are persisted: ``monotonically_increasing_id`` is stable only
+    within one materialization, and prep + map must see the same gids.
+
+    At 100 TB this is the dominant optimization for duplicate-heavy
+    corpora (boilerplate docs, catalog names): filter-verify cost
+    drops by the duplication factor squared, and only the final
+    expansion touches full row volume — which is output-bound anyway.
+    """
+    same = l_join_attr == r_join_attr and l_key_attr == r_key_attr and (
+        l_df is r_df or l_df.sameSemantics(r_df)
+    )
+    l_reps = track(
+        l_df.where(F.col(l_join_attr).isNotNull())
+        .select(F.col(l_join_attr).alias("__val"))
+        .distinct()
+        .withColumn("__gid", F.monotonically_increasing_id())
+    )
+    l_map = l_df.where(F.col(l_join_attr).isNotNull()).select(
+        F.col(l_key_attr).alias("__oid"), F.col(l_join_attr).alias("__val")
+    ).join(l_reps, "__val").select("__gid", "__oid")
+    if same:
+        return l_reps, l_reps, l_map, l_map
+    r_reps = track(
+        r_df.where(F.col(r_join_attr).isNotNull())
+        .select(F.col(r_join_attr).alias("__val"))
+        .distinct()
+        .withColumn("__gid", F.monotonically_increasing_id())
+    )
+    r_map = r_df.where(F.col(r_join_attr).isNotNull()).select(
+        F.col(r_key_attr).alias("__oid"), F.col(r_join_attr).alias("__val")
+    ).join(r_reps, "__val").select("__gid", "__oid")
+    return l_reps, r_reps, l_map, r_map
+
+
+def expand_gid_pairs(
+    pairs: DataFrame, l_map: DataFrame, r_map: DataFrame, self_join: bool
+) -> DataFrame:
+    """Expand group-level (l_id=gid, r_id=gid, _sim_score) pairs to
+    record-level id pairs via the membership maps. For self-joins the
+    gid pairs are canonical (g1 < g2, disjoint groups), so each id
+    pair is emitted exactly once as (least, greatest)."""
+    lm = l_map.select(F.col("__gid").alias("l_id"), F.col("__oid").alias("__la"))
+    rm = r_map.select(F.col("__gid").alias("r_id"), F.col("__oid").alias("__rb"))
+    out = pairs.join(lm, "l_id").join(rm, "r_id")
+    if self_join:
+        sel = [
+            F.least("__la", "__rb").alias("l_id"),
+            F.greatest("__la", "__rb").alias("r_id"),
+        ]
+    else:
+        sel = [F.col("__la").alias("l_id"), F.col("__rb").alias("r_id")]
+    return out.select(*sel, "_sim_score")
+
+
+def diagonal_pairs(
+    l_map: DataFrame,
+    prep: DataFrame,
+    measure: str,
+    threshold: float,
+    comp_op: str,
+    allow_empty: bool,
+) -> DataFrame:
+    """Within-group id pairs (identical strings, a < b) for the
+    string-dedup self-join path. Scores follow the reference's
+    identical-string semantics: set sims 1.0 (empty token sets only
+    under allow_empty), OVERLAP = token-set size (never for empty
+    sets), EDIT_DISTANCE 0."""
+    from ..filter_math import EDIT_DISTANCE, OVERLAP
+
+    m1 = l_map.select("__gid", F.col("__oid").alias("l_id"))
+    m2 = l_map.select("__gid", F.col("__oid").alias("r_id"))
+    pairs = m1.join(m2, "__gid").where(F.col("l_id") < F.col("r_id"))
+    sized = pairs.join(prep.select(F.col("id").alias("__gid"), "size"), "__gid")
+    if measure == EDIT_DISTANCE:
+        score = F.lit(0.0)
+        cond = F.lit(bool(COMP_OP_PY[comp_op](0.0, threshold)))
+    elif measure == OVERLAP:
+        score = F.col("size").cast("double")
+        cond = COMP_OP_MAP[comp_op](score, F.lit(float(threshold))) & (F.col("size") > 0)
+    else:
+        score = F.lit(1.0)
+        cond = F.lit(bool(COMP_OP_PY[comp_op](1.0, threshold))) & (
+            (F.col("size") > 0) | F.lit(bool(allow_empty))
+        )
+    return sized.where(cond).select("l_id", "r_id", score.alias("_sim_score"))
+
+
 def prefix_explode(
     prep: DataFrame, side: str, measure: str, threshold: float, qval: int = 2
 ) -> DataFrame:

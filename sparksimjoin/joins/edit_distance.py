@@ -29,10 +29,14 @@ from ..validation import validate_join_inputs
 from .core import (
     build_salt_map,
     candidate_pairs,
+    diagonal_pairs,
+    expand_gid_pairs,
     missing_pairs,
     prefix_explode,
     prepare_sides,
     project_output,
+    resolve_dedup,
+    string_dedup_maps,
 )
 
 
@@ -58,6 +62,7 @@ def edit_distance_join(
     self_join: bool = False,
     salt_cap: int | None = None,
     dense_id: bool = False,
+    dedup_strings: bool | str = "auto",
 ) -> DataFrame:
     del n_jobs, show_progress  # reference-compat; subsumed by Spark partitioning
     validate_join_inputs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
@@ -73,9 +78,19 @@ def edit_distance_join(
     # largest admissible distance is `band`
     band = int(math.floor(threshold)) if comp_op in ("<=", "=") else max(int(math.ceil(threshold)) - 1, 0)
 
-    prep_l, prep_r, ranks = prepare_sides(
-        l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok
-    )
+    use_dedup = resolve_dedup(dedup_strings, l_df, r_df, l_join_attr, r_join_attr)
+    if use_dedup:
+        # exact-duplicate collapse: candidates + levenshtein run once
+        # per distinct string pair; expansion restores record ids
+        l_rep, r_rep, l_map, r_map = string_dedup_maps(
+            l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr
+        )
+        vl, vr, vlk, vrk, vla, vra = l_rep, r_rep, "__gid", "__gid", "__val", "__val"
+    else:
+        vl, vr, vlk, vrk, vla, vra = (
+            l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr
+        )
+    prep_l, prep_r, ranks = prepare_sides(vl, vr, vlk, vrk, vla, vra, tok)
     ex_l = prefix_explode(prep_l, "l", EDIT_DISTANCE, band, q)
     ex_r = prefix_explode(prep_r, "r", EDIT_DISTANCE, band, q)
     salt_map = build_salt_map(ranks, salt_cap) if salt_cap else None
@@ -108,11 +123,11 @@ def edit_distance_join(
     cand = cand.unionAll(short_cand).distinct()
 
     # verify with the banded built-in levenshtein (returns -1 above band)
-    l_str = l_df.where(F.col(l_join_attr).isNotNull()).select(
-        F.col(l_key_attr).alias("l_id"), F.col(l_join_attr).alias("_ls")
+    l_str = vl.where(F.col(vla).isNotNull()).select(
+        F.col(vlk).alias("l_id"), F.col(vla).alias("_ls")
     )
-    r_str = r_df.where(F.col(r_join_attr).isNotNull()).select(
-        F.col(r_key_attr).alias("r_id"), F.col(r_join_attr).alias("_rs")
+    r_str = vr.where(F.col(vra).isNotNull()).select(
+        F.col(vrk).alias("r_id"), F.col(vra).alias("_rs")
     )
     dist = F.levenshtein(F.col("_ls"), F.col("_rs"), band)
     n_part = int(l_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -129,6 +144,13 @@ def edit_distance_join(
         )
         .select("l_id", "r_id", "_sim_score")
     )
+    if use_dedup:
+        pairs = expand_gid_pairs(pairs, l_map, r_map, self_join)
+        if self_join:
+            pairs = pairs.unionByName(
+                diagonal_pairs(l_map, prep_l, EDIT_DISTANCE, threshold, comp_op,
+                               allow_empty=False)
+            )
     if allow_missing:
         pairs = pairs.unionByName(
             missing_pairs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,

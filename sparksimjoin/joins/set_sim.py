@@ -29,11 +29,15 @@ from ..validation import (
 from .core import (
     build_salt_map,
     candidate_pairs,
+    diagonal_pairs,
     empty_pairs,
+    expand_gid_pairs,
     missing_pairs,
     prefix_explode,
     prepare_sides,
     project_output,
+    resolve_dedup,
+    string_dedup_maps,
     verify_pairs,
 )
 
@@ -63,6 +67,7 @@ def set_sim_join(
     salt_cap: int | None = None,
     dense_id: bool = False,
     position_filter: bool = True,
+    dedup_strings: bool | str = "auto",
 ) -> DataFrame:
     # n_jobs / show_progress are accepted for drop-in compatibility
     # with the reference signature and ignored: Spark's partitioning
@@ -77,9 +82,21 @@ def set_sim_join(
     # set-sims operate on token *sets* (tokenizer coerced, as the
     # reference does at the head of every join function)
     tok = tokenizer.with_return_set(True)
-    prep_l, prep_r, ranks = prepare_sides(
-        l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok
-    )
+    use_dedup = resolve_dedup(dedup_strings, l_df, r_df, l_join_attr, r_join_attr)
+    if use_dedup:
+        # exact-duplicate collapse: filter-verify runs on one
+        # representative per distinct string; results expand back to
+        # record ids afterwards (duplication-factor^2 less pair work)
+        l_rep, r_rep, l_map, r_map = string_dedup_maps(
+            l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr
+        )
+        prep_l, prep_r, ranks = prepare_sides(
+            l_rep, r_rep, "__gid", "__gid", "__val", "__val", tok
+        )
+    else:
+        prep_l, prep_r, ranks = prepare_sides(
+            l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr, tok
+        )
     ex_l = prefix_explode(prep_l, "l", measure, threshold)
     ex_r = prefix_explode(prep_r, "r", measure, threshold)
     salt_map = build_salt_map(ranks, salt_cap) if salt_cap else None
@@ -93,6 +110,12 @@ def set_sim_join(
         ep = empty_pairs(prep_l, prep_r, threshold, comp_op, self_join=self_join)
         if ep is not None:
             pairs = pairs.unionByName(ep)
+    if use_dedup:
+        pairs = expand_gid_pairs(pairs, l_map, r_map, self_join)
+        if self_join:
+            pairs = pairs.unionByName(
+                diagonal_pairs(l_map, prep_l, measure, threshold, comp_op, allow_empty)
+            )
     if allow_missing:
         pairs = pairs.unionByName(
             missing_pairs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,

@@ -147,3 +147,31 @@ def test_lsh_topk_recall(spark):
     # near-identical pairs must be found; overall top-1 recall >= 0.5
     assert (0, 1) in approx and (1, 0) in approx
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_minhash_md5_variant(spark, docs):
+    """The md5 hash variant (driver-oracle path) finds the same
+    verified near-dup pairs as the default xxhash64 banding on this
+    fixture, and both respect the exact-jaccard threshold."""
+    xx = {(r["l_id"], r["r_id"]): r["jaccard_sim"]
+          for r in minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).collect()}
+    md5 = {(r["l_id"], r["r_id"]): r["jaccard_sim"]
+           for r in minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5,
+                                      hash_fn="md5").collect()}
+    assert xx == md5
+    assert all(v >= 0.5 for v in md5.values())
+
+
+def test_simhash_md5_variant(spark, docs):
+    """60-bit md5 signatures: deterministic, <2^60, identical text ->
+    identical signature, and simhash_dedup hamming verified."""
+    sigs = {r["id"]: r["simhash"]
+            for r in simhash(docs, "doc_id", "text", hash_fn="md5").collect()}
+    assert sigs[0] == sigs[1]
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    pairs = {(r["l_id"], r["r_id"]): r["hamming"]
+             for r in simhash_dedup(docs, "doc_id", "text", hamming_k=8,
+                                    hash_fn="md5").collect()}
+    assert pairs[(0, 1)] == 0
+    for (l, r), h in pairs.items():
+        assert h == bin(sigs[l] ^ sigs[r]).count("1") <= 8

@@ -221,3 +221,81 @@ def test_self_join_allow_missing(spark, tables, join_kind):
     got = _collect_pairs(df)
     assert all(l < r for l, r in got)
     _assert_match(got, expected, f"self+missing {join_kind}")
+
+
+# ------------------------------------------------- string-dedup pre-pass
+def _dup_tables():
+    """Duplicate-heavy twins of the person tables: every name appears
+    ~4x under fresh ids (plus the null and empty rows), so the
+    exact-string dedup pre-pass kicks in under 'auto' and its
+    expansion must reproduce naive results exactly."""
+    import pandas as pd
+
+    def blow_up(pdf, reps, base):
+        extra = pd.DataFrame(
+            {"id": [900, 901, 902], "name": [None, "", ""],
+             **{c: [pdf[c].iloc[0]] * 3 for c in pdf.columns if c not in ("id", "name")}}
+        )
+        pdf = pd.concat([pdf, extra], ignore_index=True)
+        rows = []
+        for i in range(reps):
+            c = pdf.copy()
+            c["id"] = c["id"] + base * (i + 1)
+            rows.append(c)
+        return pd.concat([pdf] + rows, ignore_index=True)
+
+    return blow_up(A_PDF.head(20), 3, 1000), blow_up(B_PDF.head(20), 3, 1000)
+
+
+DUP_A, DUP_B = _dup_tables()
+
+
+@pytest.mark.parametrize("mode", ["auto", True])
+@pytest.mark.parametrize("self_join", [False, True])
+def test_dedup_strings_jaccard(spark, mode, self_join):
+    a = spark.createDataFrame(DUP_A)
+    b = a if self_join else spark.createDataFrame(DUP_B)
+    pa, pb = (DUP_A, DUP_A) if self_join else (DUP_A, DUP_B)
+    tok = WhitespaceTokenizer()
+    df = jaccard_join(a, b, "id", "id", "name", "name", tok, 0.5,
+                      allow_missing=True, self_join=self_join, dedup_strings=mode)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_set_sim_join(pa, pb, "id", "id", "name", "name", tok, 0.5,
+                           "JACCARD", allow_missing=True, self_join=self_join)
+    )
+    _assert_match(got, expected, f"dedup jaccard self={self_join} mode={mode}")
+
+
+@pytest.mark.parametrize("measure_fn", [overlap_join, overlap_coefficient_join],
+                         ids=["overlap", "overlap_coeff"])
+def test_dedup_strings_other_measures(spark, measure_fn):
+    a = spark.createDataFrame(DUP_A)
+    tok = WhitespaceTokenizer()
+    measure = "OVERLAP" if measure_fn is overlap_join else "OVERLAP_COEFFICIENT"
+    threshold = 2 if measure == "OVERLAP" else 0.7
+    kw = {} if measure == "OVERLAP" else {"allow_empty": False}
+    df = measure_fn(a, a, "id", "id", "name", "name", tok, threshold,
+                    self_join=True, dedup_strings=True, **kw)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_set_sim_join(DUP_A, DUP_A, "id", "id", "name", "name", tok, threshold,
+                           measure, allow_empty=False, self_join=True)
+    )
+    _assert_match(got, expected, f"dedup {measure}")
+
+
+@pytest.mark.parametrize("self_join", [False, True])
+def test_dedup_strings_edit(spark, self_join):
+    a = spark.createDataFrame(DUP_A)
+    b = a if self_join else spark.createDataFrame(DUP_B)
+    pa, pb = (DUP_A, DUP_A) if self_join else (DUP_A, DUP_B)
+    df = edit_distance_join(a, b, "id", "id", "name", "name", 2,
+                            allow_missing=True, self_join=self_join,
+                            dedup_strings=True)
+    got = _collect_pairs(df)
+    expected = _expected_pairs(
+        naive_edit_distance_join(pa, pb, "id", "id", "name", "name", 2,
+                                 allow_missing=True, self_join=self_join)
+    )
+    _assert_match(got, expected, f"dedup edit self={self_join}")
