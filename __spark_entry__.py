@@ -30,7 +30,15 @@ from sparksimjoin import (
 from sparksimjoin.ann import brute_force_topk, lsh_topk
 from sparksimjoin.clustering import connected_components
 from sparksimjoin.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_dedup, simhash
-from sparksimjoin.filters import OverlapFilter, PrefixFilter, SizeFilter
+from sparksimjoin.converter import column_to_str
+from sparksimjoin.filters import (
+    OverlapFilter,
+    PositionFilter,
+    PrefixFilter,
+    SizeFilter,
+    SuffixFilter,
+)
+from sparksimjoin.missing import get_pairs_with_missing_value
 from sparksimjoin.matcher import apply_matcher
 from sparksimjoin.profiler import profile_table_for_join
 from sparksimjoin.textstats import text_stats
@@ -120,6 +128,40 @@ def q_prefix_filter_doc(spark, sf_dir):
     f = PrefixFilter(WS, "JACCARD", 0.7, allow_empty=False)
     out = f.filter_tables(d, d, "doc_id", "doc_id", "text", "text", self_join=True)
     return _pair_cols(out, "l_doc_id", "r_doc_id", score=None)
+
+
+def q_position_filter_doc(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    f = PositionFilter(WS, "JACCARD", 0.8)
+    out = f.filter_tables(d, d, "doc_id", "doc_id", "text", "text", self_join=True)
+    return _pair_cols(out, "l_doc_id", "r_doc_id", score=None)
+
+
+def q_suffix_filter_doc(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    f = SuffixFilter(WS, "JACCARD", 0.7)
+    out = f.filter_tables(d, d, "doc_id", "doc_id", "text", "text", self_join=True)
+    return _pair_cols(out, "l_doc_id", "r_doc_id", score=None)
+
+
+def q_missing_pairs_doc(spark, sf_dir):
+    """No driver table carries nulls, so derive a deterministic
+    nullable attr (text nulled where doc_id % 7 = 0) in BOTH engines
+    and pair null rows with everything (reference semantics)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text_n", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("text"))
+    )
+    out = get_pairs_with_missing_value(d, d, "doc_id", "doc_id", "text_n", "text_n")
+    return _pair_cols(out, "l_doc_id", "r_doc_id", score=None)
+
+
+def q_column_to_str_part(spark, sf_dir):
+    """Reference converter semantics: integral doubles render without
+    the trailing .0 ('900.0' -> '900'), fractional keep shortest repr."""
+    p = _t(spark, sf_dir, "part")
+    return column_to_str(p, "p_retailprice", "price_str").select(
+        F.col("p_partkey").alias("id"), "price_str"
+    )
 
 
 def q_apply_matcher_doc(spark, sf_dir):
@@ -240,6 +282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_filter_part": q_overlap_filter_part,
         "size_filter_doc": q_size_filter_doc,
         "prefix_filter_doc": q_prefix_filter_doc,
+        "position_filter_doc": q_position_filter_doc,
+        "suffix_filter_doc": q_suffix_filter_doc,
+        "missing_pairs_doc": q_missing_pairs_doc,
+        "column_to_str_part": q_column_to_str_part,
         "apply_matcher_doc": q_apply_matcher_doc,
         "profile_documents": q_profile_documents,
         "cc_clusters_doc": q_cc_clusters_doc,
@@ -345,6 +391,76 @@ ex AS (SELECT id, unnest(toks) AS token FROM nz),
 h AS (SELECT id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM ex),
 s AS (SELECT id, {_SIMHASH_SUMS} FROM h GROUP BY id)
 SELECT id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM s
+"""
+
+
+def _suffix_hamming_sql(x: str, y: str, depth: int, max_depth: int = 2) -> str:
+    """SQL expression replicating SuffixFilter._hamming_lower_bound:
+    recursive pivot decomposition on the (already tid-sorted) suffix
+    arrays, truncated at max_depth with the length-difference bound.
+    Unrolled here because the recursion depth is a compile-time
+    constant."""
+    if depth >= max_depth:
+        return f"abs(len({x}) - len({y}))"
+    v = f"e{depth}"
+    m = f"(len({y}) // 2)"
+    w = f"{y}[{m} + 1]"
+    xl = f"list_filter({x}, {v} -> {v} < {w})"
+    xr = f"list_filter({x}, {v} -> {v} > {w})"
+    yl = f"list_slice({y}, 1, {m})"
+    yr = f"list_slice({y}, {m} + 2, len({y}))"
+    found = f"(CASE WHEN len({xl}) + len({xr}) < len({x}) THEN 0 ELSE 1 END)"
+    rec = (
+        f"{_suffix_hamming_sql(xl, yl, depth + 1, max_depth)} + "
+        f"{_suffix_hamming_sql(xr, yr, depth + 1, max_depth)} + {found}"
+    )
+    return (
+        f"(CASE WHEN len({x}) = 0 OR len({y}) = 0 THEN abs(len({x}) - len({y})) "
+        f"ELSE {rec} END)"
+    )
+
+
+_SUFFIX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (SELECT id, len(toks) AS sz, unnest(toks) AS token FROM tok WHERE len(toks) > 0),
+cnt AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+gr AS (SELECT token, row_number() OVER (ORDER BY c, token) AS tid FROM cnt),
+arr AS (
+  SELECT ex.id, ex.sz, list_sort(list(gr.tid)) AS toks
+  FROM ex JOIN gr USING (token) GROUP BY ex.id, ex.sz
+),
+ranked AS (
+  SELECT ex.id, ex.sz, ex.token,
+         row_number() OVER (PARTITION BY ex.id ORDER BY cnt.c, ex.token) AS rn
+  FROM ex JOIN cnt USING (token)
+),
+pref AS (
+  SELECT id, token FROM ranked WHERE rn <= sz - CAST(ceil(0.7 * sz) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
+),
+calc AS (
+  SELECT c.l_id, c.r_id, la.sz AS s1, lb.sz AS s2,
+         CAST(greatest(least(la.sz - ceil(0.7 * la.sz) + 1, la.sz), 0) AS BIGINT) AS p1,
+         CAST(greatest(least(lb.sz - ceil(0.7 * lb.sz) + 1, lb.sz), 0) AS BIGINT) AS p2,
+         CAST(ceil((0.7 / 1.7) * (la.sz + lb.sz)) AS BIGINT) AS req,
+         la.toks AS lt, lb.toks AS rt
+  FROM cand c JOIN arr la ON la.id = c.l_id JOIN arr lb ON lb.id = c.r_id
+),
+suff AS (
+  SELECT l_id, r_id, s1, s2, p1, p2, req,
+         list_slice(lt, p1 + 1, s1) AS xs, list_slice(rt, p2 + 1, s2) AS ys
+  FROM calc
+)
+SELECT l_id, r_id FROM suff
+WHERE (s1 + s2 - 2 * req + p1 + p2) >= 0
+  AND {_suffix_hamming_sql("xs", "ys", 0)} <= (s1 + s2 - 2 * req + p1 + p2)
 """
 
 
@@ -465,6 +581,41 @@ pref AS (
 )
 SELECT DISTINCT a.id AS l_id, b.id AS r_id
 FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
+""",
+        "position_filter_doc": f"""
+WITH {_TOK_DOC},
+cnt AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+ranked AS (
+  SELECT ex.id, ex.sz, ex.token,
+         row_number() OVER (PARTITION BY ex.id ORDER BY cnt.c, ex.token) AS rn
+  FROM ex JOIN cnt USING (token)
+),
+pref AS (
+  SELECT id, sz, token, rn FROM ranked
+  WHERE rn <= sz - CAST(ceil(0.8 * sz) AS BIGINT) + 1
+)
+SELECT DISTINCT a.id AS l_id, b.id AS r_id
+FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
+WHERE b.sz BETWEEN CAST(ceil(0.8 * a.sz) AS BIGINT) AND CAST(floor(a.sz / 0.8) AS BIGINT)
+  AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= ceil((0.8 / 1.8) * (a.sz + b.sz))
+""",
+        "suffix_filter_doc": _SUFFIX_ORACLE,
+        "missing_pairs_doc": """
+WITH d AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text_n
+  FROM documents
+)
+SELECT a.doc_id AS l_id, b.doc_id AS r_id
+FROM d a CROSS JOIN d b
+WHERE a.text_n IS NULL OR (a.text_n IS NOT NULL AND b.text_n IS NULL)
+""",
+        "column_to_str_part": """
+SELECT p_partkey AS id,
+       CASE WHEN p_retailprice IS NULL THEN NULL
+            WHEN p_retailprice = floor(p_retailprice)
+              THEN CAST(CAST(p_retailprice AS BIGINT) AS VARCHAR)
+            ELSE CAST(p_retailprice AS VARCHAR) END AS price_str
+FROM part
 """,
         "apply_matcher_doc": f"""
 WITH {_TOK_DOC}

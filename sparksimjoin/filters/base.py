@@ -78,10 +78,39 @@ class Filter:
         """Prune candset rows whose underlying string pair the filter
         drops (``[R] py_stringsimjoin/filter/filter.py::Filter.
         filter_candset``). Missing-attr pairs survive iff
-        allow_missing."""
-        prep_l, prep_r, ranks = prepare_sides(
-            l_df, r_df, l_key_attr, r_key_attr, l_filter_attr, r_filter_attr,
-            self._coerced_tokenizer(),
+        allow_missing.
+
+        Scale shape: survivor pairs are computed only for ids that
+        actually appear in the candset (left-semi pushdown) — at 100x
+        the candset is typically a small slice of the tables and the
+        pairwise work must not scale with the full tables. The global
+        token-frequency ranks still come from the FULL tables, so
+        per-pair prefix/position decisions are identical to the
+        unrestricted computation (a record's prefix depends only on
+        its own tokens + global ranks, never on other rows)."""
+        from ..cache import track
+        from ..joins.core import build_token_ranks, order_tokens, tokenize_table
+
+        tok = self._coerced_tokenizer()
+        same = l_key_attr == r_key_attr and l_filter_attr == r_filter_attr and (
+            l_df is r_df or l_df.sameSemantics(r_df)
+        )
+        tok_l_full = tokenize_table(l_df, l_key_attr, l_filter_attr, tok)
+        tok_r_full = tok_l_full if same else tokenize_table(
+            r_df, r_key_attr, r_filter_attr, tok
+        )
+        ranks = track(
+            build_token_ranks([tok_l_full] if same else [tok_l_full, tok_r_full])
+        )
+        l_ids = candset.select(F.col(candset_l_key_attr).alias("__cid")).distinct()
+        r_ids = candset.select(F.col(candset_r_key_attr).alias("__cid")).distinct()
+        l_restr = l_df.join(l_ids, l_df[l_key_attr] == l_ids["__cid"], "left_semi")
+        r_restr = r_df.join(r_ids, r_df[r_key_attr] == r_ids["__cid"], "left_semi")
+        prep_l = order_tokens(
+            tokenize_table(l_restr, l_key_attr, l_filter_attr, tok), ranks
+        )
+        prep_r = order_tokens(
+            tokenize_table(r_restr, r_key_attr, r_filter_attr, tok), ranks
         )
         surv = self._survivor_pairs(prep_l, prep_r, ranks).withColumn("_keep", F.lit(1))
         out = candset.join(

@@ -155,3 +155,40 @@ def test_overlap_filter_eq_zero(spark, tables):
     # pair mode agrees on a known-overlapping and a disjoint pair
     assert f.filter_pair("alpha beta", "beta gamma") is True   # dropped
     assert f.filter_pair("alpha beta", "gamma delta") is False
+
+
+def test_filter_candset_semi_join_plan(spark, tables):
+    """Survivor computation must be restricted to candset ids
+    (left-semi pushdown), with unchanged results."""
+    a, b = tables
+    cand = spark.createDataFrame(
+        [(r1, r2) for r1 in A_PDF["id"][:10] for r2 in B_PDF["id"][:10]],
+        "l_id long, r_id long",
+    )
+    f = OverlapFilter(WS, overlap_size=1)
+    out = f.filter_candset(cand, "l_id", "r_id", a, b, "id", "id", "name", "name")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    expected = {
+        (r1, r2)
+        for r1, r2 in [(x["l_id"], x["r_id"]) for x in cand.collect()]
+        if not f.filter_pair(
+            A_PDF.set_index("id")["name"].get(r1), B_PDF.set_index("id")["name"].get(r2)
+        )
+    }
+    assert got == expected
+
+
+def test_series_to_str():
+    import pandas as pd
+    from sparksimjoin.converter import dataframe_column_to_str, series_to_str
+
+    s = pd.Series([12.0, 12.5, None, float("nan"), 3, -4.0])
+    out = series_to_str(s)
+    assert list(out[[0, 1, 4, 5]]) == ["12", "12.5", "3", "-4"]
+    assert out[2] is None and out[3] is None
+    df = pd.DataFrame({"x": [1.0, 2.5]})
+    assert dataframe_column_to_str(df, "x")["x"].tolist() == ["1", "2.5"]
+    assert dataframe_column_to_str(df, "x", inplace=True) is None
+    assert df["x"].tolist() == ["1", "2.5"]
