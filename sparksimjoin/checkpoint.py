@@ -1,18 +1,35 @@
 """Stage checkpoint/resume layer (north_rule, BASELINE.json:14).
 
-In-sandbox backend: parquet directories with atomic rename + a JSON
-manifest carrying per-partition lineage and row counters ("no Iceberg
-jars in /opt/spark*/jars" — SURVEY.md §7 risk register). On a real
-cluster the same manager is constructed with ``fmt='iceberg'`` and a
-catalog table prefix; the stage protocol (exists / write+manifest /
-read / get_or_compute) is identical, so Iceberg is a pure config
-switch.
+Two backends behind one stage protocol (exists / write+manifest /
+read / get_or_compute):
 
-A stage is complete iff ``<root>/<name>/_MANIFEST.json`` exists; the
-manifest records stage name, total rows, per-file (per-partition) row
-counts, wall time, and the input stage names — the lineage chain the
-north rule asks for. Idempotent re-entry: ``get_or_compute`` skips
-completed stages, which is the resume path after a mid-run kill.
+- ``fmt='parquet'`` (in-sandbox default): parquet directories with
+  atomic rename + a JSON manifest carrying per-partition lineage and
+  row counters ("no Iceberg jars in /opt/spark*/jars" — SURVEY.md §7
+  risk register).
+- ``fmt='iceberg'``: each stage is an Iceberg table
+  ``<root>.<stage>`` (``root`` is a catalog-qualified namespace such
+  as ``local.simjoin.run1``), the manifest lives in a
+  ``<root>.__manifests`` table keyed by stage name, and completion =
+  manifest row present. Requires the runtime jars; launch with e.g.::
+
+      spark-submit \\
+        --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \\
+        --conf spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog \\
+        --conf spark.sql.catalog.local.type=hadoop \\
+        --conf spark.sql.catalog.local.warehouse=/path/to/warehouse \\
+        --py-files sparksimjoin.zip jobs/run_pipeline.py ...
+
+  The switch is pure config: ``CheckpointManager(spark, root,
+  fmt='iceberg')``. An integration test exercises it end-to-end and
+  skips cleanly when the jars are absent
+  (tests/test_pipeline.py::test_iceberg_checkpoint_backend).
+
+A stage is complete iff its manifest exists; the manifest records
+stage name, total rows, per-file (per-partition) row counts, wall
+time, and the input stage names — the lineage chain the north rule
+asks for. Idempotent re-entry: ``get_or_compute`` skips completed
+stages, which is the resume path after a mid-run kill.
 """
 
 from __future__ import annotations
@@ -29,50 +46,118 @@ from pyspark.sql import functions as F
 MANIFEST = "_MANIFEST.json"
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 class CheckpointManager:
     def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
         assert fmt in ("parquet", "iceberg")
-        if fmt == "iceberg":  # pragma: no cover - needs iceberg runtime jars
-            raise NotImplementedError(
-                "iceberg backend requires org.apache.iceberg:iceberg-spark-runtime "
-                "on the classpath; use fmt='parquet' in-sandbox"
-            )
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.fmt = fmt
+        if fmt == "iceberg":
+            if not iceberg_available(spark):  # pragma: no cover - jar-dependent
+                raise RuntimeError(
+                    "fmt='iceberg' requires the Iceberg runtime on the classpath; "
+                    "launch with --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-4.0_2.13:1.10.0 and a configured "
+                    "spark.sql.catalog.<name> (see sparksimjoin/checkpoint.py docstring)"
+                )
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {root}")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {root}.__manifests "
+                "(stage STRING, manifest STRING) USING iceberg"
+            )
+        else:
+            os.makedirs(root, exist_ok=True)
 
+    # ------------------------------------------------------------ paths
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _table(self, name: str) -> str:
+        return f"{self.root}.{name}"
+
+    # ------------------------------------------------------------ protocol
     def exists(self, name: str) -> bool:
+        if self.fmt == "iceberg":
+            return (
+                self.spark.table(f"{self.root}.__manifests")
+                .where(F.col("stage") == name)
+                .limit(1)
+                .count()
+                > 0
+            )
         return os.path.exists(os.path.join(self._dir(name), MANIFEST))
 
     def read(self, name: str) -> DataFrame:
         assert self.exists(name), f"stage {name!r} not checkpointed"
+        if self.fmt == "iceberg":
+            return self.spark.table(self._table(name))
         return self.spark.read.parquet(self._dir(name))
 
     def manifest(self, name: str) -> dict:
+        if self.fmt == "iceberg":
+            row = (
+                self.spark.table(f"{self.root}.__manifests")
+                .where(F.col("stage") == name)
+                .select("manifest")
+                .first()
+            )
+            assert row is not None, f"stage {name!r} not checkpointed"
+            return json.loads(row["manifest"])
         with open(os.path.join(self._dir(name), MANIFEST)) as f:
             return json.load(f)
 
+    def _partition_counts(self, written: DataFrame) -> dict[str, int]:
+        return {
+            os.path.basename(r["f"]): r["rows"]
+            for r in written.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        }
+
     def write(self, df: DataFrame, name: str, inputs: list[str] | None = None,
               extra: dict | None = None) -> DataFrame:
-        """Atomic: data lands in a tmp dir, per-partition counters are
-        collected from the written files, the manifest is written, and
-        the dir is renamed into place."""
+        """Atomic completion marker: data lands first (tmp dir rename
+        for parquet; createOrReplace snapshot for Iceberg), then the
+        manifest write marks the stage complete."""
         t0 = time.time()
+        if self.fmt == "iceberg":
+            tbl = self._table(name)
+            df.writeTo(tbl).using("iceberg").createOrReplace()
+            written = self.spark.table(tbl)
+            per_file = self._partition_counts(written)
+            manifest = self._build_manifest(name, per_file, inputs, extra, t0, written)
+            self.spark.sql(
+                f"DELETE FROM {self.root}.__manifests WHERE stage = '{name}'"
+            )
+            self.spark.createDataFrame(
+                [(name, json.dumps(manifest, sort_keys=True))], "stage string, manifest string"
+            ).writeTo(f"{self.root}.__manifests").append()
+            return self.spark.table(tbl)
         tmp = self._dir(f"_tmp_{name}")
         final = self._dir(name)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
         written = self.spark.read.parquet(tmp)
-        per_file = {
-            os.path.basename(r["f"]): r["rows"]
-            for r in written.groupBy(F.input_file_name().alias("f"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        }
+        per_file = self._partition_counts(written)
+        manifest = self._build_manifest(name, per_file, inputs, extra, t0, written)
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.rename(tmp, final)
+        return self.spark.read.parquet(final)
+
+    def _build_manifest(self, name, per_file, inputs, extra, t0, written) -> dict:
         manifest = {
             "stage": name,
             "rows": int(sum(per_file.values())),
@@ -82,10 +167,7 @@ class CheckpointManager:
             "schema": written.schema.simpleString(),
         }
         manifest.update(extra or {})
-        with open(os.path.join(tmp, MANIFEST), "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.rename(tmp, final)
-        return self.spark.read.parquet(final)
+        return manifest
 
     def get_or_compute(
         self, name: str, fn: Callable[[], DataFrame], inputs: list[str] | None = None,
@@ -96,6 +178,13 @@ class CheckpointManager:
         return self.write(fn(), name, inputs, extra)
 
     def all_manifests(self) -> list[dict]:
+        if self.fmt == "iceberg":
+            return [
+                json.loads(r["manifest"])
+                for r in self.spark.table(f"{self.root}.__manifests")
+                .orderBy("stage")
+                .collect()
+            ]
         out = []
         for name in sorted(os.listdir(self.root)):
             if not name.startswith("_") and self.exists(name):

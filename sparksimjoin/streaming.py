@@ -6,10 +6,14 @@ record-linkage pipeline runs).
 - ``stream_transcripts``: file-source stream of transcript turns with
   the canonical schema.
 - ``ingest_transcripts``: watermarked, (conv_id, turn_idx)-deduplicated
-  append into a parquet landing table via ``foreachBatch`` (idempotent
-  per micro-batch: dedupe against the batch itself; late duplicates
-  across batches are bounded by the watermark through
-  ``dropDuplicatesWithinWatermark``-style dedup on the event time).
+  append into a parquet landing table via ``foreachBatch``. Dedup uses
+  ``dropDuplicatesWithinWatermark`` so state for a key is EVICTED once
+  the watermark passes it (plain dropDuplicates on non-event-time keys
+  never evicts — unbounded state in a long-running stream). Writes are
+  idempotent on micro-batch replay: each batch lands in its own
+  ``_epoch=<id>`` partition with dynamic partition overwrite, so a
+  restarted batch replaces itself instead of double-appending; the
+  ``_epoch`` column doubles as per-batch lineage.
 - ``streaming_turn_counts``: example stateful aggregation (per-role
   turn counts over event-time windows) used by tests to demonstrate
   watermark + windowed aggregation over the transcript feed.
@@ -41,6 +45,24 @@ def stream_transcripts(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def make_batch_writer(target_dir: str):
+    """Idempotent foreachBatch writer: epoch-keyed dynamic partition
+    overwrite. Replaying epoch N (post-crash restart re-runs the last
+    uncommitted batch) overwrites ``_epoch=N`` instead of appending a
+    second copy. Exposed for direct unit testing."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(target_dir)
+        )
+
+    return write_batch
+
+
 def ingest_transcripts(
     stream: DataFrame,
     target_dir: str,
@@ -51,16 +73,12 @@ def ingest_transcripts(
     turns to a parquet landing table. Call ``processAllAvailable()`` /
     ``stop()`` on the returned query (tests) or ``awaitTermination()``
     (production)."""
-    deduped = (
-        stream.withWatermark("ts", watermark)
-        .dropDuplicates(["conv_id", "turn_idx"])
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
     )
 
-    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(target_dir)
-
     return (
-        deduped.writeStream.foreachBatch(write_batch)
+        deduped.writeStream.foreachBatch(make_batch_writer(target_dir))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()

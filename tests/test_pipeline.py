@@ -137,3 +137,32 @@ def test_stop_token_cap_metrics(spark, transcripts, tmp_path):
     m_lo = CheckpointManager(spark, wd_lo).manifest("candidates")
     assert m_lo["dropped_stop_tokens"] > 0
     assert m_lo["stop_token_cap"] == 50
+
+
+def test_iceberg_checkpoint_backend(spark, tmp_path):
+    """End-to-end CheckpointManager over Iceberg tables. Skips when
+    the runtime jars are absent (the in-sandbox case) — with them,
+    fmt='iceberg' is a pure config switch: same protocol, manifests
+    in a <root>.__manifests table. Requires a configured
+    spark.sql.catalog.local (hadoop type) pointing at a warehouse."""
+    import pytest as _pytest
+
+    from sparksimjoin.checkpoint import CheckpointManager, iceberg_available
+
+    if not iceberg_available(spark):
+        _pytest.skip("iceberg-spark-runtime jars not on classpath")
+    if "SparkCatalog" not in str(spark.conf.get("spark.sql.catalog.local", "")):
+        _pytest.skip("no spark.sql.catalog.local catalog configured")
+    ckpt = CheckpointManager(spark, "local.simjoin_test", fmt="iceberg")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(7).selectExpr("id", "id * 2 AS v")
+
+    df1 = ckpt.get_or_compute("stage_a", compute, inputs=["src"])
+    assert df1.count() == 7 and ckpt.exists("stage_a")
+    df2 = ckpt.get_or_compute("stage_a", compute)  # resume path: no recompute
+    assert df2.count() == 7 and len(calls) == 1
+    m = ckpt.manifest("stage_a")
+    assert m["rows"] == 7 and m["inputs"] == ["src"]

@@ -67,3 +67,19 @@ def test_streaming_turn_counts(spark, source_dir):
     q2.stop()
     total = spark.sql("select sum(n_turns) as s from turn_counts_complete").collect()[0]["s"]
     assert total is not None and total > 0
+
+
+def test_batch_writer_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch replay of the same epoch (post-crash restart)
+    must overwrite its own partition, not double-append."""
+    from sparksimjoin.streaming import make_batch_writer
+
+    target = str(tmp_path / "landing2")
+    write = make_batch_writer(target)
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS v")
+    write(df, 0)
+    write(df, 0)          # replayed epoch
+    write(df.limit(5), 1) # next epoch
+    out = spark.read.parquet(target)
+    assert out.count() == 15
+    assert out.where("_epoch = 0").count() == 10
