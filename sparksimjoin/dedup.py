@@ -99,20 +99,46 @@ def minhash_lsh_dedup(
     bands: int | None = None,
     tokenizer: Tokenizer | None = None,
     hash_fn: str = "xxhash64",
+    dedup_sets: bool | str = "auto",
 ) -> DataFrame:
     """-> (l_id, r_id, jaccard_sim) for near-duplicate pairs found in
     at least one LSH band and verified with exact token-set Jaccard
     >= threshold. Deterministic (seeded permutation hashes; see
     _perm_hash for the xxhash64/md5 choice — md5 is the
     oracle-replicable variant). bands=None auto-tunes the banding to
-    the threshold (>=95% LSH recall with minimal bucket collisions)."""
+    the threshold (>=95% LSH recall with minimal bucket collisions).
+
+    ``dedup_sets``: signatures depend only on the token SET, so
+    records with identical sets are collapsed to one representative
+    before the signature aggregation and bucket join (within-group
+    pairs are exact duplicates, jaccard 1.0, emitted directly) —
+    duplication-factor^2 less LSH work on boilerplate-heavy corpora.
+    "auto" decides from sampled duplication stats; True/False force."""
+    from .joins.core import (
+        canonical_set_key,
+        expand_gid_pairs,
+        resolve_dedup,
+        string_dedup_maps,
+    )
+
     if bands is None:
         bands = _auto_bands(num_perm, threshold)
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     tok = (tokenizer or WhitespaceTokenizer()).with_return_set(True)
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), tok.spark_expr(F.col(text_col)).alias("toks")
+
+    key_fn = lambda c: canonical_set_key(tok, c)  # noqa: E731
+    use_dedup = resolve_dedup(dedup_sets, df, df, text_col, text_col, key_fn=key_fn)
+    if use_dedup:
+        reps, _, id_map, _ = string_dedup_maps(
+            df, df, id_col, id_col, text_col, text_col, key_fn=key_fn
+        )
+        src, src_id, src_text = reps, "__gid", "__val"
+    else:
+        src, src_id, src_text = df, id_col, text_col
+
+    base = src.where(F.col(src_text).isNotNull()).select(
+        F.col(src_id).alias("id"), tok.spark_expr(F.col(src_text)).alias("toks")
     ).where(F.size("toks") > 0)
     # hashed int token arrays for the verify stage: array_intersect on
     # array<bigint> takes Spark's primitive codegen path (25x faster
@@ -133,12 +159,18 @@ def minhash_lsh_dedup(
         )
         for b in range(bands)
     ]
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    # persist the bucket table: it is tiny (bands rows per record) and
+    # feeds BOTH sides of the band self-join — without the cache the
+    # 64-aggregate signature pipeline is computed twice, and a third
+    # time inside the verify job
+    buckets = track(
+        sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+        )
     )
     l = buckets.select(F.col("id").alias("l_id"), "band", "sig")
     r = buckets.select(F.col("id").alias("r_id"), "band", "sig")
-    cand = (
+    cand = track(
         l.join(r, ["band", "sig"]).where(F.col("l_id") < F.col("r_id"))
         .select("l_id", "r_id").distinct()
     )
@@ -150,6 +182,22 @@ def minhash_lsh_dedup(
         .where(F.col("jaccard_sim") >= threshold)
         .select("l_id", "r_id", "jaccard_sim")
     )
+    if use_dedup:
+        verified = expand_gid_pairs(
+            verified, id_map, id_map, self_join=True, score_cols=("jaccard_sim",)
+        )
+        # within-group pairs: identical token sets, jaccard exactly
+        # 1.0; only groups that reached `base` (non-null, non-empty)
+        eligible = base.select(F.col("id").alias("__gid"))
+        m1 = id_map.join(eligible, "__gid").select("__gid", F.col("__oid").alias("l_id"))
+        m2 = id_map.select("__gid", F.col("__oid").alias("r_id"))
+        diag = (
+            m1.join(m2, "__gid")
+            .where(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "r_id", F.lit(1.0).alias("jaccard_sim"))
+        )
+        if threshold <= 1.0:
+            verified = verified.unionByName(diag)
     return verified
 
 

@@ -142,6 +142,17 @@ def prepare_sides(
     return prep_l, prep_r, ranks
 
 
+def canonical_set_key(tokenizer: Tokenizer, col: Column) -> Column:
+    """Canonical token-SET key: set-similarity measures depend only on
+    the token set, so two strings with equal sets are interchangeable
+    — a strictly coarser (more collapsing) dedup key than the raw
+    string. Any member string is a valid representative. The size
+    prefix disambiguates the \\x00 joiner for tokens that themselves
+    contain NUL (pathological but cheap to guard)."""
+    toks = tokenizer.with_return_set(True).spark_expr(col)
+    return F.concat_ws("\x00", F.size(toks).cast("string"), F.array_sort(toks))
+
+
 def resolve_dedup(
     dedup_strings: bool | str,
     l_df: DataFrame,
@@ -149,25 +160,28 @@ def resolve_dedup(
     l_join_attr: str,
     r_join_attr: str,
     min_pair_reduction: float = 4.0,
+    key_fn=None,
 ) -> bool:
-    """Decide whether the exact-string dedup pre-pass pays. "auto"
+    """Decide whether the exact-duplicate dedup pre-pass pays. "auto"
     samples duplication factors with one cheap agg per side (runtime
     stats — the same spirit as AQE) and opts in when collapsing
     duplicates would cut pairwise work by >= ``min_pair_reduction``x;
-    True/False force."""
+    True/False force. ``key_fn(col) -> Column`` overrides the dedup
+    key (e.g. canonical token set for set-sim measures)."""
     if dedup_strings is True or dedup_strings is False:
         return dedup_strings
     same = l_join_attr == r_join_attr and (l_df is r_df or l_df.sameSemantics(r_df))
-    fl = dup_factor(l_df, l_join_attr)
-    fr = fl if same else dup_factor(r_df, r_join_attr)
+    fl = dup_factor(l_df, l_join_attr, key_fn)
+    fr = fl if same else dup_factor(r_df, r_join_attr, key_fn)
     return fl * fr >= min_pair_reduction
 
 
-def dup_factor(df: DataFrame, attr: str) -> float:
-    """Average duplication of non-null ``attr`` values (approximate;
-    one cheap agg job). Drives the auto string-dedup decision."""
+def dup_factor(df: DataFrame, attr: str, key_fn=None) -> float:
+    """Average duplication of non-null ``attr`` dedup keys
+    (approximate; one cheap agg job). Drives the auto dedup decision."""
+    key = key_fn(F.col(attr)) if key_fn else F.col(attr)
     r = df.where(F.col(attr).isNotNull()).agg(
-        F.count(F.lit(1)).alias("n"), F.approx_count_distinct(attr).alias("d")
+        F.count(F.lit(1)).alias("n"), F.approx_count_distinct(key).alias("d")
     ).first()
     return (r["n"] or 0) / max(r["d"] or 1, 1)
 
@@ -179,10 +193,14 @@ def string_dedup_maps(
     r_key_attr: str,
     l_join_attr: str,
     r_join_attr: str,
+    key_fn=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Exact-duplicate collapse before pairwise work: one
-    representative row per DISTINCT join-attr value, plus membership
-    maps to expand group results back to original record ids.
+    representative row per DISTINCT dedup key (the raw join-attr value
+    by default; a coarser key like the canonical token set via
+    ``key_fn``), plus membership maps to expand group results back to
+    original record ids. The representative is the MIN member string —
+    deterministic across retries.
 
     -> (l_reps(__gid, __val), r_reps, l_map(__gid, __oid), r_map).
     Reps are persisted: ``monotonically_increasing_id`` is stable only
@@ -193,36 +211,37 @@ def string_dedup_maps(
     drops by the duplication factor squared, and only the final
     expansion touches full row volume — which is output-bound anyway.
     """
+
+    def one_side(df: DataFrame, key_attr: str, attr: str):
+        key = key_fn(F.col(attr)) if key_fn else F.col(attr)
+        keyed = df.where(F.col(attr).isNotNull()).select(
+            key.alias("__k"), F.col(attr).alias("__v"), F.col(key_attr).alias("__oid")
+        )
+        reps = track(
+            keyed.groupBy("__k").agg(F.min("__v").alias("__val"))
+            .withColumn("__gid", F.monotonically_increasing_id())
+        )
+        mp = keyed.join(reps.select("__k", "__gid"), "__k").select("__gid", "__oid")
+        return reps.select("__gid", "__val"), mp
+
     same = l_join_attr == r_join_attr and l_key_attr == r_key_attr and (
         l_df is r_df or l_df.sameSemantics(r_df)
     )
-    l_reps = track(
-        l_df.where(F.col(l_join_attr).isNotNull())
-        .select(F.col(l_join_attr).alias("__val"))
-        .distinct()
-        .withColumn("__gid", F.monotonically_increasing_id())
-    )
-    l_map = l_df.where(F.col(l_join_attr).isNotNull()).select(
-        F.col(l_key_attr).alias("__oid"), F.col(l_join_attr).alias("__val")
-    ).join(l_reps, "__val").select("__gid", "__oid")
+    l_reps, l_map = one_side(l_df, l_key_attr, l_join_attr)
     if same:
         return l_reps, l_reps, l_map, l_map
-    r_reps = track(
-        r_df.where(F.col(r_join_attr).isNotNull())
-        .select(F.col(r_join_attr).alias("__val"))
-        .distinct()
-        .withColumn("__gid", F.monotonically_increasing_id())
-    )
-    r_map = r_df.where(F.col(r_join_attr).isNotNull()).select(
-        F.col(r_key_attr).alias("__oid"), F.col(r_join_attr).alias("__val")
-    ).join(r_reps, "__val").select("__gid", "__oid")
+    r_reps, r_map = one_side(r_df, r_key_attr, r_join_attr)
     return l_reps, r_reps, l_map, r_map
 
 
 def expand_gid_pairs(
-    pairs: DataFrame, l_map: DataFrame, r_map: DataFrame, self_join: bool
+    pairs: DataFrame,
+    l_map: DataFrame,
+    r_map: DataFrame,
+    self_join: bool,
+    score_cols: tuple[str, ...] = ("_sim_score",),
 ) -> DataFrame:
-    """Expand group-level (l_id=gid, r_id=gid, _sim_score) pairs to
+    """Expand group-level (l_id=gid, r_id=gid, scores...) pairs to
     record-level id pairs via the membership maps. For self-joins the
     gid pairs are canonical (g1 < g2, disjoint groups), so each id
     pair is emitted exactly once as (least, greatest)."""
@@ -236,7 +255,7 @@ def expand_gid_pairs(
         ]
     else:
         sel = [F.col("__la").alias("l_id"), F.col("__rb").alias("r_id")]
-    return out.select(*sel, "_sim_score")
+    return out.select(*sel, *[F.col(c) for c in score_cols])
 
 
 def diagonal_pairs(

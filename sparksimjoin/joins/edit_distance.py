@@ -95,10 +95,15 @@ def edit_distance_join(
     ex_r = prefix_explode(prep_r, "r", EDIT_DISTANCE, band, q)
     salt_map = build_salt_map(ranks, salt_cap) if salt_cap else None
     # size residual (qgram-count band == string-length band for padded
-    # grams) is applied by candidate_pairs via size_bounds_expr
+    # grams) via size_bounds_expr, plus the PPJoin position bound:
+    # 1 + min(s1-p1, s2-p2) >= max(s1,s2) - q*k at some matching
+    # occurrence. Lossless: all overlap instances of a qualifying pair
+    # sit at positions >= the earliest matching occurrence, which must
+    # itself lie within both q*k+1 prefixes (else overlap < required),
+    # so the join sees an occurrence where the bound holds.
     cand = candidate_pairs(
         ex_l, ex_r, EDIT_DISTANCE, band, qval=q,
-        self_join=self_join, salt_map=salt_map, position_filter=False,
+        self_join=self_join, salt_map=salt_map, position_filter=True,
     )
 
     # short-record branch: records with <= q*band grams can defeat the

@@ -29,6 +29,7 @@ from ..validation import (
 from .core import (
     build_salt_map,
     candidate_pairs,
+    canonical_set_key,
     diagonal_pairs,
     empty_pairs,
     expand_gid_pairs,
@@ -82,13 +83,17 @@ def set_sim_join(
     # set-sims operate on token *sets* (tokenizer coerced, as the
     # reference does at the head of every join function)
     tok = tokenizer.with_return_set(True)
-    use_dedup = resolve_dedup(dedup_strings, l_df, r_df, l_join_attr, r_join_attr)
+    # set sims depend only on the token SET, so the dedup key is the
+    # canonical token set — strictly more collapsing than raw strings
+    key_fn = lambda c: canonical_set_key(tok, c)  # noqa: E731
+    use_dedup = resolve_dedup(dedup_strings, l_df, r_df, l_join_attr, r_join_attr,
+                              key_fn=key_fn)
     if use_dedup:
         # exact-duplicate collapse: filter-verify runs on one
-        # representative per distinct string; results expand back to
-        # record ids afterwards (duplication-factor^2 less pair work)
+        # representative per distinct token set; results expand back
+        # to record ids afterwards (duplication-factor^2 less work)
         l_rep, r_rep, l_map, r_map = string_dedup_maps(
-            l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr
+            l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr, key_fn=key_fn
         )
         prep_l, prep_r, ranks = prepare_sides(
             l_rep, r_rep, "__gid", "__gid", "__val", "__val", tok

@@ -175,3 +175,17 @@ def test_simhash_md5_variant(spark, docs):
     assert pairs[(0, 1)] == 0
     for (l, r), h in pairs.items():
         assert h == bin(sigs[l] ^ sigs[r]).count("1") <= 8
+
+
+def test_minhash_dedup_sets_equivalent(spark, docs):
+    """Collapsing identical token sets before the LSH must not change
+    the output: reps share signatures with members, and within-group
+    pairs are exact duplicates at jaccard 1.0."""
+    on = {(r["l_id"], r["r_id"]): round(r["jaccard_sim"], 9)
+          for r in minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5,
+                                     dedup_sets=True).collect()}
+    off = {(r["l_id"], r["r_id"]): round(r["jaccard_sim"], 9)
+           for r in minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5,
+                                      dedup_sets=False).collect()}
+    assert on == off
+    assert on[(0, 1)] == 1.0
