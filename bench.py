@@ -83,28 +83,53 @@ def bench_queries():
     }
 
 
+_QUERY_CHILD = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from sparksimjoin.session import get_spark
+from bench import bench_queries
+spark = get_spark(app_name="sparksimjoin-bench", cores={cores}, shuffle_partitions={cores})
+# absorb first-job init (executor pools, codegen warmup, shuffle setup)
+# so the timing measures the query, not JVM cold start
+from pyspark.sql import functions as _F
+spark.range(1_000_000).repartition({cores}).groupBy(_F.col("id") % 7).count().count()
+t0 = time.time()
+n = bench_queries()[{name!r}](spark, {sf_dir!r}).count()
+print("RESULT", {name!r}, n, round(time.time() - t0, 3))
+"""
+
+
+def _run_query_isolated(name: str, sf_dir: str, cores: int) -> tuple[int, float]:
+    """One query per fresh subprocess/JVM — the way a real spark-submit
+    job runs. A single long-lived local session degrades several-fold
+    after a few heavy queries (accumulated listener/broadcast/codegen
+    state), which corrupts every measurement after the first two."""
+    import subprocess
+
+    code = _QUERY_CHILD.format(repo=str(Path(__file__).resolve().parent),
+                               cores=cores, name=name, sf_dir=sf_dir)
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    if res.returncode != 0:
+        print(res.stderr[-2000:], file=sys.stderr, flush=True)
+        raise RuntimeError(f"bench query {name} failed")
+    line = [ln for ln in res.stdout.splitlines() if ln.startswith("RESULT")][-1]
+    _, _, n, secs = line.split()
+    return int(n), float(secs)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
-    spark = get_spark(app_name="sparksimjoin-bench", cores=cores,
-                      shuffle_partitions=cores)
 
     timings: dict[str, float] = {}
-    for name, fn in bench_queries().items():
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
-        # each query persists its token preps; drop them so later
-        # queries aren't squeezed by stale caches
-        spark.catalog.clearCache()
+    for name in bench_queries():
+        n, secs = _run_query_isolated(name, sf_dir, cores)
+        timings[name] = secs
+        print(f"# {name}: {n} rows in {secs}s", file=sys.stderr, flush=True)
 
-    # realistic-workload pipeline bench on synthetic transcripts, in a
-    # FRESH subprocess/JVM: a long-lived session accumulates enough
-    # listener/broadcast/cache state that the same 50s pipeline takes
-    # 400s+ after six heavy queries — isolate the headline measurement
-    spark.stop()
+    # realistic-workload pipeline bench on synthetic transcripts, also
+    # in a fresh subprocess/JVM
     child = (
         "import json,sys,tempfile,time\n"
         f"sys.path.insert(0, {str(Path(__file__).resolve().parent)!r})\n"

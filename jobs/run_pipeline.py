@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--threshold", type=float, default=0.7)
     ap.add_argument("--tokenizer", default="whitespace", choices=["whitespace", "qgram2", "qgram3"])
     ap.add_argument("--salt-cap", type=int, default=10_000)
+    ap.add_argument(
+        "--checkpoint-format", default="parquet", choices=["parquet", "iceberg"],
+        help="iceberg needs --packages org.apache.iceberg:iceberg-spark-runtime-* "
+        "and a spark.sql.catalog.<name>; --workdir is then a catalog namespace",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("sparksimjoin-pipeline").getOrCreate()
@@ -52,9 +57,10 @@ def main(argv=None):
         transcripts = spark.read.parquet(args.input)
     else:  # pragma: no cover - iceberg path for real clusters
         transcripts = spark.read.table(args.input)
-    clusters = run_pipeline(spark, transcripts, args.workdir, cfg)
+    clusters = run_pipeline(spark, transcripts, args.workdir, cfg,
+                            checkpoint_format=args.checkpoint_format)
     clusters.write.mode("overwrite").parquet(args.output)
-    for m in CheckpointManager(spark, args.workdir).all_manifests():
+    for m in CheckpointManager(spark, args.workdir, fmt=args.checkpoint_format).all_manifests():
         print(json.dumps(m), file=sys.stderr)
     print(f"clusters written to {args.output}")
 

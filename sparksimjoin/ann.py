@@ -150,13 +150,45 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def lsh_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
-    """Random-hyperplane signature: bit p = sign(dot(vec, plane_p))."""
+    """Random-hyperplane signature: bit p = sign(dot(vec, plane_p)).
+    Column-expression form — fine for a handful of planes; for the
+    multi-table bucket stage use _lsh_buckets (the literal-array
+    expression tree grows as tables*planes*dim and its codegen
+    compilation dominates tiny inputs)."""
     vd = F.transform(vec, lambda x: x.cast("double"))
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(c)) for c in plane])
         sig = sig + F.when(_dot(vd, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
+
+
+def _lsh_buckets(
+    base: DataFrame, id_type: str, planes_by_table: np.ndarray
+) -> DataFrame:
+    """-> (id, tbl, sig): one Arrow-batched numpy matmul computes every
+    table's signature for a batch of vectors (planes ride along in the
+    task closure — a few KB)."""
+    n_tables, n_planes, _ = planes_by_table.shape
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            out = {"id": np.repeat(pdf["id"].to_numpy(), n_tables),
+                   "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))}
+            sigs = np.empty((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                bits = (vm @ planes_by_table[t].T) > 0
+                sigs[:, t] = bits @ weights
+            out["sig"] = sigs.reshape(-1)
+            yield pd.DataFrame(out)
+
+    return base.select("id", "_v").mapInPandas(
+        gen, schema=f"id {id_type}, tbl int, sig long"
+    )
 
 
 def lsh_topk(
@@ -181,16 +213,8 @@ def lsh_topk(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")).repartition(
         n_part, "id"
     )
-    bucket_cols = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            lsh_bucket_expr(F.col("_v"), _planes(dim, n_planes, seed + t)).alias("sig"),
-        )
-        for t in range(n_tables)
-    ]
-    buckets = base.select("id", F.explode(F.array(*bucket_cols)).alias("bk")).select(
-        "id", F.col("bk.tbl").alias("tbl"), F.col("bk.sig").alias("sig")
-    )
+    planes_by_table = np.stack([_planes(dim, n_planes, seed + t) for t in range(n_tables)])
+    buckets = _lsh_buckets(base, df.schema[id_col].dataType.simpleString(), planes_by_table)
     l = buckets.select(F.col("id").alias("query_id"), "tbl", "sig")
     r = buckets.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
     cand = (

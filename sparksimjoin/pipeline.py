@@ -80,12 +80,15 @@ def run_pipeline(
     transcripts: DataFrame,
     workdir: str,
     config: PipelineConfig | None = None,
+    checkpoint_format: str = "parquet",
 ) -> DataFrame:
     """-> clusters DataFrame(conv_id, component). Resumable: rerun
     with the same workdir after a failure and completed stages are
-    read back instead of recomputed."""
+    read back instead of recomputed. ``checkpoint_format='iceberg'``
+    (with the runtime jars + a configured catalog; see checkpoint.py)
+    stores stages as Iceberg tables under the ``workdir`` namespace."""
     cfg = config or PipelineConfig()
-    ckpt = CheckpointManager(spark, workdir)
+    ckpt = CheckpointManager(spark, workdir, fmt=checkpoint_format)
 
     records = ckpt.get_or_compute("records", lambda: prepare_records(transcripts),
                                   inputs=["transcripts"])

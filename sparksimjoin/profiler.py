@@ -8,7 +8,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table_for_join(df: DataFrame, profile_attrs: list[str] | None = None) -> DataFrame:
+def profile_table_for_join(
+    df: DataFrame,
+    profile_attrs: list[str] | None = None,
+    reference_headers: bool = False,
+) -> DataFrame:
+    """``reference_headers=True`` renames the output to the upstream
+    package's pandas report headers ('Unique values', 'Missing
+    values', 'Comments' — ``[R] profiler/profiler.py``) for drop-in
+    consumers; the default snake_case schema is the Spark-native
+    form (and adds the fraction columns)."""
     attrs = profile_attrs or df.columns
     for a in attrs:
         assert a in df.columns, f"attribute {a!r} not in table"
@@ -41,8 +50,16 @@ def profile_table_for_join(df: DataFrame, profile_attrs: list[str] | None = None
             }
         )
     spark = df.sparkSession
-    return spark.createDataFrame(
+    res = spark.createDataFrame(
         out,
         schema="attribute string, unique_count long, missing_count long, "
         "unique_fraction double, missing_fraction double, comment string",
     )
+    if reference_headers:
+        res = res.select(
+            F.col("attribute").alias("Attribute"),
+            F.col("unique_count").alias("Unique values"),
+            F.col("missing_count").alias("Missing values"),
+            F.col("comment").alias("Comments"),
+        )
+    return res

@@ -114,3 +114,12 @@ def test_get_pairs_with_missing_value(spark, tables):
         (l, r) for l in A_PDF["id"] if l not in l_null for r in r_null
     }
     assert got == expected
+
+
+def test_profiler_reference_headers(spark, tables):
+    a, _ = tables
+    rep = profile_table_for_join(a, ["id", "name"], reference_headers=True)
+    assert rep.columns == ["Attribute", "Unique values", "Missing values", "Comments"]
+    rows = {r["Attribute"]: r.asDict() for r in rep.collect()}
+    assert "key attribute" in rows["id"]["Comments"]
+    assert rows["name"]["Missing values"] == int(A_PDF["name"].isna().sum())
