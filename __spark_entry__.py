@@ -239,6 +239,49 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def _media_from_docs(spark, sf_dir):
+    """Deterministic media table synthesized from documents (driver
+    data has no binary columns): payload = utf-8 bytes of text, kind
+    cycles image/audio/video, duration from doc_id. Built identically
+    in the SQL oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 5) * 2500).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_features_doc(spark, sf_dir):
+    """mapInPandas decode plumbing over binary media columns; the
+    deterministic stand-in decoder (sha256-derived features) is
+    replicated in SQL, so batch shape/schema/null handling are
+    hash-checked end-to-end."""
+    from sparksimjoin.multimodal import decode_features
+
+    media = _media_from_docs(spark, sf_dir)
+    return decode_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "features", "decode_status"
+    )
+
+
+def q_frame_sample_doc(spark, sf_dir):
+    from sparksimjoin.multimodal import sample_frames
+
+    media = _media_from_docs(spark, sf_dir)
+    return sample_frames(media, every_ms=1000)
+
+
 def q_minhash_dedup_doc(spark, sf_dir):
     """hash_fn='md5': the DuckDB-replicable permutation hash, so the
     oracle reproduces signatures/banding/verify exactly (the default
@@ -296,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_doc": q_user_event_doc,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features_doc": q_multimodal_features_doc,
+        "frame_sample_doc": q_frame_sample_doc,
         "minhash_dedup_doc": q_minhash_dedup_doc,
         "simhash_doc": q_simhash_doc,
     }
@@ -728,4 +773,36 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <
         "ann_lsh_topk": _ann_lsh_oracle(),
         "minhash_dedup_doc": _MINHASH_ORACLE,
         "simhash_doc": _SIMHASH_ORACLE,
+        "multimodal_features_doc": """
+-- payload is the utf-8 bytes of text, so sha256(text) (DuckDB hashes
+-- the string's utf-8 bytes) equals the engine's sha256 of the blob
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         text FROM documents
+),
+h AS (SELECT media_id, kind, text, sha256(text) AS sha FROM media)
+SELECT media_id, kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       sha AS sha256,
+       list_transform(range(8), i ->
+         CAST(CAST(('0x' || substr(sha, CAST(2*i+1 AS INT), 2)) AS INT) / 255.0 AS REAL)
+       ) AS features,
+       'ok' AS decode_status
+FROM h
+""",
+        "frame_sample_doc": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         text,
+         CAST((doc_id % 5) * 2500 AS INT) AS duration_ms
+  FROM documents
+),
+v AS (SELECT * FROM media WHERE kind = 'video')
+SELECT media_id,
+       CAST(unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS INT) AS frame_ts_ms,
+       sha256(sha256(text) || ':' || CAST(media_id AS VARCHAR)) AS frame_key
+FROM v
+""",
     }
