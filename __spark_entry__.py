@@ -27,7 +27,7 @@ from sparksimjoin import (
     overlap_coefficient_join,
     overlap_join,
 )
-from sparksimjoin.ann import brute_force_topk, lsh_topk
+from sparksimjoin.ann import brute_force_topk, embedding_neardup, lsh_topk
 from sparksimjoin.clustering import connected_components
 from sparksimjoin.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_dedup, simhash
 from sparksimjoin.converter import column_to_str
@@ -239,6 +239,19 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs; oracle replicates the
+    bucketing with the same hyperplane literals (threshold low enough
+    to return rows on the near-orthogonal random test vectors). Pair
+    ids only: numpy and DuckDB dot products can differ by 1 ulp, which
+    flips a 6-decimal rounding at grid boundaries (observed once in
+    2k pairs) — same reason the ann_topk queries compare ranks."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup(e, "vec_id", "embedding", threshold=0.3).select(
+        "l_id", "r_id"
+    )
+
+
 def _media_from_docs(spark, sf_dir):
     """Deterministic media table synthesized from documents (driver
     data has no binary columns): payload = utf-8 bytes of text, kind
@@ -270,8 +283,12 @@ def q_multimodal_features_doc(spark, sf_dir):
     from sparksimjoin.multimodal import decode_features
 
     media = _media_from_docs(spark, sf_dir)
+    # features are float32 engine-side; compare as 6-decimal doubles
+    # so the check is robust to widening-representation differences
     return decode_features(media).select(
-        "media_id", "kind", "n_bytes", "sha256", "features", "decode_status"
+        "media_id", "kind", "n_bytes", "sha256",
+        F.transform("features", lambda x: F.round(x.cast("double"), 6)).alias("features"),
+        "decode_status",
     )
 
 
@@ -339,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_doc": q_user_event_doc,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
         "multimodal_features_doc": q_multimodal_features_doc,
         "frame_sample_doc": q_frame_sample_doc,
         "minhash_dedup_doc": q_minhash_dedup_doc,
@@ -550,6 +568,40 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _neardup_oracle(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                    seed: int = 42, threshold: float = 0.3) -> str:
+    """embedding_neardup replica: same bucket candidates as the
+    ann_lsh oracle, canonical l<r orientation, cosine >= threshold."""
+    from sparksimjoin.ann import _planes
+
+    tables = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding, {[float(c) for c in pl]}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p, pl in enumerate(planes)
+        )
+        tables.append(
+            f"SELECT vec_id AS id, {t} AS tbl, ({bits})::BIGINT AS sig FROM embeddings"
+        )
+    buckets = " UNION ALL ".join(tables)
+    return f"""
+WITH buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id
+)
+SELECT c.l_id, c.r_id
+FROM cand c
+JOIN embeddings qa ON qa.vec_id = c.l_id
+JOIN embeddings qb ON qb.vec_id = c.r_id
+WHERE round(list_dot_product(qa.embedding, qb.embedding) /
+            (sqrt(list_dot_product(qa.embedding, qa.embedding)) *
+             sqrt(list_dot_product(qb.embedding, qb.embedding))), 6) >= {threshold}
 """
 
 
@@ -771,6 +823,7 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
 """,
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "embedding_neardup": _neardup_oracle(),
         "minhash_dedup_doc": _MINHASH_ORACLE,
         "simhash_doc": _SIMHASH_ORACLE,
         "multimodal_features_doc": """
@@ -786,7 +839,7 @@ SELECT media_id, kind,
        CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
        sha AS sha256,
        list_transform(range(8), i ->
-         CAST(CAST(('0x' || substr(sha, CAST(2*i+1 AS INT), 2)) AS INT) / 255.0 AS REAL)
+         round(CAST(CAST(CAST(('0x' || substr(sha, CAST(2*i+1 AS INT), 2)) AS INT) / 255.0 AS REAL) AS DOUBLE), 6)
        ) AS features,
        'ok' AS decode_status
 FROM h
