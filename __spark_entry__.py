@@ -502,7 +502,7 @@ ranked AS (
   FROM ex JOIN cnt USING (token)
 ),
 pref AS (
-  SELECT id, token FROM ranked WHERE rn <= sz - CAST(ceil(0.7 * sz) AS BIGINT) + 1
+  SELECT id, token FROM ranked WHERE rn <= sz - CAST(ceil(0.7 * sz - greatest(abs(0.7 * sz), 1.0) * 1e-12) AS BIGINT) + 1
 ),
 cand AS (
   SELECT DISTINCT a.id AS l_id, b.id AS r_id
@@ -510,9 +510,9 @@ cand AS (
 ),
 calc AS (
   SELECT c.l_id, c.r_id, la.sz AS s1, lb.sz AS s2,
-         CAST(greatest(least(la.sz - ceil(0.7 * la.sz) + 1, la.sz), 0) AS BIGINT) AS p1,
-         CAST(greatest(least(lb.sz - ceil(0.7 * lb.sz) + 1, lb.sz), 0) AS BIGINT) AS p2,
-         CAST(ceil((0.7 / 1.7) * (la.sz + lb.sz)) AS BIGINT) AS req,
+         CAST(greatest(least(la.sz - ceil(0.7 * la.sz - greatest(abs(0.7 * la.sz), 1.0) * 1e-12) + 1, la.sz), 0) AS BIGINT) AS p1,
+         CAST(greatest(least(lb.sz - ceil(0.7 * lb.sz - greatest(abs(0.7 * lb.sz), 1.0) * 1e-12) + 1, lb.sz), 0) AS BIGINT) AS p2,
+         CAST(ceil((0.7 / 1.7) * (la.sz + lb.sz) - greatest(abs((0.7 / 1.7) * (la.sz + lb.sz)), 1.0) * 1e-12) AS BIGINT) AS req,
          la.toks AS lt, lb.toks AS rt
   FROM cand c JOIN arr la ON la.id = c.l_id JOIN arr lb ON lb.id = c.r_id
 ),
@@ -663,7 +663,7 @@ SELECT a.id AS l_id, b.id AS r_id
 FROM tok a JOIN tok b
   ON a.id < b.id
  AND a.sz > 0 AND b.sz > 0
- AND b.sz BETWEEN CAST(ceil(0.8 * a.sz) AS BIGINT) AND CAST(floor(a.sz / 0.8) AS BIGINT)
+ AND b.sz BETWEEN CAST(ceil(0.8 * a.sz - greatest(abs(0.8 * a.sz), 1.0) * 1e-12) AS BIGINT) AND CAST(floor(a.sz / 0.8 + greatest(abs(a.sz / 0.8), 1.0) * 1e-12) AS BIGINT)
 """,
         "prefix_filter_doc": f"""
 WITH {_TOK_DOC},
@@ -674,7 +674,7 @@ ranked AS (
   FROM ex JOIN cnt USING (token)
 ),
 pref AS (
-  SELECT id, token FROM ranked WHERE rn <= sz - CAST(ceil(0.7 * sz) AS BIGINT) + 1
+  SELECT id, token FROM ranked WHERE rn <= sz - CAST(ceil(0.7 * sz - greatest(abs(0.7 * sz), 1.0) * 1e-12) AS BIGINT) + 1
 )
 SELECT DISTINCT a.id AS l_id, b.id AS r_id
 FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
@@ -689,12 +689,12 @@ ranked AS (
 ),
 pref AS (
   SELECT id, sz, token, rn FROM ranked
-  WHERE rn <= sz - CAST(ceil(0.8 * sz) AS BIGINT) + 1
+  WHERE rn <= sz - CAST(ceil(0.8 * sz - greatest(abs(0.8 * sz), 1.0) * 1e-12) AS BIGINT) + 1
 )
 SELECT DISTINCT a.id AS l_id, b.id AS r_id
 FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
-WHERE b.sz BETWEEN CAST(ceil(0.8 * a.sz) AS BIGINT) AND CAST(floor(a.sz / 0.8) AS BIGINT)
-  AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= ceil((0.8 / 1.8) * (a.sz + b.sz))
+WHERE b.sz BETWEEN CAST(ceil(0.8 * a.sz - greatest(abs(0.8 * a.sz), 1.0) * 1e-12) AS BIGINT) AND CAST(floor(a.sz / 0.8 + greatest(abs(a.sz / 0.8), 1.0) * 1e-12) AS BIGINT)
+  AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= ceil((0.8 / 1.8) * (a.sz + b.sz) - greatest(abs((0.8 / 1.8) * (a.sz + b.sz)), 1.0) * 1e-12)
 """,
         "suffix_filter_doc": _SUFFIX_ORACLE,
         "missing_pairs_doc": """

@@ -7,9 +7,11 @@ ICDE'06 prefix filter; PPJoin WWW'08 position filter), matching
 get_size_lower_bound / get_size_upper_bound / get_overlap_threshold``.
 
 Every function has a plain-Python form (naive oracle, filter_pair)
-and a Spark ``Column`` form (pure expressions -> whole-stage codegen;
-the ceilings are float64 ceilings in both, so boundary behavior is
-bit-identical between oracle and plan).
+and a Spark ``Column`` form (pure expressions -> whole-stage codegen).
+All bound ceilings/floors are GUARDED (see GUARD_EPS below) so float
+rounding can never tighten a bound past its mathematical value, and
+the Python, Column, and DuckDB-oracle forms share the exact guard —
+boundary behavior stays bit-identical across all three.
 
 OVERLAP_COEFFICIENT admits no record-local prefix/size bound without
 knowing the partner's size (a tiny set contained in a huge one has
@@ -36,17 +38,53 @@ SET_SIM_MEASURES = (JACCARD, COSINE, DICE, OVERLAP, OVERLAP_COEFFICIENT)
 
 _BIG = 2**62  # stand-in for "no upper bound"
 
+# Filter bounds use float products whose rounding error can cross an
+# integer boundary UPWARD — e.g. (0.4/1.4)*7 floats to 2.0000000000000004,
+# whose bare ceil (3) demands more overlap than J>=0.4 mathematically
+# requires and silently drops true boundary pairs (found by the
+# randomized dedup-equivalence property test). Every ceiling on a
+# LOWER bound therefore subtracts, and every floor on an UPPER bound
+# adds, a relative guard of 1e-12*max(|x|,1): ~4 orders of magnitude
+# above the worst accumulated ulp error of these 2-4-op expressions
+# and ~9 below any legitimate spacing of the inputs, so the guarded
+# form computes the exact mathematical bound. Guards only LOOSEN the
+# filters; exact verification absorbs the (rare) extra candidate. The
+# DuckDB oracles replicating bounds apply the identical guard.
+GUARD_EPS = 1e-12
+
+
+def guarded_ceil_py(x: float) -> int:
+    return int(math.ceil(x - GUARD_EPS * max(abs(x), 1.0)))
+
+
+def guarded_floor_py(x: float) -> int:
+    return int(math.floor(x + GUARD_EPS * max(abs(x), 1.0)))
+
+
+def guarded_ceil_expr(x: Column) -> Column:
+    return F.ceil(x - F.greatest(F.abs(x), F.lit(1.0)) * F.lit(GUARD_EPS))
+
+
+def guarded_floor_expr(x: Column) -> Column:
+    return F.floor(x + F.greatest(F.abs(x), F.lit(1.0)) * F.lit(GUARD_EPS))
+
+
+def guard_sql(x: str, fn: str = "ceil") -> str:
+    """DuckDB spelling of the same guard, for oracle parity."""
+    sign = "-" if fn == "ceil" else "+"
+    return f"{fn}({x} {sign} greatest(abs({x}), 1.0) * 1e-12)"
+
 
 # ---------------------------------------------------------------- python
 def prefix_length_py(num_tokens: int, measure: str, threshold: float, qval: int = 2) -> int:
     if num_tokens == 0:
         return 0
     if measure == JACCARD:
-        p = num_tokens - math.ceil(threshold * num_tokens) + 1
+        p = num_tokens - guarded_ceil_py(threshold * num_tokens) + 1
     elif measure == COSINE:
-        p = num_tokens - math.ceil(threshold * threshold * num_tokens) + 1
+        p = num_tokens - guarded_ceil_py(threshold * threshold * num_tokens) + 1
     elif measure == DICE:
-        p = num_tokens - math.ceil((threshold / (2 - threshold)) * num_tokens) + 1
+        p = num_tokens - guarded_ceil_py((threshold / (2 - threshold)) * num_tokens) + 1
     elif measure == OVERLAP:
         p = num_tokens - int(threshold) + 1
     elif measure == OVERLAP_COEFFICIENT:
@@ -60,11 +98,11 @@ def prefix_length_py(num_tokens: int, measure: str, threshold: float, qval: int 
 
 def size_lower_bound_py(num_tokens: int, measure: str, threshold: float) -> int:
     if measure == JACCARD:
-        return int(math.ceil(threshold * num_tokens))
+        return guarded_ceil_py(threshold * num_tokens)
     if measure == COSINE:
-        return int(math.ceil(threshold * threshold * num_tokens))
+        return guarded_ceil_py(threshold * threshold * num_tokens)
     if measure == DICE:
-        return int(math.ceil((threshold / (2 - threshold)) * num_tokens))
+        return guarded_ceil_py((threshold / (2 - threshold)) * num_tokens)
     if measure == OVERLAP:
         return int(threshold)
     if measure == OVERLAP_COEFFICIENT:
@@ -76,11 +114,11 @@ def size_lower_bound_py(num_tokens: int, measure: str, threshold: float) -> int:
 
 def size_upper_bound_py(num_tokens: int, measure: str, threshold: float) -> int:
     if measure == JACCARD:
-        return int(math.floor(num_tokens / threshold)) if threshold > 0 else _BIG
+        return guarded_floor_py(num_tokens / threshold) if threshold > 0 else _BIG
     if measure == COSINE:
-        return int(math.floor(num_tokens / (threshold * threshold))) if threshold > 0 else _BIG
+        return guarded_floor_py(num_tokens / (threshold * threshold)) if threshold > 0 else _BIG
     if measure == DICE:
-        return int(math.floor(((2 - threshold) / threshold) * num_tokens)) if threshold > 0 else _BIG
+        return guarded_floor_py(((2 - threshold) / threshold) * num_tokens) if threshold > 0 else _BIG
     if measure in (OVERLAP, OVERLAP_COEFFICIENT):
         return _BIG
     if measure == EDIT_DISTANCE:
@@ -91,15 +129,15 @@ def size_upper_bound_py(num_tokens: int, measure: str, threshold: float) -> int:
 def overlap_threshold_py(s1: int, s2: int, measure: str, threshold: float, qval: int = 2) -> float:
     """Minimum token overlap a qualifying pair must have."""
     if measure == JACCARD:
-        return math.ceil((threshold / (1 + threshold)) * (s1 + s2))
+        return guarded_ceil_py((threshold / (1 + threshold)) * (s1 + s2))
     if measure == COSINE:
-        return math.ceil(threshold * math.sqrt(s1 * s2))
+        return guarded_ceil_py(threshold * math.sqrt(s1 * s2))
     if measure == DICE:
-        return math.ceil((threshold / 2) * (s1 + s2))
+        return guarded_ceil_py((threshold / 2) * (s1 + s2))
     if measure == OVERLAP:
         return threshold
     if measure == OVERLAP_COEFFICIENT:
-        return math.ceil(threshold * min(s1, s2))
+        return guarded_ceil_py(threshold * min(s1, s2))
     if measure == EDIT_DISTANCE:
         return max(s1, s2) - qval * threshold
     raise ValueError(measure)
@@ -134,11 +172,11 @@ NumOrCol = Union[int, float, Column]
 def prefix_length_expr(num_tokens: Column, measure: str, threshold: float, qval: int = 2) -> Column:
     n = num_tokens.cast("double")
     if measure == JACCARD:
-        p = num_tokens - F.ceil(F.lit(threshold) * n) + 1
+        p = num_tokens - guarded_ceil_expr(F.lit(threshold) * n) + 1
     elif measure == COSINE:
-        p = num_tokens - F.ceil(F.lit(threshold * threshold) * n) + 1
+        p = num_tokens - guarded_ceil_expr(F.lit(threshold * threshold) * n) + 1
     elif measure == DICE:
-        p = num_tokens - F.ceil(F.lit(threshold / (2 - threshold)) * n) + 1
+        p = num_tokens - guarded_ceil_expr(F.lit(threshold / (2 - threshold)) * n) + 1
     elif measure == OVERLAP:
         p = num_tokens - F.lit(int(threshold)) + 1
     elif measure == OVERLAP_COEFFICIENT:
@@ -153,14 +191,14 @@ def prefix_length_expr(num_tokens: Column, measure: str, threshold: float, qval:
 def size_bounds_expr(num_tokens: Column, measure: str, threshold: float) -> tuple[Column, Column]:
     n = num_tokens.cast("double")
     if measure == JACCARD:
-        lo = F.ceil(F.lit(threshold) * n)
-        hi = F.floor(n / F.lit(threshold)) if threshold > 0 else F.lit(_BIG)
+        lo = guarded_ceil_expr(F.lit(threshold) * n)
+        hi = guarded_floor_expr(n / F.lit(threshold)) if threshold > 0 else F.lit(_BIG)
     elif measure == COSINE:
-        lo = F.ceil(F.lit(threshold * threshold) * n)
-        hi = F.floor(n / F.lit(threshold * threshold)) if threshold > 0 else F.lit(_BIG)
+        lo = guarded_ceil_expr(F.lit(threshold * threshold) * n)
+        hi = guarded_floor_expr(n / F.lit(threshold * threshold)) if threshold > 0 else F.lit(_BIG)
     elif measure == DICE:
-        lo = F.ceil(F.lit(threshold / (2 - threshold)) * n)
-        hi = F.floor(F.lit((2 - threshold) / threshold) * n) if threshold > 0 else F.lit(_BIG)
+        lo = guarded_ceil_expr(F.lit(threshold / (2 - threshold)) * n)
+        hi = guarded_floor_expr(F.lit((2 - threshold) / threshold) * n) if threshold > 0 else F.lit(_BIG)
     elif measure == OVERLAP:
         lo, hi = F.lit(int(threshold)), F.lit(_BIG)
     elif measure == OVERLAP_COEFFICIENT:
@@ -176,15 +214,15 @@ def size_bounds_expr(num_tokens: Column, measure: str, threshold: float) -> tupl
 def overlap_threshold_expr(s1: Column, s2: Column, measure: str, threshold: float, qval: int = 2) -> Column:
     d1, d2 = s1.cast("double"), s2.cast("double")
     if measure == JACCARD:
-        return F.ceil(F.lit(threshold / (1 + threshold)) * (d1 + d2)).cast("double")
+        return guarded_ceil_expr(F.lit(threshold / (1 + threshold)) * (d1 + d2)).cast("double")
     if measure == COSINE:
-        return F.ceil(F.lit(threshold) * F.sqrt(d1 * d2)).cast("double")
+        return guarded_ceil_expr(F.lit(threshold) * F.sqrt(d1 * d2)).cast("double")
     if measure == DICE:
-        return F.ceil(F.lit(threshold / 2) * (d1 + d2)).cast("double")
+        return guarded_ceil_expr(F.lit(threshold / 2) * (d1 + d2)).cast("double")
     if measure == OVERLAP:
         return F.lit(float(threshold))
     if measure == OVERLAP_COEFFICIENT:
-        return F.ceil(F.lit(threshold) * F.least(d1, d2)).cast("double")
+        return guarded_ceil_expr(F.lit(threshold) * F.least(d1, d2)).cast("double")
     if measure == EDIT_DISTANCE:
         return (F.greatest(d1, d2) - F.lit(float(qval) * threshold)).cast("double")
     raise ValueError(measure)

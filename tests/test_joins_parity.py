@@ -299,3 +299,36 @@ def test_dedup_strings_edit(spark, self_join):
                                  allow_missing=True, self_join=self_join)
     )
     _assert_match(got, expected, f"dedup edit self={self_join}")
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_dedup_strings_random_equivalence(spark, seed):
+    """Property: on randomized duplicate-mixed tiny-vocab tables (small
+    set sizes hit the filter-bound integer boundaries — threshold 0.4
+    makes (t/(1+t))*(s1+s2) land exactly on integers, the case where
+    unguarded float ceilings dropped true pairs), BOTH dedup modes
+    must equal the naive truth and each other."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl"]
+    rows = []
+    for i in range(80):
+        n = rng.randint(0, 4)
+        name = " ".join(rng.choice(vocab) for _ in range(n)) if n else rng.choice(["", None])
+        rows.append((i, name))
+    pdf = pd.DataFrame(rows, columns=["id", "name"]).astype({"id": "int64"})
+    a = spark.createDataFrame(pdf)
+    tok = WhitespaceTokenizer()
+    kw = dict(allow_empty=True, allow_missing=True, self_join=True)
+    truth = _expected_pairs(
+        naive_set_sim_join(pdf, pdf, "id", "id", "name", "name", tok, 0.4, "JACCARD", **kw)
+    )
+    on = _collect_pairs(jaccard_join(a, a, "id", "id", "name", "name", tok, 0.4,
+                                     dedup_strings=True, **kw))
+    off = _collect_pairs(jaccard_join(a, a, "id", "id", "name", "name", tok, 0.4,
+                                      dedup_strings=False, **kw))
+    _assert_match(on, truth, f"dedup=True vs naive seed={seed}")
+    _assert_match(off, truth, f"dedup=False vs naive seed={seed}")
