@@ -279,15 +279,22 @@ def q_multimodal_features_doc(spark, sf_dir):
     """mapInPandas decode plumbing over binary media columns; the
     deterministic stand-in decoder (sha256-derived features) is
     replicated in SQL, so batch shape/schema/null handling are
-    hash-checked end-to-end."""
+    hash-checked end-to-end.
+
+    ``features`` is emitted as a comma-joined fixed 6-decimal string:
+    the driver's canonicalizer pandas-sorts the result and cannot hash
+    an ``array<double>`` column (round-2's one red row), and a fixed
+    printf rendering sidesteps Java-vs-DuckDB shortest-float
+    formatting differences."""
     from sparksimjoin.multimodal import decode_features
 
     media = _media_from_docs(spark, sf_dir)
-    # features are float32 engine-side; compare as 6-decimal doubles
-    # so the check is robust to widening-representation differences
     return decode_features(media).select(
         "media_id", "kind", "n_bytes", "sha256",
-        F.transform("features", lambda x: F.round(x.cast("double"), 6)).alias("features"),
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.format_string("%.6f", x.cast("double"))),
+        ).alias("features"),
         "decode_status",
     )
 
@@ -838,9 +845,9 @@ h AS (SELECT media_id, kind, text, sha256(text) AS sha FROM media)
 SELECT media_id, kind,
        CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
        sha AS sha256,
-       list_transform(range(8), i ->
-         round(CAST(CAST(CAST(('0x' || substr(sha, CAST(2*i+1 AS INT), 2)) AS INT) / 255.0 AS REAL) AS DOUBLE), 6)
-       ) AS features,
+       array_to_string(list_transform(range(8), i ->
+         printf('%.6f', CAST(CAST(CAST(('0x' || substr(sha, CAST(2*i+1 AS INT), 2)) AS INT) / 255.0 AS REAL) AS DOUBLE))
+       ), ',') AS features,
        'ok' AS decode_status
 FROM h
 """,
