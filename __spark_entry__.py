@@ -174,6 +174,44 @@ def q_apply_matcher_doc(spark, sf_dir):
     return _pair_cols(out, "l_doc_id", "r_doc_id")
 
 
+def q_filter_candset_doc(spark, sf_dir):
+    """filter_candset path: prune an overlap>=2 candset with
+    PositionFilter(JACCARD, 0.8). The oracle builds the same candset
+    in SQL and keeps pairs surviving the position-filter predicate —
+    identical because a pair's prefix/position decision depends only
+    on its two records plus the global token ranks (which
+    filter_candset computes from the FULL tables)."""
+    d = _t(spark, sf_dir, "documents")
+    cand = OverlapFilter(WS, overlap_size=2).filter_tables(
+        d, d, "doc_id", "doc_id", "text", "text", self_join=True
+    )
+    f = PositionFilter(WS, "JACCARD", 0.8)
+    out = f.filter_candset(cand, "l_doc_id", "r_doc_id", d, d, "doc_id", "doc_id",
+                           "text", "text")
+    return out.select(F.col("l_doc_id").alias("l_id"), F.col("r_doc_id").alias("r_id"))
+
+
+def q_matcher_callable_doc(spark, sf_dir):
+    """apply_matcher with a Python-callable sim_function (the
+    reference's extension point; Arrow-batched pandas UDF path). The
+    callable computes set-jaccard, so the DuckDB oracle can replicate
+    it exactly — upgrading this path from rows-only to hash-checked."""
+    d = _t(spark, sf_dir, "documents")
+    cand = OverlapFilter(WS, overlap_size=4).filter_tables(
+        d, d, "doc_id", "doc_id", "text", "text", self_join=True
+    )
+
+    def set_jaccard(lt, rt):
+        s1, s2 = set(lt), set(rt)
+        if not s1 and not s2:
+            return 0.0
+        return len(s1 & s2) / len(s1 | s2)
+
+    out = apply_matcher(cand, "l_doc_id", "r_doc_id", d, d, "doc_id", "doc_id",
+                        "text", "text", WS, set_jaccard, 0.5)
+    return _pair_cols(out, "l_doc_id", "r_doc_id")
+
+
 def q_profile_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return profile_table_for_join(d, ["doc_id", "text", "lang", "source"]).select(
@@ -354,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_pairs_doc": q_missing_pairs_doc,
         "column_to_str_part": q_column_to_str_part,
         "apply_matcher_doc": q_apply_matcher_doc,
+        "filter_candset_doc": q_filter_candset_doc,
+        "matcher_callable_doc": q_matcher_callable_doc,
         "profile_documents": q_profile_documents,
         "cc_clusters_doc": q_cc_clusters_doc,
         "exact_dedup_doc": q_exact_dedup_doc,
@@ -372,10 +412,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
-_TOK_DOC = """
+# RE2's \s is ASCII-only, but the engine's WhitespaceTokenizer splits
+# on Python str.split() whitespace (Unicode White_Space + \x1c-\x1f).
+# The DuckDB oracles use this explicit class so any non-ASCII
+# whitespace in driver data tokenizes identically in both engines.
+_WS_RE = (
+    r"[\t\n\v\f\r\x1C-\x1F \x{85}\x{A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
+_TOK_DOC = f"""
 tok AS (
   SELECT doc_id AS id,
-         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+         list_distinct(list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '')) AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 ex AS (
@@ -417,10 +466,10 @@ _SIMHASH_SIG = " + ".join(f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b 
 # bucket equality is on the exact (mh_{2b}, mh_{2b+1}) tuple — the
 # engine hashes that tuple with xxhash64, which only ever ADDS
 # candidates on collision, and the exact-jaccard verify absorbs those
-_MINHASH_ORACLE = """
+_MINHASH_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id AS id,
-         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+         list_distinct(list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '')) AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 nz AS (SELECT id, toks FROM tok WHERE len(toks) > 0),
@@ -453,7 +502,7 @@ WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.5
 _SIMHASH_ORACLE = f"""
 WITH t AS (
   SELECT doc_id AS id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '') AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 nz AS (SELECT id, toks FROM t WHERE len(toks) > 0),
@@ -493,7 +542,7 @@ def _suffix_hamming_sql(x: str, y: str, depth: int, max_depth: int = 2) -> str:
 _SUFFIX_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id AS id,
-         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+         list_distinct(list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '')) AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 ex AS (SELECT id, len(toks) AS sz, unnest(toks) AS token FROM tok WHERE len(toks) > 0),
@@ -649,10 +698,10 @@ SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 """,
-        "overlap_filter_part": """
+        "overlap_filter_part": f"""
 WITH tok AS (
   SELECT p_partkey AS id,
-         list_distinct(list_filter(string_split_regex(p_name, '\\s+'), x -> x <> '')) AS toks
+         list_distinct(list_filter(string_split_regex(p_name, '{_WS_RE}'), x -> x <> '')) AS toks
   FROM part WHERE p_name IS NOT NULL
 ),
 ex AS (SELECT id, unnest(toks) AS token FROM tok)
@@ -660,10 +709,10 @@ SELECT a.id AS l_id, b.id AS r_id
 FROM ex a JOIN ex b ON a.token = b.token AND a.id < b.id
 GROUP BY 1, 2 HAVING count(*) >= 2
 """,
-        "size_filter_doc": """
+        "size_filter_doc": f"""
 WITH tok AS (
   SELECT doc_id AS id,
-         len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS sz
+         len(list_distinct(list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> ''))) AS sz
   FROM documents WHERE text IS NOT NULL
 )
 SELECT a.id AS l_id, b.id AS r_id
@@ -726,6 +775,32 @@ WITH {_TOK_DOC}
 SELECT l_id, r_id, CAST(o AS DOUBLE)/(s1+s2-o) AS sim_score
 FROM ov WHERE o >= 4 AND CAST(o AS DOUBLE)/(s1+s2-o) >= 0.5
 """,
+        "matcher_callable_doc": f"""
+WITH {_TOK_DOC}
+SELECT l_id, r_id, CAST(o AS DOUBLE)/(s1+s2-o) AS sim_score
+FROM ov WHERE o >= 4 AND CAST(o AS DOUBLE)/(s1+s2-o) >= 0.5
+""",
+        "filter_candset_doc": f"""
+WITH {_TOK_DOC},
+cand0 AS (SELECT l_id, r_id FROM ov WHERE o >= 2),
+cnt AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+ranked AS (
+  SELECT ex.id, ex.sz, ex.token,
+         row_number() OVER (PARTITION BY ex.id ORDER BY cnt.c, ex.token) AS rn
+  FROM ex JOIN cnt USING (token)
+),
+pref AS (
+  SELECT id, sz, token, rn FROM ranked
+  WHERE rn <= sz - CAST(ceil(0.8 * sz - greatest(abs(0.8 * sz), 1.0) * 1e-12) AS BIGINT) + 1
+),
+pos AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
+  WHERE b.sz BETWEEN CAST(ceil(0.8 * a.sz - greatest(abs(0.8 * a.sz), 1.0) * 1e-12) AS BIGINT) AND CAST(floor(a.sz / 0.8 + greatest(abs(a.sz / 0.8), 1.0) * 1e-12) AS BIGINT)
+    AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= ceil((0.8 / 1.8) * (a.sz + b.sz) - greatest(abs((0.8 / 1.8) * (a.sz + b.sz)), 1.0) * 1e-12)
+)
+SELECT c.l_id, c.r_id FROM cand0 c JOIN pos USING (l_id, r_id)
+""",
         "profile_documents": """
 SELECT 'doc_id' AS attribute, CAST(count(DISTINCT doc_id) AS BIGINT) AS unique_count,
        CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count
@@ -767,10 +842,10 @@ WITH {_TOK_PART_Q3}
 SELECT l_id, r_id, CAST(o AS DOUBLE)/(s1+s2-o) AS jaccard_sim
 FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6
 """,
-        "text_stats_doc": """
+        "text_stats_doc": f"""
 WITH t AS (
   SELECT doc_id AS id, text,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(lower(text), '{_WS_RE}'), x -> x <> '') AS toks
   FROM documents
 ),
 s AS (

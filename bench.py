@@ -87,34 +87,52 @@ _QUERY_CHILD = """
 import sys, time
 sys.path.insert(0, {repo!r})
 from sparksimjoin.session import get_spark
+from sparksimjoin.cache import release_all
 from bench import bench_queries
+t_init = time.time()
 spark = get_spark(app_name="sparksimjoin-bench", cores={cores}, shuffle_partitions={cores})
 # absorb first-job init (executor pools, codegen warmup, shuffle setup)
 # so the timing measures the query, not JVM cold start
 from pyspark.sql import functions as _F
 spark.range(1_000_000).repartition({cores}).groupBy(_F.col("id") % 7).count().count()
+startup = round(time.time() - t_init, 3)
 t0 = time.time()
 n = bench_queries()[{name!r}](spark, {sf_dir!r}).count()
-print("RESULT", {name!r}, n, round(time.time() - t0, 3))
+cold = round(time.time() - t0, 3)
+warm = ""
+# short queries are dominated by per-session first-use costs (Arrow/
+# pandas-UDF init, codegen compiles); re-run once in the same session
+# for the steady-state number. Long queries: cold ~= steady already.
+if cold < {warm_cutoff}:
+    release_all()
+    t1 = time.time()
+    n2 = bench_queries()[{name!r}](spark, {sf_dir!r}).count()
+    assert n2 == n, (n, n2)
+    warm = round(time.time() - t1, 3)
+print("RESULT", {name!r}, n, cold, warm if warm != "" else "-", startup)
 """
 
 
-def _run_query_isolated(name: str, sf_dir: str, cores: int) -> tuple[int, float]:
+def _run_query_isolated(
+    name: str, sf_dir: str, cores: int, warm_cutoff: float = 20.0
+) -> tuple[int, float, float | None, float]:
     """One query per fresh subprocess/JVM — the way a real spark-submit
     job runs. A single long-lived local session degrades several-fold
     after a few heavy queries (accumulated listener/broadcast/codegen
-    state), which corrupts every measurement after the first two."""
+    state), which corrupts every measurement after the first two.
+    -> (rows, cold_sec, warm_sec | None, jvm_startup_sec)."""
     import subprocess
 
     code = _QUERY_CHILD.format(repo=str(Path(__file__).resolve().parent),
-                               cores=cores, name=name, sf_dir=sf_dir)
+                               cores=cores, name=name, sf_dir=sf_dir,
+                               warm_cutoff=warm_cutoff)
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     if res.returncode != 0:
         print(res.stderr[-2000:], file=sys.stderr, flush=True)
         raise RuntimeError(f"bench query {name} failed")
     line = [ln for ln in res.stdout.splitlines() if ln.startswith("RESULT")][-1]
-    _, _, n, secs = line.split()
-    return int(n), float(secs)
+    _, _, n, cold, warm, startup = line.split()
+    return int(n), float(cold), (None if warm == "-" else float(warm)), float(startup)
 
 
 def main():
@@ -123,10 +141,20 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
     timings: dict[str, float] = {}
+    cold_secs: dict[str, float] = {}
+    startups: list[float] = []
     for name in bench_queries():
-        n, secs = _run_query_isolated(name, sf_dir, cores)
-        timings[name] = secs
-        print(f"# {name}: {n} rows in {secs}s", file=sys.stderr, flush=True)
+        n, cold, warm, startup = _run_query_isolated(name, sf_dir, cores)
+        # steady-state number where measured (short queries re-run in
+        # the same session; cold includes per-session first-use costs
+        # like Arrow/pandas-UDF init and codegen compiles)
+        timings[name] = warm if warm is not None else cold
+        cold_secs[name] = cold
+        startups.append(startup)
+        print(f"# {name}: {n} rows, cold {cold}s"
+              + (f", warm {warm}s" if warm is not None else "")
+              + f" (jvm+session startup {startup}s)",
+              file=sys.stderr, flush=True)
 
     # realistic-workload pipeline bench on synthetic transcripts, also
     # in a fresh subprocess/JVM
@@ -170,6 +198,12 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold_sec": cold_secs,
+        "jvm_startup_sec": round(sorted(startups)[len(startups) // 2], 3),
+        "timing_note": (
+            "queries = steady-state (2nd run in-session) when the cold run "
+            "was <20s, else cold; per-query fresh JVM; startup excluded"
+        ),
         "sf": sf,
         "pipeline_turns": n_turns,
         "pipeline_candidate_pairs": int(n_cand),

@@ -191,22 +191,22 @@ def _lsh_buckets(
     )
 
 
-def lsh_topk(
+def _lsh_scored_candidates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 4,
-    dim: int | None = None,
-    seed: int = 42,
+    n_planes: int,
+    n_tables: int,
+    dim: int | None,
+    seed: int,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates = pairs sharing a bucket
-    in >= 1 of ``n_tables`` hyperplane hash tables; exact cosine rerank
-    (numpy over Arrow batches). -> (query_id, neighbor_id, cosine,
-    rank). The bucket equi-join replaces the O(N^2) cross join; pair
-    dedup happens on the id pair alone, with vectors re-joined after —
-    never shuffled as part of a distinct key."""
+    """Shared LSH candidate+score stage: pairs sharing a bucket in
+    >= 1 of ``n_tables`` hyperplane hash tables, exact cosine computed
+    on each (numpy over Arrow batches). -> (query_id, neighbor_id,
+    cosine), both orientations, no ranking. The bucket equi-join
+    replaces the O(N^2) cross join; pair dedup happens on the id pair
+    alone, with vectors re-joined after — never shuffled as part of a
+    distinct key."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -223,12 +223,28 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = (
+    return (
         cand.repartition(n_part, "query_id", "neighbor_id")
         .join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")), "query_id")
         .join(base.select(F.col("id").alias("neighbor_id"), F.col("_v").alias("_nv")), "neighbor_id")
         .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: LSH bucket candidates + exact cosine
+    rerank. -> (query_id, neighbor_id, cosine, rank)."""
+    scored = _lsh_scored_candidates(df, id_col, vec_col, n_planes, n_tables, dim, seed)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -244,12 +260,18 @@ def embedding_neardup(
     n_planes: int = 8, n_tables: int = 4, seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates +
-    exact verify. -> (l_id, r_id, cosine)."""
-    dim = len(df.select(vec_col).first()[0])
-    pairs = lsh_topk(df, id_col, vec_col, k=1_000_000, n_planes=n_planes,
-                     n_tables=n_tables, dim=dim, seed=seed)
+    exact verify. -> (l_id, r_id, cosine).
+
+    Applies ``cosine >= threshold`` directly on the shared candidate
+    stage — no top-k ``row_number`` window. The window version sorted
+    every candidate per query, and on a skewed bucket (many collisions
+    on one query id) that per-query sort becomes one hot task; a plain
+    filter stays embarrassingly parallel."""
+    scored = _lsh_scored_candidates(df, id_col, vec_col, n_planes, n_tables, None, seed)
     return (
-        pairs.where((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        scored.where(
+            (F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
+        )
         .select(
             F.col("query_id").alias("l_id"),
             F.col("neighbor_id").alias("r_id"),

@@ -8,10 +8,20 @@ running many joins the persisted frames would otherwise accumulate
 executor storage indefinitely.
 
 Every internal ``persist`` therefore goes through :func:`track`, and
-callers (bench, the pipeline between stages, user sessions between
-joins) release them with :func:`release_all` — or scope a block of
-work with :func:`scoped_caches`, which releases on exit. Releasing is
-always safe: an unpersisted DataFrame silently recomputes.
+callers release them with :func:`release_all` — or, preferably, scope
+a block of work with :func:`scoped_caches`, which releases only the
+caches tracked inside the block.
+
+Release timing: releasing AFTER the DataFrames that consumed a
+tracked frame have been materialized (collected / written) is safe —
+downstream recompute just redoes work. Releasing while a join result
+that references a tracked frame is still LAZY forces each plan branch
+to recompute it independently; since the round-3 determinism fixes
+(data-derived ``__gid`` = min member id, data-derived ``tid`` dense
+rank in build_token_ranks) the recomputed values are identical, so
+this costs time, not correctness — but prefer :func:`scoped_caches`
+so one caller cannot drop caches belonging to unrelated in-flight
+joins in the same session.
 """
 
 from __future__ import annotations
@@ -36,7 +46,9 @@ def track(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> 
 
 def release_all() -> int:
     """Unpersist every tracked DataFrame; returns how many were
-    released. Safe at any point — downstream plans recompute."""
+    released. Downstream plans recompute (deterministically — see
+    module docstring), but this drops caches session-wide including
+    ones belonging to other in-flight work; prefer scoped_caches."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()

@@ -8,6 +8,8 @@ column with NaNs becomes float; converting back to str must yield
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,7 +40,9 @@ def series_to_str(series, inplace: bool = False):
     def conv(v):
         if v is None or (isinstance(v, float) and v != v):
             return None
-        if isinstance(v, float) and v == int(v):
+        # isfinite guard: int(inf) raises OverflowError, and the
+        # integrality check below would evaluate it
+        if isinstance(v, float) and math.isfinite(v) and v == int(v):
             return str(int(v))
         return str(v)
 

@@ -66,26 +66,46 @@ def tokenize_table(df: DataFrame, key_attr: str, join_attr: str, tokenizer: Toke
 
 def build_token_ranks(tok_dfs: list[DataFrame]) -> DataFrame:
     """Global document-frequency table (token, cnt, tid) across all
-    inputs. ``tid`` is an integer id whose ordering equals the global
-    rarity order (cnt asc, token asc) — assigned scalably by
-    range-partitioning on (cnt, token), sorting within partitions, and
-    taking ``monotonically_increasing_id`` (partition index is the high
-    bits, so ids are globally monotone w.r.t. the range order; no
-    single-partition window anywhere).
+    inputs. ``tid`` is the 0-based dense rank in the global rarity
+    order (cnt asc, token asc) and is a DETERMINISTIC function of the
+    data: an earlier version range-partitioned on (cnt, token) and took
+    ``monotonically_increasing_id``, but RangePartitioner's sampled
+    boundaries (seeded by the runtime rdd id) can differ between two
+    materializations of the same plan, so a cache-evicted branch could
+    re-derive DIFFERENT tids than its sibling and silently mis-join.
+
+    Deterministic scheme: sub-bucket tokens by a 2-char prefix — a
+    prefix is order-consistent, so sorting by (cnt, pb, token) equals
+    sorting by (cnt, token) — rank within each (cnt, pb) partition,
+    and add per-bucket offsets cumulated over the small (cnt, pb)
+    histogram. The only global step is the cumulative-sum window over
+    the histogram (|distinct cnt| x |prefixes| rows — metadata-sized
+    even at 100 TB); token rows themselves never pass through a single
+    partition, and the heavy cnt=1 tail is split ~65k ways by prefix.
 
     Integer token ids matter: Spark's ``array_intersect`` has a
     primitive fast path — measured 3.2s vs 81.7s (strings) on 1.8M
     verify pairs — and int join keys shuffle smaller.
     """
+    from pyspark.sql import Window
+
     ex = reduce(
         DataFrame.unionAll,
         [t.select(F.explode("toks").alias("token")) for t in tok_dfs],
     )
-    counts = ex.groupBy("token").agg(F.count("*").alias("cnt"))
+    counts = ex.groupBy("token").agg(F.count("*").alias("cnt")).withColumn(
+        "_pb", F.substring("token", 1, 2)
+    )
+    hist = counts.groupBy("cnt", "_pb").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("cnt", "_pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "cnt", "_pb", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rn = Window.partitionBy("cnt", "_pb").orderBy("token")
     return (
-        counts.repartitionByRange("cnt", "token")
-        .sortWithinPartitions("cnt", "token")
-        .withColumn("tid", F.monotonically_increasing_id())
+        counts.join(offsets, ["cnt", "_pb"])
+        .withColumn("tid", F.col("_off") + F.row_number().over(w_rn) - 1)
+        .drop("_pb", "_off")
     )
 
 
@@ -146,11 +166,20 @@ def canonical_set_key(tokenizer: Tokenizer, col: Column) -> Column:
     """Canonical token-SET key: set-similarity measures depend only on
     the token set, so two strings with equal sets are interchangeable
     — a strictly coarser (more collapsing) dedup key than the raw
-    string. Any member string is a valid representative. The size
-    prefix disambiguates the \\x00 joiner for tokens that themselves
-    contain NUL (pathological but cheap to guard)."""
+    string. Any member string is a valid representative.
+
+    Each token is netstring-encoded (``<len>:<token>``) before
+    joining, which makes the key injective over token sets even for
+    tokens containing the joiner byte: the length prefix makes every
+    token self-delimiting, so the concatenation decodes unambiguously.
+    (A bare ``\\x00`` join collapsed e.g. {'a\\x00b','c'} and
+    {'a','b\\x00c'} — distinct sets, same key — into one dedup group,
+    emitting false similarity-1.0 pairs.)"""
     toks = tokenizer.with_return_set(True).spark_expr(col)
-    return F.concat_ws("\x00", F.size(toks).cast("string"), F.array_sort(toks))
+    enc = F.transform(
+        toks, lambda t: F.concat(F.length(t).cast("string"), F.lit(":"), t)
+    )
+    return F.concat_ws("\x00", F.array_sort(enc))
 
 
 def resolve_dedup(
@@ -203,8 +232,13 @@ def string_dedup_maps(
     deterministic across retries.
 
     -> (l_reps(__gid, __val), r_reps, l_map(__gid, __oid), r_map).
-    Reps are persisted: ``monotonically_increasing_id`` is stable only
-    within one materialization, and prep + map must see the same gids.
+    ``__gid`` is the MIN member record id of the group — a
+    deterministic function of the data (unique because key attrs are
+    unique), so the reps branch and the map branch of one plan always
+    agree on gids even if a cached block is lost and lineage recomputes
+    (``monotonically_increasing_id`` gave different ids per
+    materialization — silently wrong pairs on recompute). The persist
+    is now purely a performance choice.
 
     At 100 TB this is the dominant optimization for duplicate-heavy
     corpora (boilerplate docs, catalog names): filter-verify cost
@@ -218,8 +252,9 @@ def string_dedup_maps(
             key.alias("__k"), F.col(attr).alias("__v"), F.col(key_attr).alias("__oid")
         )
         reps = track(
-            keyed.groupBy("__k").agg(F.min("__v").alias("__val"))
-            .withColumn("__gid", F.monotonically_increasing_id())
+            keyed.groupBy("__k").agg(
+                F.min("__v").alias("__val"), F.min("__oid").alias("__gid")
+            )
         )
         mp = keyed.join(reps.select("__k", "__gid"), "__k").select("__gid", "__oid")
         return reps.select("__gid", "__val"), mp
@@ -325,6 +360,32 @@ def build_salt_map(ranks: DataFrame, salt_cap: int, key_col: str = "tid") -> Dat
     )
 
 
+def apply_salt(
+    ex_l: DataFrame, ex_r: DataFrame, salt_map: DataFrame | None
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Apply the deterministic hot-token salt to the exploded prefix
+    frames: the left row of a hot token goes to one salt bucket
+    (pmod of its id hash), the right rows replicate across all salts —
+    no lost pairs, and the hot posting list splits ``nsalts`` ways.
+    -> (ex_l, ex_r, join_keys)."""
+    if salt_map is None:
+        return ex_l, ex_r, ["token"]
+    sm = F.broadcast(salt_map)
+    ex_l = (
+        ex_l.join(sm, "token", "left")
+        .withColumn("nsalts", F.coalesce("nsalts", F.lit(1)))
+        .withColumn("salt", F.pmod(F.xxhash64("l_id"), F.col("nsalts")).cast("int"))
+        .drop("nsalts")
+    )
+    ex_r = (
+        ex_r.join(sm, "token", "left")
+        .withColumn("nsalts", F.coalesce("nsalts", F.lit(1)))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("nsalts") - 1)))
+        .drop("nsalts")
+    )
+    return ex_l, ex_r, ["token", "salt"]
+
+
 def candidate_pairs(
     ex_l: DataFrame,
     ex_r: DataFrame,
@@ -339,23 +400,7 @@ def candidate_pairs(
     """Equi-join the exploded prefixes on token (+ optional salt),
     apply size-bound and position-bound residual predicates, and
     project distinct (l_id, r_id)."""
-    if salt_map is not None:
-        sm = F.broadcast(salt_map)
-        ex_l = (
-            ex_l.join(sm, "token", "left")
-            .withColumn("nsalts", F.coalesce("nsalts", F.lit(1)))
-            .withColumn("salt", F.pmod(F.xxhash64("l_id"), F.col("nsalts")).cast("int"))
-            .drop("nsalts")
-        )
-        ex_r = (
-            ex_r.join(sm, "token", "left")
-            .withColumn("nsalts", F.coalesce("nsalts", F.lit(1)))
-            .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("nsalts") - 1)))
-            .drop("nsalts")
-        )
-        join_keys = ["token", "salt"]
-    else:
-        join_keys = ["token"]
+    ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
 
     lo, hi = size_bounds_expr(F.col("l_size"), measure, threshold)
     cond = F.col("r_size").between(lo, hi)

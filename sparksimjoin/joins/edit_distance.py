@@ -107,7 +107,13 @@ def edit_distance_join(
     )
 
     # short-record branch: records with <= q*band grams can defeat the
-    # prefix pigeonhole -> pair them with everything in the length band
+    # prefix pigeonhole -> pair them with everything in the length
+    # band. Joined on an exploded size-bucket key (the SizeFilter
+    # pattern): each short row is replicated across its <= 2*band+1
+    # admissible sizes and equi-joined on the exact size — a plain
+    # shuffle hash join. A crossJoin+filter here would broadcast the
+    # short side and go quasi-cartesian on short-string corpora (e.g.
+    # names with q=2, k=3, where most records are "short").
     min_grams = q * band + 1
     shorts_l = prep_l.where(F.col("size") < min_grams).select(
         F.col("id").alias("l_id"), F.col("size").alias("l_size")
@@ -117,11 +123,21 @@ def edit_distance_join(
     )
     all_l = prep_l.select(F.col("id").alias("l_id"), F.col("size").alias("l_size"))
     all_r = prep_r.select(F.col("id").alias("r_id"), F.col("size").alias("r_size"))
-    band_pred = F.abs(F.col("l_size") - F.col("r_size")) <= F.lit(band)
+
+    def _band_sizes(size_col):
+        return F.explode(
+            F.sequence(F.greatest(size_col - band, F.lit(0)), size_col + band)
+        )
+
     short_cand = (
-        F.broadcast(shorts_l).crossJoin(all_r).where(band_pred)
-        .unionAll(all_l.crossJoin(F.broadcast(shorts_r)).where(band_pred))
+        shorts_l.withColumn("__bsz", _band_sizes(F.col("l_size")))
+        .join(all_r.withColumn("__bsz", F.col("r_size")), "__bsz")
         .select("l_id", "r_id")
+        .unionAll(
+            all_l.withColumn("__bsz", F.col("l_size"))
+            .join(shorts_r.withColumn("__bsz", _band_sizes(F.col("r_size"))), "__bsz")
+            .select("l_id", "r_id")
+        )
     )
     if self_join:
         short_cand = short_cand.where(F.col("l_id") < F.col("r_id"))

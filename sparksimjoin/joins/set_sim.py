@@ -18,6 +18,7 @@ with Spark-specific extras keyword-only:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import filter_math as fm
 from ..tokenizers import Tokenizer
@@ -69,7 +70,19 @@ def set_sim_join(
     dense_id: bool = False,
     position_filter: bool = True,
     dedup_strings: bool | str = "auto",
+    stop_token_cap: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
+    """``stop_token_cap``: tokens whose document frequency exceeds the
+    cap are excluded from the BLOCKING keys (never from verification).
+    LOSSY: a pair whose only shared prefix token is a stop token is
+    missed, so the cap must sit far above correctness-relevant
+    frequencies — off by default; the dropped-token count is reported
+    through ``metrics_out`` (no silent caps). Most relevant for
+    OVERLAP_COEFFICIENT, whose prefix is the FULL token set (no sound
+    record-local prefix exists for that measure), so one hot token in
+    every record makes candidate volume quadratic; a cap restores
+    sub-quadratic blocking at a bounded, observable recall cost."""
     # n_jobs / show_progress are accepted for drop-in compatibility
     # with the reference signature and ignored: Spark's partitioning
     # subsumes the joblib split (SURVEY.md §2.2 #29) and progress is
@@ -104,6 +117,18 @@ def set_sim_join(
         )
     ex_l = prefix_explode(prep_l, "l", measure, threshold)
     ex_r = prefix_explode(prep_r, "r", measure, threshold)
+    if stop_token_cap:
+        stop = ranks.where(F.col("cnt") > stop_token_cap).select(
+            F.col("tid").alias("token")
+        )
+        n_stop = stop.count()
+        if metrics_out is not None:
+            metrics_out["stop_token_cap"] = stop_token_cap
+            metrics_out["dropped_stop_tokens"] = int(n_stop)
+        if n_stop:
+            stop_b = F.broadcast(stop)
+            ex_l = ex_l.join(stop_b, "token", "left_anti")
+            ex_r = ex_r.join(stop_b, "token", "left_anti")
     salt_map = build_salt_map(ranks, salt_cap) if salt_cap else None
     cand = candidate_pairs(
         ex_l, ex_r, measure, threshold,
@@ -170,6 +195,16 @@ jaccard_join = _make(fm.JACCARD)
 cosine_join = _make(fm.COSINE)
 dice_join = _make(fm.DICE)
 overlap_coefficient_join = _make(fm.OVERLAP_COEFFICIENT)
+overlap_coefficient_join.__doc__ = """Overlap-coefficient join.
+
+SCALE WARNING: overlap(x,y)/min(|x|,|y|) admits no sound record-local
+prefix (a tiny record can reach the threshold through any of a huge
+record's tokens), so blocking must use the FULL token set
+(filter_math.py prefix-length note) — candidate volume approaches the
+full inverted-index join and one ubiquitous token makes it quadratic.
+At scale pass ``stop_token_cap`` (lossy, documented on set_sim_join;
+dropped-token count via ``metrics_out``) or pre-filter boilerplate
+tokens upstream."""
 
 
 def overlap_join(

@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cache import release_all
+from .cache import scoped_caches
 from .checkpoint import CheckpointManager
 from .clustering import CCStats, connected_components
 from .filter_math import JACCARD
@@ -89,7 +89,20 @@ def run_pipeline(
     stores stages as Iceberg tables under the ``workdir`` namespace."""
     cfg = config or PipelineConfig()
     ckpt = CheckpointManager(spark, workdir, fmt=checkpoint_format)
+    # scoped_caches (not a global release_all): every stage is durably
+    # checkpointed before the scope exits, so releasing the caches
+    # tracked INSIDE this run is safe — while caches belonging to
+    # unrelated in-flight joins in the same session are left alone
+    with scoped_caches():
+        return _run_stages(spark, transcripts, cfg, ckpt)
 
+
+def _run_stages(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    ckpt: CheckpointManager,
+) -> DataFrame:
     records = ckpt.get_or_compute("records", lambda: prepare_records(transcripts),
                                   inputs=["transcripts"])
 
@@ -161,12 +174,7 @@ def run_pipeline(
             )
         )
 
-    clusters = ckpt.get_or_compute("clusters", _clusters, inputs=["scored", "records"])
-    # every stage is durably checkpointed by now — drop the internal
-    # caches (e.g. connected_components' node set) so back-to-back
-    # pipeline runs in one session don't accumulate executor storage
-    release_all()
-    return clusters
+    return ckpt.get_or_compute("clusters", _clusters, inputs=["scored", "records"])
 
 
 def pairwise_f1(

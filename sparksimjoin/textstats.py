@@ -22,7 +22,9 @@ _EN_STOP = LANG_STOPWORDS["en"]
 
 
 def _tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    # same Unicode-whitespace class as WhitespaceTokenizer (Python
+    # str.split() semantics) so token counts agree with the join path
+    return F.filter(F.split(F.lower(col), r"(?U)[\s\x1c-\x1f]+"), lambda x: x != "")
 
 
 def token_count(col: Column) -> Column:

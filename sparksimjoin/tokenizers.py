@@ -106,8 +106,11 @@ class WhitespaceTokenizer(Tokenizer):
         # non-ASCII whitespace (NBSP, U+2028, ideographic space, ...)
         # that the Python twin's str.split() treats as separators;
         # ASCII \s+ alone would tokenize non-ASCII input differently
-        # from the oracle/filter_pair path
-        arr = F.filter(F.split(col, r"(?U)\s+"), lambda x: x != "")
+        # from the oracle/filter_pair path. \x1c-\x1f (file/group/
+        # record/unit separators) are added explicitly: Python's
+        # str.split() treats them as whitespace but they lack the
+        # Unicode White_Space property, so (?U)\s misses them.
+        arr = F.filter(F.split(col, r"(?U)[\s\x1c-\x1f]+"), lambda x: x != "")
         return self._maybe_set_sql(arr)
 
 

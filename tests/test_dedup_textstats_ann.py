@@ -189,3 +189,28 @@ def test_minhash_dedup_sets_equivalent(spark, docs):
                                       dedup_sets=False).collect()}
     assert on == off
     assert on[(0, 1)] == 1.0
+
+
+def test_embedding_neardup_no_window(spark):
+    """embedding_neardup applies the threshold directly on the shared
+    LSH candidate stage — no per-query row_number Window (which made a
+    skewed bucket's per-query sort one hot task). Exercised on a
+    skew-adversarial fixture: near-identical vectors that all collide
+    into one bucket per table."""
+    import numpy as np
+
+    from sparksimjoin.ann import embedding_neardup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = [
+        (i, (base + 0.01 * rng.standard_normal(16)).tolist()) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_neardup(df, "vec_id", "embedding", threshold=0.99)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    # all pairs are near-identical (cosine ~0.999+) and share buckets
+    assert len(got) == 80 * 79 // 2
+    assert all(l < r for l, r in got)

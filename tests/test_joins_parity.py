@@ -332,3 +332,91 @@ def test_dedup_strings_random_equivalence(spark, seed):
                                       dedup_strings=False, **kw))
     _assert_match(on, truth, f"dedup=True vs naive seed={seed}")
     _assert_match(off, truth, f"dedup=False vs naive seed={seed}")
+
+
+def test_edit_short_record_corpus(spark):
+    """Short-string corpus (most records defeat the q*k+1 prefix
+    pigeonhole): the short-record branch must stay lossless AND join
+    on the size-bucket key — no cartesian/broadcast-NL plan, which is
+    quasi-quadratic when 'short' records are the majority."""
+    import pandas as pd
+
+    rng = __import__("random").Random(11)
+    names = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 5)))
+        for _ in range(120)
+    ]
+    pdf = pd.DataFrame({"id": range(120), "name": names})
+    df = spark.createDataFrame(pdf)
+    out = edit_distance_join(df, df, "id", "id", "name", "name", 3,
+                             self_join=True, dedup_strings=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = _collect_pairs(out)
+    expected = _expected_pairs(
+        naive_edit_distance_join(pdf, pdf, "id", "id", "name", "name", 3,
+                                 self_join=True)
+    )
+    _assert_match(got, expected, "short-record EDIT@3")
+
+
+def test_salt_splits_hot_posting_list(spark, tables):
+    """Beyond pair equality: the salt map must actually SPLIT the hot
+    posting list — the max per-join-key group on the salted left side
+    is strictly below the unsalted hot-token group (max-task evidence
+    for the skew fixture: one token at many times the cap)."""
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.joins.core import (
+        apply_salt,
+        build_salt_map,
+        prefix_explode,
+        prepare_sides,
+    )
+
+    rows = [(i, f"hot uniq{i}") for i in range(200)]  # 'hot' in every row
+    df = spark.createDataFrame(rows, "id long, name string")
+    tok = WhitespaceTokenizer().with_return_set(True)
+    prep_l, prep_r, ranks = prepare_sides(df, df, "id", "id", "name", "name", tok)
+    ex_l = prefix_explode(prep_l, "l", "JACCARD", 0.3)
+    ex_r = prefix_explode(prep_r, "r", "JACCARD", 0.3)
+    cap = 16
+    salt_map = build_salt_map(ranks, cap)
+    unsalted_max = (
+        ex_l.groupBy("token").count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    s_l, s_r, keys = apply_salt(ex_l, ex_r, salt_map)
+    salted_max = (
+        s_l.groupBy(*keys).count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    assert keys == ["token", "salt"]
+    assert unsalted_max >= 200  # the hot token dominates unsalted
+    # ceil(cnt/cap) salts -> each bucket is ~cap-sized, far below 200
+    assert salted_max <= 2 * cap
+    assert salted_max < unsalted_max
+
+
+def test_stop_token_cap(spark, tables):
+    """A cap above every real doc frequency is a no-op (identical
+    output); a low cap reports the dropped tokens through metrics_out
+    and only ever removes pairs (lossy-subset, never additive)."""
+    a, b = tables
+    tok = WhitespaceTokenizer()
+    plain = _collect_pairs(
+        overlap_coefficient_join(a, b, "id", "id", "name", "name", tok, 0.5)
+    )
+    m_hi: dict = {}
+    hi = _collect_pairs(
+        overlap_coefficient_join(a, b, "id", "id", "name", "name", tok, 0.5,
+                                 stop_token_cap=1_000_000, metrics_out=m_hi)
+    )
+    assert hi == plain
+    assert m_hi == {"stop_token_cap": 1_000_000, "dropped_stop_tokens": 0}
+    m_lo: dict = {}
+    lo = _collect_pairs(
+        overlap_coefficient_join(a, b, "id", "id", "name", "name", tok, 0.5,
+                                 stop_token_cap=3, metrics_out=m_lo)
+    )
+    assert m_lo["dropped_stop_tokens"] > 0
+    assert set(lo) <= set(plain)

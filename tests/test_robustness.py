@@ -113,3 +113,78 @@ def test_exact_dedup_hot_text_no_window(spark):
     assert all(got[i] == 0 for i in range(500))
     assert got[1000] == 1000 and got[2000] == 2000
     assert len(got) == 551
+
+
+def test_canonical_set_key_injective(spark):
+    """Netstring token encoding keeps the dedup key injective for
+    tokens containing the NUL joiner: {'a\\x00b','c'} vs
+    {'a','b\\x00c'} are distinct sets and must not collapse into one
+    dedup group (which emitted false similarity-1.0 pairs)."""
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.joins.core import canonical_set_key
+
+    df = spark.createDataFrame([(1, "a\x00b c"), (2, "a b\x00c")], SCHEMA)
+    keys = df.select(canonical_set_key(WS, F.col("name")).alias("k")).collect()
+    assert keys[0]["k"] != keys[1]["k"]
+    # end-to-end: forced dedup must not pair them at similarity 1.0
+    out = jaccard_join(df, df, "id", "id", "name", "name", WS, 0.999,
+                       self_join=True, dedup_strings=True)
+    assert out.count() == 0
+
+
+def test_token_ranks_deterministic(spark):
+    """tid must be a deterministic function of the data — equal to the
+    dense 0-based rank by (cnt, token) — and identical across two
+    independent materializations with different input partitioning
+    (the monotonically_increasing_id version could diverge between a
+    plan's branches after cache loss and silently mis-join)."""
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.joins.core import build_token_ranks, tokenize_table
+
+    rows = [(i, f"w{i % 7} common w{i % 3} x{i}") for i in range(100)]
+    df1 = spark.createDataFrame(rows, SCHEMA).repartition(8)
+    df2 = spark.createDataFrame(list(reversed(rows)), SCHEMA).repartition(3)
+    got1 = {
+        r["token"]: (r["cnt"], r["tid"])
+        for r in build_token_ranks([tokenize_table(df1, "id", "name", WS)]).collect()
+    }
+    got2 = {
+        r["token"]: (r["cnt"], r["tid"])
+        for r in build_token_ranks([tokenize_table(df2, "id", "name", WS)]).collect()
+    }
+    assert got1 == got2
+    # dense rank in (cnt, token) order, 0-based
+    expected_order = sorted(got1, key=lambda t: (got1[t][0], t))
+    assert [got1[t][1] for t in expected_order] == list(range(len(got1)))
+
+
+def test_dedup_gid_deterministic(spark):
+    """__gid is the min member record id — data-derived, not a
+    materialization artifact."""
+    from sparksimjoin.joins.core import string_dedup_maps
+
+    df = spark.createDataFrame(
+        [(5, "x"), (3, "x"), (9, "y"), (1, "y"), (7, "z")], SCHEMA
+    )
+    _, _, mp, _ = string_dedup_maps(df, df, "id", "id", "name", "name")
+    groups = {}
+    for r in mp.collect():
+        groups.setdefault(r["__gid"], set()).add(r["__oid"])
+    assert set(groups) == {3, 1, 7}
+    for gid, members in groups.items():
+        assert gid == min(members)
+
+
+def test_series_to_str_non_finite():
+    """inf/-inf must render, not raise OverflowError in the
+    integrality check; NaN stays missing."""
+    import pandas as pd
+
+    from sparksimjoin.converter import series_to_str
+
+    s = pd.Series([1.0, 2.5, float("inf"), float("-inf"), float("nan"), None])
+    got = series_to_str(s).tolist()
+    assert got[:4] == ["1", "2.5", "inf", "-inf"]
+    assert got[4] is None and got[5] is None

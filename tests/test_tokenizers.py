@@ -70,3 +70,25 @@ def test_with_return_set_roundtrip():
     s = t.with_return_set(True)
     assert s.qval == 3 and s.padding is False and s.return_set is True
     assert s.with_return_set(True) is s
+
+
+def test_ws_oracle_regex_matches_python_split():
+    """The DuckDB oracle's explicit whitespace class (RE2 \\s is
+    ASCII-only) must split exactly like Python str.split() — i.e. like
+    the engine's WhitespaceTokenizer — on every Unicode whitespace
+    codepoint including \\x1c-\\x1f."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    ws_chars = [c for c in map(chr, range(0x11000)) if c.isspace()]
+    probe = "a" + "".join(f"{c}t{i}" for i, c in enumerate(ws_chars))
+    got = duckdb.sql(
+        "SELECT list_filter(string_split_regex(?, ?), x -> x <> '')",
+        params=[probe, entry._WS_RE],
+    ).fetchone()[0]
+    assert got == probe.split()
+    # and a non-separator control char must NOT split
+    assert duckdb.sql(
+        "SELECT string_split_regex(?, ?)", params=["a\x00b", entry._WS_RE]
+    ).fetchone()[0] == ["a\x00b"]
