@@ -51,21 +51,54 @@ print(json.dumps({{"cores": cores, "n_conv": n_conv, "n_turns": n_turns,
 """
 
 
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def run(cores: int, n_conv: int) -> dict:
     code = CHILD.format(repo=str(REPO), cores=cores, n_conv=n_conv)
     env = dict(os.environ)
+    pre = _load1()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env, check=True
     )
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    r = json.loads(line)
+    r["load1_pre"], r["load1_post"] = pre, _load1()
+    return r
+
+
+def run_best(cores: int, n_conv: int, attempts: int, quiet_load: float) -> tuple[dict, list]:
+    """This sandbox host is shared and co-tenant load swings measured
+    times up to 40x (observed: the same local[8] leg at 89.5s and
+    1110.8s an hour apart). Contention only ever SLOWS a leg, so the
+    min over repeated attempts estimates the uncontended time; an
+    attempt that both starts and ends under ``quiet_load`` (beyond our
+    own run) is accepted early."""
+    best = None
+    all_runs = []
+    for i in range(attempts):
+        r = run(cores, n_conv)
+        all_runs.append(r)
+        print(f"  attempt {i + 1} local[{cores}]: {r['sec']}s "
+              f"(load1 pre={r['load1_pre']} post={r['load1_post']})", flush=True)
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+        # our own child has exited, so post-load ~= co-tenant load;
+        # cores/4 allows scheduler-residual from our finished run
+        if r["load1_pre"] <= quiet_load and r["load1_post"] <= quiet_load + cores / 4:
+            break
+    return best, all_runs
 
 
 def main():
     n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    r8 = run(8, n_conv)
+    attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
+    quiet = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "3.0"))
+    r8, all8 = run_best(8, n_conv, attempts, quiet)
     print("local[8]:", r8)
-    r32 = run(32, n_conv)
+    r32, all32 = run_best(32, n_conv, attempts, quiet)
     print("local[32]:", r32)
     eff = (r32["cand_per_sec"] / r8["cand_per_sec"]) / 4
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
@@ -88,6 +121,8 @@ def main():
             f"| {r8['sec']} | {r32['sec']} | {r8['cand_per_sec']} "
             f"| {r32['cand_per_sec']} | {eff:.3f} |\n"
         )
+    print(f"all local[8] attempts: {[r['sec'] for r in all8]}")
+    print(f"all local[32] attempts: {[r['sec'] for r in all32]}")
     print(f"efficiency (8->32 cores, /4): {eff:.3f}  -> appended to {md}")
 
 

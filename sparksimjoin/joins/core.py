@@ -399,8 +399,24 @@ def candidate_pairs(
 ) -> DataFrame:
     """Equi-join the exploded prefixes on token (+ optional salt),
     apply size-bound and position-bound residual predicates, and
-    project distinct (l_id, r_id)."""
+    project distinct (l_id, r_id).
+
+    The join inputs are explicitly repartitioned to the session
+    parallelism: exploded prefix rows are NARROW (tens of bytes), so
+    AQE's byte-based coalescing collapses the planner-inserted join
+    exchanges to a handful of tasks — and the join's OUTPUT expansion
+    (posting-list × posting-list, often 10x+ the input bytes) plus the
+    residual predicates and map-side pair dedup then run nearly
+    serially. An explicit numbered repartition on the join keys is
+    reused by EnsureRequirements and is exempt from AQE coalescing
+    (REPARTITION_BY_NUM), keeping the expansion at full parallelism —
+    observed as the candidates stage pinning at ~45s regardless of
+    8 vs 32 cores before this."""
+    spark = ex_l.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
+    ex_l = ex_l.repartition(n_part, *join_keys)
+    ex_r = ex_r.repartition(n_part, *join_keys)
 
     lo, hi = size_bounds_expr(F.col("l_size"), measure, threshold)
     cond = F.col("r_size").between(lo, hi)
@@ -414,6 +430,11 @@ def candidate_pairs(
         cond = cond & (F.col("l_id") < F.col("r_id"))
     if extra_predicate is not None:
         cond = cond & extra_predicate
+    # distinct() keeps its planner shape: the partial (map-side) dedup
+    # runs inside the join stage at the parallelism fixed above, and
+    # the final agg over already-deduped pairs is cheap even when AQE
+    # coalesces it; CPU-heavy consumers (verify, levenshtein)
+    # re-spread explicitly on the pair key themselves
     return ex_l.join(ex_r, join_keys).where(cond).select("l_id", "r_id").distinct()
 
 

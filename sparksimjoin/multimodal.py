@@ -54,7 +54,13 @@ def decode_features(media: DataFrame, feat_dim: int = 8, strict: bool = False) -
     """mapInPandas decode/feature-extract stage. ``strict=True``
     raises NotImplementedError at the decode call site (the honest
     behavior without codec libs); default uses the deterministic fake
-    so the distributed plumbing is testable end-to-end."""
+    so the distributed plumbing is testable end-to-end.
+
+    DEPLOYMENT NOTE: on real media, run with ``strict=True`` until a
+    real decoder is plugged in at the marked call site — the default
+    fake produces hash-derived pseudo-features that are only useful
+    for exercising the pipeline, and silently treating them as real
+    image/audio features would corrupt any downstream model."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
