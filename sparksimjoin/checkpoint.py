@@ -118,12 +118,30 @@ class CheckpointManager:
             return json.load(f)
 
     def _partition_counts(self, written: DataFrame) -> dict[str, int]:
+        """Per-file row counts for the manifest lineage (Iceberg path:
+        one metadata-ish aggregation over the table)."""
         return {
             os.path.basename(r["f"]): r["rows"]
             for r in written.groupBy(F.input_file_name().alias("f"))
             .agg(F.count("*").alias("rows"))
             .collect()
         }
+
+    @staticmethod
+    def _partition_counts_from_footers(path: str) -> dict[str, int]:
+        """Per-file row counts straight from the parquet footers — no
+        Spark job and no data re-read. The full-scan alternative
+        (read-back + groupBy(input_file_name)) re-reads every stage's
+        entire output just to count rows; at scale that doubles
+        checkpoint I/O, and in the sandbox it added ~1s of fixed
+        driver-synchronized latency per stage."""
+        import pyarrow.parquet as pq
+
+        out = {}
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                out[name] = pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+        return out
 
     def write(self, df: DataFrame, name: str, inputs: list[str] | None = None,
               extra: dict | None = None) -> DataFrame:
@@ -150,7 +168,7 @@ class CheckpointManager:
         shutil.rmtree(final, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
         written = self.spark.read.parquet(tmp)
-        per_file = self._partition_counts(written)
+        per_file = self._partition_counts_from_footers(tmp)
         manifest = self._build_manifest(name, per_file, inputs, extra, t0, written)
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)

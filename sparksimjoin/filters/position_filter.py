@@ -66,9 +66,12 @@ class PositionFilter(Filter):
         return True
 
     def _survivor_pairs(self, prep_l, prep_r, ranks) -> DataFrame:
+        from ..joins.core import AUTO_SALT_CAP, build_salt_map
+
         ex_l = prefix_explode(prep_l, "l", self.sim_measure_type, self.threshold)
         ex_r = prefix_explode(prep_r, "r", self.sim_measure_type, self.threshold)
-        pairs = candidate_pairs(ex_l, ex_r, self.sim_measure_type, self.threshold)
+        pairs = candidate_pairs(ex_l, ex_r, self.sim_measure_type, self.threshold,
+                                salt_map=build_salt_map(ranks, AUTO_SALT_CAP))
         if self.allow_empty:
             el = prep_l.where(F.col("size") == 0).select(F.col("id").alias("l_id"))
             er = prep_r.where(F.col("size") == 0).select(F.col("id").alias("r_id"))

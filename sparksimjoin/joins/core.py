@@ -345,6 +345,19 @@ def prefix_explode(
     )
 
 
+# default hot-token split threshold: an unsplit join cell is at most
+# cap^2 = 262k expansion rows (sub-second), a split token's cells are
+# at most cap*cnt rows each, and the replication overhead per hot
+# token is cnt/cap r-side copies — negligible against its cnt^2-ish
+# cell volume. Salting is MANDATORY skew defense here because the
+# candidate join pins its exchanges with REPARTITION_BY_NUM (to beat
+# AQE's small-byte coalescing), which also opts out of AQE's runtime
+# skew-join splitting — without the salt one ubiquitous token's cell
+# serializes the whole stage (observed: 325s-of-375s candidates stage
+# on 8 cores at salt_cap=10k).
+AUTO_SALT_CAP = 512
+
+
 def build_salt_map(ranks: DataFrame, salt_cap: int, key_col: str = "tid") -> DataFrame:
     """Tokens whose doc frequency exceeds ``salt_cap`` get
     ``nsalts = ceil(cnt / salt_cap)`` splits. The result is tiny
@@ -386,6 +399,23 @@ def apply_salt(
     return ex_l, ex_r, ["token", "salt"]
 
 
+def resolve_position_mode(measure: str, threshold: float) -> str:
+    """Threshold-adaptive choice between the occurrence-level and
+    accumulated (PPJoin) position bounds: aggregate only when the
+    prefix is short (<= 25% of a 100-token record), i.e. when the
+    required overlap is high enough for the accumulated bound to
+    prune hard — otherwise the pair-grouping aggregation over the
+    unfiltered prefix-join stream costs more than the verify work it
+    saves (see candidate_pairs docstring)."""
+    from ..filter_math import OVERLAP, prefix_length_py
+
+    if measure == OVERLAP:
+        # overlap's prefix length is size - t + 1: its selectivity
+        # depends on absolute sizes, not a fraction — stay occurrence
+        return "occurrence"
+    return "aggregate" if prefix_length_py(100, measure, threshold) <= 25 else "occurrence"
+
+
 def candidate_pairs(
     ex_l: DataFrame,
     ex_r: DataFrame,
@@ -396,6 +426,7 @@ def candidate_pairs(
     salt_map: DataFrame | None = None,
     extra_predicate: Column | None = None,
     position_filter: bool = True,
+    position_mode: str = "occurrence",
 ) -> DataFrame:
     """Equi-join the exploded prefixes on token (+ optional salt),
     apply size-bound and position-bound residual predicates, and
@@ -411,16 +442,50 @@ def candidate_pairs(
     reused by EnsureRequirements and is exempt from AQE coalescing
     (REPARTITION_BY_NUM), keeping the expansion at full parallelism —
     observed as the candidates stage pinning at ~45s regardless of
-    8 vs 32 cores before this."""
+    8 vs 32 cores before this.
+
+    ``position_mode`` selects how the PPJoin position bound is applied:
+
+    - ``"occurrence"`` (filters' documented semantics): a pair
+      survives if ANY shared prefix-token occurrence satisfies
+      ``1 + min(s1 - lpos, s2 - rpos) >= req``; pairs are then
+      ``distinct()``-ed.
+    - ``"aggregate"`` (the joins' candidate path): the shared
+      prefix-token occurrences of each pair are accumulated —
+      ``o_p = |shared prefix tokens|`` with the min/max matching
+      positions — and the pair survives only if BOTH upper bounds on
+      the total overlap reach ``req``::
+
+          o_p + min(s1 - lp_max, s2 - rp_max) >= req
+          1   + min(s1 - lp_min, s2 - rp_min) >= req
+
+      Losslessness: both token arrays are sorted in the same global
+      order, so the shared prefix tokens appear in the same relative
+      order on both sides (max/min positions belong to the same
+      token), and any common token ranked below the last shared
+      prefix token necessarily lies inside BOTH prefixes (hence is
+      counted in o_p); tokens above it number at most
+      ``min(s1 - lp_max, s2 - rp_max)``. Set-semantics only (each
+      shared token contributes exactly one join row) — bag-tokenized
+      edit distance stays on ``"occurrence"``.
+
+      This is the classic PPJoin accumulated bound and it is the big
+      candidate-volume lever: on the 2,000-word transcripts workload
+      the occurrence bound passes ~9.7M pairs into exact verification
+      of which only ~3.8k survive; the accumulated bound removes most
+      of that gap before the expensive stage.
+    """
     spark = ex_l.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert position_mode in ("occurrence", "aggregate"), position_mode
     ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
     ex_l = ex_l.repartition(n_part, *join_keys)
     ex_r = ex_r.repartition(n_part, *join_keys)
 
     lo, hi = size_bounds_expr(F.col("l_size"), measure, threshold)
     cond = F.col("r_size").between(lo, hi)
-    if position_filter:
+    use_agg = position_filter and position_mode == "aggregate"
+    if position_filter and not use_agg:
         req = overlap_threshold_expr(F.col("l_size"), F.col("r_size"), measure, threshold, qval)
         bound = 1 + F.least(
             F.col("l_size") - F.col("l_pos"), F.col("r_size") - F.col("r_pos")
@@ -430,12 +495,34 @@ def candidate_pairs(
         cond = cond & (F.col("l_id") < F.col("r_id"))
     if extra_predicate is not None:
         cond = cond & extra_predicate
+    joined = ex_l.join(ex_r, join_keys).where(cond)
+    if use_agg:
+        agg = joined.groupBy("l_id", "r_id").agg(
+            F.count(F.lit(1)).alias("_op"),
+            F.min("l_pos").alias("_lpmin"),
+            F.min("r_pos").alias("_rpmin"),
+            F.max("l_pos").alias("_lpmax"),
+            F.max("r_pos").alias("_rpmax"),
+            F.max("l_size").alias("_s1"),
+            F.max("r_size").alias("_s2"),
+        )
+        req = overlap_threshold_expr(F.col("_s1"), F.col("_s2"), measure, threshold, qval)
+        ub_last = F.col("_op") + F.least(
+            F.col("_s1") - F.col("_lpmax"), F.col("_s2") - F.col("_rpmax")
+        )
+        ub_first = 1 + F.least(
+            F.col("_s1") - F.col("_lpmin"), F.col("_s2") - F.col("_rpmin")
+        )
+        return (
+            agg.where((ub_last.cast("double") >= req) & (ub_first.cast("double") >= req))
+            .select("l_id", "r_id")
+        )
     # distinct() keeps its planner shape: the partial (map-side) dedup
     # runs inside the join stage at the parallelism fixed above, and
     # the final agg over already-deduped pairs is cheap even when AQE
     # coalesces it; CPU-heavy consumers (verify, levenshtein)
     # re-spread explicitly on the pair key themselves
-    return ex_l.join(ex_r, join_keys).where(cond).select("l_id", "r_id").distinct()
+    return joined.select("l_id", "r_id").distinct()
 
 
 def verify_pairs(

@@ -8,8 +8,12 @@ with Spark-specific extras keyword-only:
 
 - ``self_join``: dedupe symmetric pairs (emit l_id < r_id only) when
   joining a table with itself — the canonical dedup/ER mode.
-- ``salt_cap``: explicit salting of hot blocking tokens (see
-  joins/core.build_salt_map); None -> rely on AQE skew handling.
+- ``salt_cap``: threshold for splitting hot blocking tokens (see
+  joins/core.build_salt_map); None -> AUTO_SALT_CAP. Salting is
+  always on: the candidate join pins its exchange parallelism
+  (REPARTITION_BY_NUM), which opts out of AQE's runtime skew
+  splitting, so the engine's own deterministic salt is the skew
+  defense.
 - ``dense_id``: reference emits dense 0..n-1 ``_id``; we default to
   ``monotonically_increasing_id`` (documented deviation; dense only in
   small-scale parity tests).
@@ -39,6 +43,7 @@ from .core import (
     prepare_sides,
     project_output,
     resolve_dedup,
+    resolve_position_mode,
     string_dedup_maps,
     verify_pairs,
 )
@@ -129,10 +134,24 @@ def set_sim_join(
             stop_b = F.broadcast(stop)
             ex_l = ex_l.join(stop_b, "token", "left_anti")
             ex_r = ex_r.join(stop_b, "token", "left_anti")
-    salt_map = build_salt_map(ranks, salt_cap) if salt_cap else None
+    # salting is always on (AUTO_SALT_CAP default): the pinned-
+    # parallelism candidate join opts out of AQE skew splitting, so
+    # hot blocking tokens must be split here (lossless,
+    # property-tested); salt_cap overrides the threshold
+    from .core import AUTO_SALT_CAP
+
+    salt_map = build_salt_map(ranks, salt_cap or AUTO_SALT_CAP)
+    # position-bound mode is threshold-adaptive: the accumulated
+    # (PPJoin) bound prunes hard when prefixes are short (high
+    # threshold) but costs a full pair-grouping aggregation over the
+    # UNFILTERED prefix-join stream; at low thresholds (long
+    # prefixes) the bound is weak — measured on 12k transcripts at
+    # t=0.6: a 33M-row/20M-group agg bought only a 9.7M->5.6M
+    # candidate cut — so the cheap occurrence filter wins there
     cand = candidate_pairs(
         ex_l, ex_r, measure, threshold,
         self_join=self_join, salt_map=salt_map, position_filter=position_filter,
+        position_mode=resolve_position_mode(measure, threshold),
     )
     pairs = verify_pairs(cand, prep_l, prep_r, measure, threshold, comp_op)
 

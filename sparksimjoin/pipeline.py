@@ -35,6 +35,7 @@ from .joins.core import (
     candidate_pairs,
     order_tokens,
     prefix_explode,
+    resolve_position_mode,
     verify_pairs,
 )
 from .tokenizers import Tokenizer, WhitespaceTokenizer
@@ -46,7 +47,10 @@ class PipelineConfig:
     threshold: float = 0.7
     comp_op: str = ">="
     tokenizer: Tokenizer = WhitespaceTokenizer()
-    salt_cap: int | None = 10_000
+    # hot-token split threshold; None -> joins/core.AUTO_SALT_CAP.
+    # Salting is always on: the pinned-parallelism candidate join
+    # opts out of AQE skew splitting (joins/core.candidate_pairs)
+    salt_cap: int | None = None
     # tokens with doc frequency above this cap are excluded from the
     # BLOCKING join keys (never from verification). Lossy: a pair whose
     # only shared prefix token is a stop token is missed — so the cap
@@ -123,13 +127,11 @@ def _run_stages(
     def _candidates() -> DataFrame:
         ex_l = prefix_explode(tokens, "l", cfg.measure, cfg.threshold)
         ex_r = prefix_explode(tokens, "r", cfg.measure, cfg.threshold)
-        ranks = None
-        if cfg.salt_cap or cfg.stop_token_cap:
-            ranks = (
-                tokens.select(F.explode("tokens").alias("token"))
-                .groupBy("token")
-                .agg(F.count("*").alias("cnt"))
-            )
+        ranks = (
+            tokens.select(F.explode("tokens").alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+        )
         if cfg.stop_token_cap:
             stop = ranks.where(F.col("cnt") > cfg.stop_token_cap).select("token")
             n_stop = stop.count()
@@ -139,11 +141,12 @@ def _run_stages(
                 stop_b = F.broadcast(stop)
                 ex_l = ex_l.join(stop_b, "token", "left_anti")
                 ex_r = ex_r.join(stop_b, "token", "left_anti")
-        salt_map = None
-        if cfg.salt_cap:
-            salt_map = build_salt_map(ranks, cfg.salt_cap, key_col="token")
+        from .joins.core import AUTO_SALT_CAP
+
+        salt_map = build_salt_map(ranks, cfg.salt_cap or AUTO_SALT_CAP, key_col="token")
         return candidate_pairs(
-            ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map
+            ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map,
+            position_mode=resolve_position_mode(cfg.measure, cfg.threshold),
         )
 
     candidates = ckpt.get_or_compute(

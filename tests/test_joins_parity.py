@@ -420,3 +420,45 @@ def test_stop_token_cap(spark, tables):
     )
     assert m_lo["dropped_stop_tokens"] > 0
     assert set(lo) <= set(plain)
+
+
+def test_aggregate_position_mode_lossless(spark, tables):
+    """The accumulated (PPJoin) position bound must be a strict
+    refinement: aggregate-mode candidates are a subset of
+    occurrence-mode candidates, and every truly-matching pair
+    survives (the naive-parity suite covers the end product; this
+    pins the containment at the candidate stage)."""
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.joins.core import (
+        candidate_pairs,
+        prefix_explode,
+        prepare_sides,
+    )
+    from sparksimjoin.naive import naive_set_sim_join
+
+    a, b = tables
+    tok = WhitespaceTokenizer().with_return_set(True)
+    prep_l, prep_r, _ = prepare_sides(a, b, "id", "id", "name", "name", tok)
+    for thr in (0.3, 0.6, 0.8):
+        ex_l = prefix_explode(prep_l, "l", "JACCARD", thr)
+        ex_r = prefix_explode(prep_r, "r", "JACCARD", thr)
+        occ = {
+            (r["l_id"], r["r_id"])
+            for r in candidate_pairs(ex_l, ex_r, "JACCARD", thr).collect()
+        }
+        agg = {
+            (r["l_id"], r["r_id"])
+            for r in candidate_pairs(
+                ex_l, ex_r, "JACCARD", thr, position_mode="aggregate"
+            ).collect()
+        }
+        true_pairs = {
+            (lid, rid)
+            for lid, rid, _ in naive_set_sim_join(
+                A_PDF, B_PDF, "id", "id", "name", "name",
+                WhitespaceTokenizer(), thr, "JACCARD", allow_empty=False
+            )
+        }
+        assert agg <= occ, f"thr={thr}: aggregate added pairs"
+        assert true_pairs <= agg, f"thr={thr}: aggregate lost true pairs"
