@@ -923,7 +923,7 @@ SELECT media_id, kind,
        array_to_string(list_transform(range(8), i ->
          printf('%.6f', CAST(CAST(CAST(('0x' || substr(sha, CAST(2*i+1 AS INT), 2)) AS INT) / 255.0 AS REAL) AS DOUBLE))
        ), ',') AS features,
-       'ok' AS decode_status
+       'stub_sha256' AS decode_status
 FROM h
 """,
         "frame_sample_doc": """

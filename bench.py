@@ -63,6 +63,44 @@ def _q_edit(s, d):
                               2, self_join=True)
 
 
+def _zipf_skew_corpus(spark, n_rows: int = 16000, vocab: int = 4000):
+    """Deterministic adversarial-skew corpus (round-3 verdict item 4):
+    7 log-uniform (~Zipf(1)) tokens per record plus one ubiquitous
+    'hot' token in every other record (~50%). Generated with Column
+    exprs over spark.range — fully distributed, no driver data."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_rows)
+    toks = []
+    for k in range(7):
+        h = F.xxhash64(F.col("id"), F.lit(k))
+        u = ((h % 1000000) + 1000000) % 1000000 / 1000000.0
+        toks.append(
+            F.concat(F.lit("w"), F.floor(F.pow(F.lit(float(vocab)), u)).cast("string"))
+        )
+    text = F.concat_ws(" ", *toks)
+    text = F.when(F.col("id") % 2 == 0, F.concat(F.lit("hot "), text)).otherwise(text)
+    return df.select("id", text.alias("text"))
+
+
+def _q_overlap_coeff_zipf(s, d, salt_cap=None):
+    """OVERLAP_COEFFICIENT blocks on the FULL token set (no sound
+    prefix exists for the measure), so the ubiquitous 'hot' token's
+    posting list — ~8k x 8k join cells — hits the candidate join head
+    on. This is the workload where the mandatory hot-token salt is
+    the measured lever: pass salt_cap=10**9 for the unsalted contrast
+    (no token exceeds the cap -> single hot cell, one straggler task).
+    """
+    from sparksimjoin import overlap_coefficient_join
+
+    corpus = _zipf_skew_corpus(s)
+    kw = {"salt_cap": salt_cap} if salt_cap else {}
+    return overlap_coefficient_join(
+        corpus, corpus, "id", "id", "text", "text", WS, 0.8,
+        self_join=True, allow_empty=False, dedup_strings=False, **kw,
+    )
+
+
 def bench_queries():
     return {
         "jaccard_doc_t95": _q_jaccard,
@@ -80,6 +118,7 @@ def bench_queries():
             s.read.parquet(f"{d}/embeddings.parquet"), "vec_id", "embedding", k=3
         ),
         "text_stats_doc": lambda s, d: text_stats(_docs(s, d), "doc_id", "text"),
+        "overlap_coeff_zipf_skew": _q_overlap_coeff_zipf,
     }
 
 

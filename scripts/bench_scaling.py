@@ -106,6 +106,14 @@ def main():
     cores_4n = int(sys.argv[3]) if len(sys.argv) > 3 else cores_n * 4
     attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
     quiet = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "3.0"))
+    # memory-bandwidth probe BEFORE the legs (round-3 verdict item 1):
+    # measures the box's DRAM ceiling at both thread counts so the
+    # pipeline's scaling ratio can be read against the hardware's
+    sys.path.insert(0, str(REPO / "scripts"))
+    from bench_membw import probe
+
+    bw = probe(sorted({cores_n, cores_4n, 8, 32}))
+    print(f"membw probe: {json.dumps(bw)}", flush=True)
     r8, all8 = run_best(cores_n, n_conv, attempts, quiet)
     print(f"local[{cores_n}]:", r8)
     r32, all32 = run_best(cores_4n, n_conv, attempts, quiet)
@@ -131,6 +139,14 @@ def main():
             f"| {stamp}{cfg} | {n_conv} | {r8['n_turns']} | {r8['candidates']} "
             f"| {r8['sec']} | {r32['sec']} | {r8['cand_per_sec']} "
             f"| {r32['cand_per_sec']} | {eff:.3f} |\n"
+        )
+        g = bw["gbps"]
+        bw_n, bw_4n = g[str(cores_n)], g[str(cores_4n)]
+        f.write(
+            f"  - membw probe ({stamp}): stream-add GB/s by threads "
+            f"{json.dumps(g)}; probe scaling {cores_n}->{cores_4n} = "
+            f"{bw_4n / bw_n:.2f}x (eff {bw_4n / bw_n / (cores_4n / cores_n):.3f}); "
+            f"pipeline eff this row = {eff:.3f}\n"
         )
     print(f"all local[8] attempts: {[r['sec'] for r in all8]}")
     print(f"all local[32] attempts: {[r['sec'] for r in all32]}")

@@ -184,7 +184,12 @@ class CheckpointManager:
             "wall_time_sec": round(time.time() - t0, 3),
             "schema": written.schema.simpleString(),
         }
-        manifest.update(extra or {})
+        # callable extras are resolved HERE, after the stage's write
+        # action has run — lets stages report Observation-collected
+        # metrics (e.g. dropped stop tokens) without a separate job
+        manifest.update(
+            {k: (v() if callable(v) else v) for k, v in (extra or {}).items()}
+        )
         return manifest
 
     def get_or_compute(

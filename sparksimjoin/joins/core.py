@@ -64,6 +64,110 @@ def tokenize_table(df: DataFrame, key_attr: str, join_attr: str, tokenizer: Toke
     )
 
 
+class LazyObservedMetric:
+    """Int-like proxy over a ``pyspark.sql.Observation`` metric: the
+    value is collected by Spark as a side effect of the join's OWN
+    action (no separate count job at plan-construction time — the old
+    eager ``stop.count()`` added a driver-synchronized job per capped
+    join). Resolves on first numeric access; reading it BEFORE any
+    action has materialized the observed plan raises RuntimeError.
+    """
+
+    def __init__(self, observation, key: str):
+        self._obs = observation
+        self._key = key
+
+    def resolve(self) -> int:
+        try:
+            return int(self._obs.get[self._key])
+        except Exception as e:  # pragma: no cover - defensive
+            raise RuntimeError(
+                f"observed metric {self._key!r} has not fired — run an "
+                "action on the join output before reading metrics_out"
+            ) from e
+
+    def __int__(self) -> int:
+        return self.resolve()
+
+    __index__ = __int__
+
+    def __eq__(self, other) -> bool:
+        return self.resolve() == other
+
+    def __lt__(self, other) -> bool:
+        return self.resolve() < other
+
+    def __le__(self, other) -> bool:
+        return self.resolve() <= other
+
+    def __gt__(self, other) -> bool:
+        return self.resolve() > other
+
+    def __ge__(self, other) -> bool:
+        return self.resolve() >= other
+
+    def __hash__(self):
+        return hash(self.resolve())
+
+    def __repr__(self) -> str:
+        return f"LazyObservedMetric({self._key})"
+
+
+class LazyCountMetric:
+    """Int-like proxy that runs a (cheap, usually cache-backed) count
+    job ON DEMAND — nothing is paid unless the metric is read. Used
+    where an Observation cannot survive the optimizer: AQE's
+    empty-relation propagation eliminates branches that materialize
+    empty (e.g. the allow_empty cross join when there are no empty
+    records) together with any CollectMetrics node inside them."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._val: int | None = None
+
+    def resolve(self) -> int:
+        if self._val is None:
+            self._val = int(self._df.count())
+        return self._val
+
+    __int__ = LazyObservedMetric.__int__
+    __index__ = LazyObservedMetric.__index__
+    __eq__ = LazyObservedMetric.__eq__
+    __lt__ = LazyObservedMetric.__lt__
+    __le__ = LazyObservedMetric.__le__
+    __gt__ = LazyObservedMetric.__gt__
+    __ge__ = LazyObservedMetric.__ge__
+    __hash__ = LazyObservedMetric.__hash__
+
+    def __repr__(self) -> str:
+        return "LazyCountMetric()"
+
+
+def stop_token_frame(ranks: DataFrame, cap: int, key_col: str = "tid"):
+    """-> (broadcastable stop-token frame, Observation) for the lossy
+    ``stop_token_cap`` blocking-key exclusion. The dropped-token count
+    rides the consuming query's OWN action via an Observation (no
+    eager count job). A -1 sentinel row (no real token id is negative)
+    keeps the broadcast non-empty even when NO token exceeds the cap —
+    otherwise AQE's empty-relation propagation deletes the anti-join
+    and the CollectMetrics node with it, and the metric never fires."""
+    from pyspark.sql import Observation
+
+    stop = ranks.where(F.col("cnt") > cap).select(F.col(key_col).alias("token"))
+    obs = Observation()
+    observed = stop.observe(obs, F.count(F.lit(1)).alias("dropped_stop_tokens"))
+    sentinel = (
+        ranks.sparkSession.range(1).select(F.lit(-1).cast("bigint").alias("token"))
+    )
+    return F.broadcast(observed.unionAll(sentinel)), obs
+
+
+# sub-bucket prefix length for the deterministic dense rank below:
+# any length is order-consistent; longer splits a prefix-skewed cnt=1
+# tail harder at the cost of a larger (still sub-token-count) histogram
+RANK_PREFIX_LEN = 3
+
+
 def build_token_ranks(tok_dfs: list[DataFrame]) -> DataFrame:
     """Global document-frequency table (token, cnt, tid) across all
     inputs. ``tid`` is the 0-based dense rank in the global rarity
@@ -74,14 +178,22 @@ def build_token_ranks(tok_dfs: list[DataFrame]) -> DataFrame:
     materializations of the same plan, so a cache-evicted branch could
     re-derive DIFFERENT tids than its sibling and silently mis-join.
 
-    Deterministic scheme: sub-bucket tokens by a 2-char prefix — a
-    prefix is order-consistent, so sorting by (cnt, pb, token) equals
-    sorting by (cnt, token) — rank within each (cnt, pb) partition,
-    and add per-bucket offsets cumulated over the small (cnt, pb)
-    histogram. The only global step is the cumulative-sum window over
-    the histogram (|distinct cnt| x |prefixes| rows — metadata-sized
-    even at 100 TB); token rows themselves never pass through a single
-    partition, and the heavy cnt=1 tail is split ~65k ways by prefix.
+    Deterministic scheme: sub-bucket tokens by a ``RANK_PREFIX_LEN``-
+    char prefix — a prefix is order-consistent, so sorting by
+    (cnt, pb, token) equals sorting by (cnt, token) — rank within
+    each (cnt, pb) partition, and add per-bucket offsets cumulated
+    over the (cnt, pb) histogram. The only global step is the
+    cumulative-sum window over the histogram (at most one row per
+    OBSERVED (cnt, prefix) pair — far below token-row volume); token
+    rows themselves never pass through a single partition.
+
+    Skew caveat: real vocabularies are prefix-skewed (qgram corpora
+    front-load a few hot bigrams), so the cnt=1 tail does NOT split
+    uniformly across prefixes. A 3-char prefix bounds any one
+    row_number partition by the largest single (cnt, 3-char-prefix)
+    cohort, which is orders of magnitude below the full tail; raise
+    ``RANK_PREFIX_LEN`` (still order-consistent at any length) if a
+    profiled vocabulary concentrates further.
 
     Integer token ids matter: Spark's ``array_intersect`` has a
     primitive fast path — measured 3.2s vs 81.7s (strings) on 1.8M
@@ -94,7 +206,7 @@ def build_token_ranks(tok_dfs: list[DataFrame]) -> DataFrame:
         [t.select(F.explode("toks").alias("token")) for t in tok_dfs],
     )
     counts = ex.groupBy("token").agg(F.count("*").alias("cnt")).withColumn(
-        "_pb", F.substring("token", 1, 2)
+        "_pb", F.substring("token", 1, RANK_PREFIX_LEN)
     )
     hist = counts.groupBy("cnt", "_pb").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("cnt", "_pb").rowsBetween(Window.unboundedPreceding, -1)
@@ -251,11 +363,34 @@ def string_dedup_maps(
         keyed = df.where(F.col(attr).isNotNull()).select(
             key.alias("__k"), F.col(attr).alias("__v"), F.col(key_attr).alias("__oid")
         )
-        reps = track(
+        reps0 = track(
             keyed.groupBy("__k").agg(
                 F.min("__v").alias("__val"), F.min("__oid").alias("__gid")
             )
         )
+        # gid uniqueness is only guaranteed when the key attr is
+        # unique (the reference's key contract) — with duplicate key
+        # values two distinct groups can share min(__oid) and
+        # expand_gid_pairs would then cross-contaminate memberships
+        # SILENTLY. Guard in-plan: the collision frame is empty in the
+        # healthy case (broadcast of nothing), and any materialization
+        # of a colliding plan raises instead of emitting wrong pairs.
+        gid_dupes = (
+            reps0.groupBy("__gid")
+            .agg(F.count(F.lit(1)).alias("__gn"))
+            .where(F.col("__gn") > 1)
+        )
+        reps = reps0.join(F.broadcast(gid_dupes), "__gid", "left").withColumn(
+            "__gid",
+            F.when(
+                F.col("__gn").isNotNull(),
+                F.raise_error(F.concat(
+                    F.lit(f"duplicate key values in {key_attr!r}: dedup group id "),
+                    F.col("__gid").cast("string"),
+                    F.lit(" is shared by multiple groups (key attrs must be unique)"),
+                )),
+            ).otherwise(F.col("__gid")),
+        ).drop("__gn")
         mp = keyed.join(reps.select("__k", "__gid"), "__k").select("__gid", "__oid")
         return reps.select("__gid", "__val"), mp
 
@@ -358,6 +493,23 @@ def prefix_explode(
 AUTO_SALT_CAP = 512
 
 
+def resolve_salt_cap(salt_cap: int | None) -> int:
+    """``None`` -> ``AUTO_SALT_CAP``. Salting is mandatory here (the
+    pinned REPARTITION_BY_NUM exchanges opt out of AQE's runtime
+    skew-join splitting), so 0/negative raises instead of silently
+    coercing to the default — the old ``salt_cap or AUTO_SALT_CAP``
+    falsy-coercion made an explicit 0 mean "use the default"."""
+    if salt_cap is None:
+        return AUTO_SALT_CAP
+    if salt_cap <= 0:
+        raise ValueError(
+            "salt_cap must be a positive doc-frequency threshold "
+            "(salting cannot be disabled: pinned exchanges opt out of "
+            f"AQE skew handling); got {salt_cap!r}"
+        )
+    return int(salt_cap)
+
+
 def build_salt_map(ranks: DataFrame, salt_cap: int, key_col: str = "tid") -> DataFrame:
     """Tokens whose doc frequency exceeds ``salt_cap`` get
     ``nsalts = ceil(cnt / salt_cap)`` splits. The result is tiny
@@ -407,11 +559,16 @@ def resolve_position_mode(measure: str, threshold: float) -> str:
     prune hard — otherwise the pair-grouping aggregation over the
     unfiltered prefix-join stream costs more than the verify work it
     saves (see candidate_pairs docstring)."""
-    from ..filter_math import OVERLAP, prefix_length_py
+    from ..filter_math import EDIT_DISTANCE, OVERLAP, prefix_length_py
 
     if measure == OVERLAP:
         # overlap's prefix length is size - t + 1: its selectivity
         # depends on absolute sizes, not a fraction — stay occurrence
+        return "occurrence"
+    if measure == EDIT_DISTANCE:
+        # the accumulated bound assumes set semantics (each shared
+        # token contributes exactly one join row); edit distance is
+        # BAG-tokenized, so the aggregate mode is unsound for it
         return "occurrence"
     return "aggregate" if prefix_length_py(100, measure, threshold) <= 25 else "occurrence"
 
@@ -577,14 +734,31 @@ def empty_pairs(
     threshold: float,
     comp_op: str,
     self_join: bool = False,
+    metrics_out: dict | None = None,
 ) -> DataFrame | None:
     """``allow_empty`` branch: both-sides-empty token sets match with
     similarity 1.0 (``[R] py_stringsimjoin/join/set_sim_join_py.py``
-    empty-set branch)."""
+    empty-set branch).
+
+    SCALE WARNING: this output is QUADRATIC in the number of
+    empty-token-set records — semantics-mandated (every empty pair
+    matches at 1.0), but a 100 TB corpus with millions of
+    empty/whitespace-only docs emits their full cross product. Pass
+    ``allow_empty=False`` (or pre-filter empties) when that product is
+    not wanted; the per-side empty-record counts are surfaced through
+    ``metrics_out['empty_l_records'/'empty_r_records']`` (lazy
+    on-demand counts — no silent quadratic blow-up)."""
     if not COMP_OP_PY[comp_op](1.0, threshold):
         return None
     el = prep_l.where(F.col("size") == 0).select(F.col("id").alias("l_id"))
     er = prep_r.where(F.col("size") == 0).select(F.col("id").alias("r_id"))
+    if metrics_out is not None:
+        # on-demand lazy counts (cache-backed: prep is persisted), not
+        # Observations — when there are no empty records AQE's empty-
+        # relation propagation deletes this whole cross-join branch,
+        # and any CollectMetrics inside it would never fire
+        metrics_out["empty_l_records"] = LazyCountMetric(el)
+        metrics_out["empty_r_records"] = LazyCountMetric(er)
     out = el.crossJoin(er).withColumn("_sim_score", F.lit(1.0))
     if self_join:
         out = out.where(F.col("l_id") < F.col("r_id"))

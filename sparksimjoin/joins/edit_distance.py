@@ -93,9 +93,9 @@ def edit_distance_join(
     prep_l, prep_r, ranks = prepare_sides(vl, vr, vlk, vrk, vla, vra, tok)
     ex_l = prefix_explode(prep_l, "l", EDIT_DISTANCE, band, q)
     ex_r = prefix_explode(prep_r, "r", EDIT_DISTANCE, band, q)
-    from .core import AUTO_SALT_CAP
+    from .core import resolve_salt_cap
 
-    salt_map = build_salt_map(ranks, salt_cap or AUTO_SALT_CAP)
+    salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap))
     # size residual (qgram-count band == string-length band for padded
     # grams) via size_bounds_expr, plus the PPJoin position bound:
     # 1 + min(s1-p1, s2-p2) >= max(s1,s2) - q*k at some matching

@@ -123,24 +123,27 @@ def set_sim_join(
     ex_l = prefix_explode(prep_l, "l", measure, threshold)
     ex_r = prefix_explode(prep_r, "r", measure, threshold)
     if stop_token_cap:
-        stop = ranks.where(F.col("cnt") > stop_token_cap).select(
-            F.col("tid").alias("token")
-        )
-        n_stop = stop.count()
+        from .core import LazyObservedMetric, stop_token_frame
+
+        # dropped-token count rides the join's own action via an
+        # Observation on the broadcast stop list — no separate eager
+        # count job during plan construction (stop_token_frame's
+        # sentinel keeps the anti-join AQE-prune-proof)
+        stop_b, obs = stop_token_frame(ranks, stop_token_cap)
+        ex_l = ex_l.join(stop_b, "token", "left_anti")
+        ex_r = ex_r.join(stop_b, "token", "left_anti")
         if metrics_out is not None:
             metrics_out["stop_token_cap"] = stop_token_cap
-            metrics_out["dropped_stop_tokens"] = int(n_stop)
-        if n_stop:
-            stop_b = F.broadcast(stop)
-            ex_l = ex_l.join(stop_b, "token", "left_anti")
-            ex_r = ex_r.join(stop_b, "token", "left_anti")
+            metrics_out["dropped_stop_tokens"] = LazyObservedMetric(
+                obs, "dropped_stop_tokens"
+            )
     # salting is always on (AUTO_SALT_CAP default): the pinned-
     # parallelism candidate join opts out of AQE skew splitting, so
     # hot blocking tokens must be split here (lossless,
     # property-tested); salt_cap overrides the threshold
-    from .core import AUTO_SALT_CAP
+    from .core import resolve_salt_cap
 
-    salt_map = build_salt_map(ranks, salt_cap or AUTO_SALT_CAP)
+    salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap))
     # position-bound mode is threshold-adaptive: the accumulated
     # (PPJoin) bound prunes hard when prefixes are short (high
     # threshold) but costs a full pair-grouping aggregation over the
@@ -156,7 +159,8 @@ def set_sim_join(
     pairs = verify_pairs(cand, prep_l, prep_r, measure, threshold, comp_op)
 
     if allow_empty and measure != fm.OVERLAP:
-        ep = empty_pairs(prep_l, prep_r, threshold, comp_op, self_join=self_join)
+        ep = empty_pairs(prep_l, prep_r, threshold, comp_op, self_join=self_join,
+                         metrics_out=metrics_out)
         if ep is not None:
             pairs = pairs.unionByName(ep)
     if use_dedup:

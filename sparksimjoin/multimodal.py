@@ -81,7 +81,13 @@ def decode_features(media: DataFrame, feat_dim: int = 8, strict: bool = False) -
                     "features": payloads.map(
                         lambda p: None if p is None else _fake_decode(bytes(p), "", feat_dim)
                     ),
-                    "decode_status": payloads.map(lambda p: "null" if p is None else "ok"),
+                    # 'stub_sha256', never 'ok': the stand-in output
+                    # is self-identifying so hash-derived pseudo-
+                    # features can never be mistaken for real media
+                    # features downstream (a real decoder emits 'ok')
+                    "decode_status": payloads.map(
+                        lambda p: "null" if p is None else "stub_sha256"
+                    ),
                 }
             )
 

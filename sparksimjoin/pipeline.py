@@ -133,17 +133,23 @@ def _run_stages(
             .agg(F.count("*").alias("cnt"))
         )
         if cfg.stop_token_cap:
-            stop = ranks.where(F.col("cnt") > cfg.stop_token_cap).select("token")
-            n_stop = stop.count()
-            cand_extra["stop_token_cap"] = cfg.stop_token_cap
-            cand_extra["dropped_stop_tokens"] = int(n_stop)
-            if n_stop:
-                stop_b = F.broadcast(stop)
-                ex_l = ex_l.join(stop_b, "token", "left_anti")
-                ex_r = ex_r.join(stop_b, "token", "left_anti")
-        from .joins.core import AUTO_SALT_CAP
+            from .joins.core import stop_token_frame
 
-        salt_map = build_salt_map(ranks, cfg.salt_cap or AUTO_SALT_CAP, key_col="token")
+            # dropped-token count rides the stage's checkpoint write
+            # (the action) via an Observation; the callable extra is
+            # resolved by the manifest builder AFTER that action — no
+            # separate eager count job in the capped path
+            stop_b, obs = stop_token_frame(ranks, cfg.stop_token_cap,
+                                           key_col="token")
+            ex_l = ex_l.join(stop_b, "token", "left_anti")
+            ex_r = ex_r.join(stop_b, "token", "left_anti")
+            cand_extra["stop_token_cap"] = cfg.stop_token_cap
+            cand_extra["dropped_stop_tokens"] = (
+                lambda: int(obs.get["dropped_stop_tokens"])
+            )
+        from .joins.core import resolve_salt_cap
+
+        salt_map = build_salt_map(ranks, resolve_salt_cap(cfg.salt_cap), key_col="token")
         return candidate_pairs(
             ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map,
             position_mode=resolve_position_mode(cfg.measure, cfg.threshold),

@@ -192,3 +192,35 @@ def test_series_to_str():
     assert dataframe_column_to_str(df, "x")["x"].tolist() == ["1", "2.5"]
     assert dataframe_column_to_str(df, "x", inplace=True) is None
     assert df["x"].tolist() == ["1", "2.5"]
+
+
+# ------------------------------------------------- salted table modes
+def test_filters_salted_equals_unsalted(spark, monkeypatch):
+    """PrefixFilter/OverlapFilter table modes now salt hot tokens
+    (round-3 verdict: a bare equi-join on one ubiquitous token
+    serializes the stage at scale). Salting must not change the
+    survivor set: the left row of a hot token meets each right row
+    exactly once (l's salt bucket), so distinct()/the per-pair
+    overlap count are unchanged. Fixture: one token in EVERY row at
+    ~19x the patched cap."""
+    import sparksimjoin.joins.core as core
+
+    rows_a = [(i, f"hot uniq{i} x{i % 7}") for i in range(300)]
+    rows_b = [(i, f"hot uniq{i % 50} y{i % 11}") for i in range(300)]
+    a = spark.createDataFrame(rows_a, "id long, name string")
+    b = spark.createDataFrame(rows_b, "id long, name string")
+
+    def run(cls, **kw):
+        f = cls(**kw)
+        return _pairs(f.filter_tables(a, b, "id", "id", "name", "name"))
+
+    for cls, kw in [
+        (PrefixFilter, dict(tokenizer=WS, sim_measure_type="JACCARD", threshold=0.3)),
+        (OverlapFilter, dict(tokenizer=WS, overlap_size=2)),
+    ]:
+        monkeypatch.setattr(core, "AUTO_SALT_CAP", 10**9)  # no token is hot
+        unsalted = run(cls, **kw)
+        monkeypatch.setattr(core, "AUTO_SALT_CAP", 16)  # 'hot' splits ~19 ways
+        salted = run(cls, **kw)
+        assert salted == unsalted, cls.__name__
+        assert len(salted) > 0, cls.__name__

@@ -412,7 +412,8 @@ def test_stop_token_cap(spark, tables):
                                  stop_token_cap=1_000_000, metrics_out=m_hi)
     )
     assert hi == plain
-    assert m_hi == {"stop_token_cap": 1_000_000, "dropped_stop_tokens": 0}
+    assert m_hi["stop_token_cap"] == 1_000_000
+    assert int(m_hi["dropped_stop_tokens"]) == 0
     m_lo: dict = {}
     lo = _collect_pairs(
         overlap_coefficient_join(a, b, "id", "id", "name", "name", tok, 0.5,
@@ -462,3 +463,43 @@ def test_aggregate_position_mode_lossless(spark, tables):
         }
         assert agg <= occ, f"thr={thr}: aggregate added pairs"
         assert true_pairs <= agg, f"thr={thr}: aggregate lost true pairs"
+
+
+def test_stop_token_cap_construction_runs_no_job(spark, tables):
+    """Round-3 verdict item #5: the capped path must not run a
+    separate eager count job at plan-construction time — the dropped-
+    token metric now rides the join's own action via an Observation.
+    Evidence: zero Spark jobs belong to the construction-scoped job
+    group; the metric still resolves (lazily) after the action."""
+    a, b = tables
+    sc = spark.sparkContext
+    sc.setJobGroup("stop_cap_construct", "plan construction must be lazy")
+    try:
+        m: dict = {}
+        out = overlap_coefficient_join(
+            a, b, "id", "id", "name", "name", WhitespaceTokenizer(), 0.5,
+            stop_token_cap=3, metrics_out=m, dedup_strings=False,
+        )
+        construction_jobs = sc.statusTracker().getJobIdsForGroup("stop_cap_construct")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(construction_jobs) == []
+    assert out.count() > 0  # the action that feeds the Observation
+    assert m["stop_token_cap"] == 3
+    assert int(m["dropped_stop_tokens"]) > 0
+
+
+def test_empty_pairs_metrics(spark):
+    """allow_empty emits the cross product of empty-token-set records
+    (semantics-mandated, quadratic at scale): the per-side empty
+    counts must be surfaced through metrics_out — no silent quadratic
+    blow-up (round-3 verdict item #6)."""
+    rows = [(1, "alpha beta"), (2, "   "), (3, ""), (4, "alpha beta")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    m: dict = {}
+    out = jaccard_join(df, df, "id", "id", "name", "name", WhitespaceTokenizer(),
+                       0.8, self_join=True, dedup_strings=False, metrics_out=m)
+    pairs = _collect_pairs(out)
+    assert pairs[(2, 3)] == 1.0  # empty-empty pair matches at sim 1.0
+    assert int(m["empty_l_records"]) == 2
+    assert int(m["empty_r_records"]) == 2

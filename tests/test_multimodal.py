@@ -31,6 +31,16 @@ def test_decode_features_plumbing(spark, media):
     assert out[4]["decode_status"] == "null" and out[4]["features"] is None
 
 
+def test_stub_features_are_marked(spark, media):
+    """strict=False output must be self-identifying: every decoded row
+    carries decode_status='stub_sha256' (NOT 'ok'), so stand-in
+    features can never be silently consumed as real media features."""
+    statuses = {
+        r["decode_status"] for r in decode_features(media).collect() if r["sha256"]
+    }
+    assert statuses == {"stub_sha256"}
+
+
 def test_decode_strict_raises(spark, media):
     import py4j
 

@@ -188,3 +188,66 @@ def test_series_to_str_non_finite():
     got = series_to_str(s).tolist()
     assert got[:4] == ["1", "2.5", "inf", "-inf"]
     assert got[4] is None and got[5] is None
+
+
+def test_resolve_position_mode_guards():
+    """EDIT_DISTANCE is bag-tokenized, so the accumulated (PPJoin)
+    position bound — set-semantics only — must never be selected for
+    it regardless of threshold (round-3 ADVICE: the fractional-prefix
+    branch returned 'aggregate' for small bands)."""
+    from sparksimjoin.filter_math import EDIT_DISTANCE, JACCARD, OVERLAP
+    from sparksimjoin.joins.core import resolve_position_mode
+
+    for t in (0, 1, 2, 5, 12, 30):
+        assert resolve_position_mode(EDIT_DISTANCE, t) == "occurrence"
+    assert resolve_position_mode(OVERLAP, 3) == "occurrence"
+    assert resolve_position_mode(JACCARD, 0.9) == "aggregate"
+    assert resolve_position_mode(JACCARD, 0.3) == "occurrence"
+
+
+def test_salt_cap_zero_rejected(spark, tiny):
+    """salt_cap=0 must raise, not silently coerce to the default (the
+    old `salt_cap or AUTO_SALT_CAP` falsy trap): salting is mandatory
+    because pinned exchanges opt out of AQE skew handling."""
+    import pytest as _pytest
+
+    from sparksimjoin import WhitespaceTokenizer, jaccard_join
+    from sparksimjoin.joins.core import resolve_salt_cap
+
+    assert resolve_salt_cap(None) > 0
+    assert resolve_salt_cap(7) == 7
+    with _pytest.raises(ValueError, match="salt_cap"):
+        resolve_salt_cap(0)
+    with _pytest.raises(ValueError, match="salt_cap"):
+        jaccard_join(tiny, tiny, "id", "id", "name", "name",
+                     WhitespaceTokenizer(), 0.5, salt_cap=0, dedup_strings=False)
+
+
+def test_duplicate_key_gid_collision_raises(spark):
+    """With duplicate key-attr values, min(__oid) group ids can
+    collide across dedup groups and expand_gid_pairs would silently
+    cross-contaminate memberships. The in-plan guard must raise
+    instead (round-3 ADVICE #2)."""
+    import pytest as _pytest
+
+    from sparksimjoin.joins.core import string_dedup_maps
+
+    # key 1 appears under two DIFFERENT join-attr values -> the 'aa'
+    # group and the 'bb' group both get gid min(__oid) = 1
+    rows = [(1, "aa"), (2, "aa"), (1, "bb"), (3, "bb")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    reps, _, mp, _ = string_dedup_maps(df, df, "id", "id", "name", "name")
+    with _pytest.raises(Exception, match="duplicate key"):
+        mp.collect()
+
+
+def test_unique_key_gid_guard_passes(spark):
+    """The collision guard is a no-op on contract-conforming input."""
+    from sparksimjoin.joins.core import string_dedup_maps
+
+    rows = [(1, "aa"), (2, "aa"), (3, "bb")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    reps, _, mp, _ = string_dedup_maps(df, df, "id", "id", "name", "name")
+    assert sorted((r["__gid"], r["__oid"]) for r in mp.collect()) == [
+        (1, 1), (1, 2), (3, 3)
+    ]
