@@ -63,7 +63,7 @@ def _q_edit(s, d):
                               2, self_join=True)
 
 
-def _zipf_skew_corpus(spark, n_rows: int = 16000, vocab: int = 4000):
+def _zipf_skew_corpus(spark, n_rows: int = 48000, vocab: int = 4000):
     """Deterministic adversarial-skew corpus (round-3 verdict item 4):
     7 log-uniform (~Zipf(1)) tokens per record plus one ubiquitous
     'hot' token in every other record (~50%). Generated with Column
@@ -86,8 +86,10 @@ def _zipf_skew_corpus(spark, n_rows: int = 16000, vocab: int = 4000):
 def _q_overlap_coeff_zipf(s, d, salt_cap=None):
     """OVERLAP_COEFFICIENT blocks on the FULL token set (no sound
     prefix exists for the measure), so the ubiquitous 'hot' token's
-    posting list — ~8k x 8k join cells — hits the candidate join head
-    on. This is the workload where the mandatory hot-token salt is
+    posting list — ~24k x 24k = 576M join cells at the default 48k
+    rows — hits the candidate join head on. The salted-vs-unsalted
+    contrast recorded in BENCH/BASELINE.md used a 96k-row corpus
+    (2.3B-cell hot task unsalted): 1.58x / 25s straggler delta. This is the workload where the mandatory hot-token salt is
     the measured lever: pass salt_cap=10**9 for the unsalted contrast
     (no token exceeds the cap -> single hot cell, one straggler task).
     """

@@ -78,6 +78,7 @@ def run(n_conv: int, cores: int, threshold: float, mode: str):
 
 
 def main():
+    sys.path.insert(0, str(REPO))
     from sparksimjoin.joins.core import resolve_position_mode
 
     n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 12000

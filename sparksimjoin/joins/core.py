@@ -552,25 +552,31 @@ def apply_salt(
 
 
 def resolve_position_mode(measure: str, threshold: float) -> str:
-    """Threshold-adaptive choice between the occurrence-level and
-    accumulated (PPJoin) position bounds: aggregate only when the
-    prefix is short (<= 25% of a 100-token record), i.e. when the
-    required overlap is high enough for the accumulated bound to
-    prune hard — otherwise the pair-grouping aggregation over the
-    unfiltered prefix-join stream costs more than the verify work it
-    saves (see candidate_pairs docstring)."""
-    from ..filter_math import EDIT_DISTANCE, OVERLAP, prefix_length_py
+    """Choose between the occurrence-level and accumulated (PPJoin)
+    position bounds. Round-4 measurement (scripts/bench_position_mode
+    .py, 12k transcripts, fresh JVM per cell) overturned the round-3
+    25%-prefix heuristic: the pair-grouping aggregation costs the
+    same as the occurrence filter at the CANDIDATE stage (30.9s vs
+    29.3s at t=0.6 — narrow rows, the shuffle dominates either way)
+    while its tighter bound cuts candidates 9.7M->5.6M at t=0.6 and
+    2.1M->1.6M at t=0.8, and that cut flows straight through the
+    expensive verify stage: cand+verify 159s vs 296s (t=0.6) and 25s
+    vs 86s (t=0.8). Aggregate is therefore the default for every
+    fractional-prefix set measure at every threshold. (The earlier
+    'crossover' had timed only the candidate stage, where the two
+    modes tie.)
 
-    if measure == OVERLAP:
-        # overlap's prefix length is size - t + 1: its selectivity
-        # depends on absolute sizes, not a fraction — stay occurrence
+    OVERLAP stays on occurrence: its prefix is size-t+1 (nearly the
+    whole set), so the unfiltered prefix-join stream the aggregation
+    must group is maximal while its candidate cut is unmeasured.
+    EDIT_DISTANCE stays on occurrence for SOUNDNESS: the accumulated
+    bound assumes set semantics (one join row per shared token) and
+    edit distance is bag-tokenized."""
+    from ..filter_math import EDIT_DISTANCE, OVERLAP
+
+    if measure in (OVERLAP, EDIT_DISTANCE):
         return "occurrence"
-    if measure == EDIT_DISTANCE:
-        # the accumulated bound assumes set semantics (each shared
-        # token contributes exactly one join row); edit distance is
-        # BAG-tokenized, so the aggregate mode is unsound for it
-        return "occurrence"
-    return "aggregate" if prefix_length_py(100, measure, threshold) <= 25 else "occurrence"
+    return "aggregate"
 
 
 def candidate_pairs(

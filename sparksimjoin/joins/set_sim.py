@@ -144,13 +144,12 @@ def set_sim_join(
     from .core import resolve_salt_cap
 
     salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap))
-    # position-bound mode is threshold-adaptive: the accumulated
-    # (PPJoin) bound prunes hard when prefixes are short (high
-    # threshold) but costs a full pair-grouping aggregation over the
-    # UNFILTERED prefix-join stream; at low thresholds (long
-    # prefixes) the bound is weak — measured on 12k transcripts at
-    # t=0.6: a 33M-row/20M-group agg bought only a 9.7M->5.6M
-    # candidate cut — so the cheap occurrence filter wins there
+    # position-bound mode: the accumulated (PPJoin) bound for all
+    # fractional-prefix set measures — measured at both t=0.6 and
+    # t=0.8 its pair-grouping agg costs the same as the occurrence
+    # filter at the candidate stage while the tighter candidate set
+    # (9.7M->5.6M at t=0.6) nearly halves the expensive verify stage
+    # (resolve_position_mode docstring has the numbers)
     cand = candidate_pairs(
         ex_l, ex_r, measure, threshold,
         self_join=self_join, salt_map=salt_map, position_filter=position_filter,

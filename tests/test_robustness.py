@@ -201,8 +201,10 @@ def test_resolve_position_mode_guards():
     for t in (0, 1, 2, 5, 12, 30):
         assert resolve_position_mode(EDIT_DISTANCE, t) == "occurrence"
     assert resolve_position_mode(OVERLAP, 3) == "occurrence"
+    # round-4 measurement: aggregate wins at EVERY threshold for
+    # fractional-prefix measures (scripts/bench_position_mode.py)
     assert resolve_position_mode(JACCARD, 0.9) == "aggregate"
-    assert resolve_position_mode(JACCARD, 0.3) == "occurrence"
+    assert resolve_position_mode(JACCARD, 0.3) == "aggregate"
 
 
 def test_salt_cap_zero_rejected(spark, tiny):
