@@ -566,15 +566,20 @@ def resolve_position_mode(measure: str, threshold: float) -> str:
     'crossover' had timed only the candidate stage, where the two
     modes tie.)
 
-    OVERLAP stays on occurrence: its prefix is size-t+1 (nearly the
-    whole set), so the unfiltered prefix-join stream the aggregation
-    must group is maximal while its candidate cut is unmeasured.
+    OVERLAP (prefix size-t+1) and OVERLAP_COEFFICIENT (prefix = the
+    FULL token set — no sound record-local prefix exists) stay on
+    occurrence: aggregate mode defers the position bound until after
+    the pair-grouping shuffle, so for full/near-full-prefix measures
+    it would group the ENTIRE unfiltered inverted-index join stream —
+    measured as a GC/heartbeat meltdown on the 48k-row Zipf skew
+    corpus (~10B join rows), where the occurrence bound instead
+    discards hot-token occurrences in the join stage itself.
     EDIT_DISTANCE stays on occurrence for SOUNDNESS: the accumulated
     bound assumes set semantics (one join row per shared token) and
     edit distance is bag-tokenized."""
-    from ..filter_math import EDIT_DISTANCE, OVERLAP
+    from ..filter_math import EDIT_DISTANCE, OVERLAP, OVERLAP_COEFFICIENT
 
-    if measure in (OVERLAP, EDIT_DISTANCE):
+    if measure in (OVERLAP, OVERLAP_COEFFICIENT, EDIT_DISTANCE):
         return "occurrence"
     return "aggregate"
 

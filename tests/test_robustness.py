@@ -201,6 +201,12 @@ def test_resolve_position_mode_guards():
     for t in (0, 1, 2, 5, 12, 30):
         assert resolve_position_mode(EDIT_DISTANCE, t) == "occurrence"
     assert resolve_position_mode(OVERLAP, 3) == "occurrence"
+    # full-prefix measure: aggregate would group the whole unfiltered
+    # inverted-index join stream (measured GC meltdown on the skew
+    # corpus) — must stay occurrence
+    from sparksimjoin.filter_math import OVERLAP_COEFFICIENT
+
+    assert resolve_position_mode(OVERLAP_COEFFICIENT, 0.8) == "occurrence"
     # round-4 measurement: aggregate wins at EVERY threshold for
     # fractional-prefix measures (scripts/bench_position_mode.py)
     assert resolve_position_mode(JACCARD, 0.9) == "aggregate"
