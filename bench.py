@@ -249,6 +249,13 @@ def main():
         "pipeline_turns": n_turns,
         "pipeline_candidate_pairs": int(n_cand),
         "candidate_pairs_per_sec": round(n_cand / pipe_sec, 1) if pipe_sec else None,
+        "pipeline_note": (
+            "round 4 switched the candidate stage to the accumulated "
+            "PPJoin bound: ~40% fewer candidates for identical final "
+            "matches (2.37M -> 1.38M at this size), so candidate_pairs"
+            "_per_sec is not comparable to rounds 1-3 — compare "
+            "pipeline wall time instead"
+        ),
         "cores": cores,
     }
     print(json.dumps(out))
