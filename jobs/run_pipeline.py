@@ -11,6 +11,13 @@ Packaging:
   spark-submit --py-files sparksimjoin.zip jobs/run_pipeline.py \
       --input /path/transcripts.parquet --workdir /path/ckpt \
       --output /path/clusters --threshold 0.7
+
+Incremental batches (--base): link ONLY the new batch against the
+completed run at --base, checkpointing under --workdir (which then
+serves as the next batch's --base):
+  spark-submit ... jobs/run_pipeline.py \
+      --input /path/batch42.parquet --base /path/ckpt \
+      --workdir /path/ckpt_b42 --output /path/clusters --threshold 0.7
 """
 
 from __future__ import annotations
@@ -31,6 +38,11 @@ def main(argv=None):
     ap.add_argument("--input", required=True, help="transcripts parquet path or iceberg table")
     ap.add_argument("--workdir", required=True, help="checkpoint root")
     ap.add_argument("--output", required=True, help="clusters output path")
+    ap.add_argument(
+        "--base", default=None,
+        help="completed base run's checkpoint root: incremental mode — link "
+        "--input as a NEW batch against it (sparksimjoin/incremental.py)",
+    )
     ap.add_argument("--measure", default="JACCARD")
     ap.add_argument("--threshold", type=float, default=0.7)
     ap.add_argument("--tokenizer", default="whitespace", choices=["whitespace", "qgram2", "qgram3"])
@@ -57,8 +69,14 @@ def main(argv=None):
         transcripts = spark.read.parquet(args.input)
     else:  # pragma: no cover - iceberg path for real clusters
         transcripts = spark.read.table(args.input)
-    clusters = run_pipeline(spark, transcripts, args.workdir, cfg,
-                            checkpoint_format=args.checkpoint_format)
+    if args.base:
+        from sparksimjoin.incremental import run_incremental
+
+        clusters = run_incremental(spark, transcripts, args.base, args.workdir, cfg,
+                                   checkpoint_format=args.checkpoint_format)
+    else:
+        clusters = run_pipeline(spark, transcripts, args.workdir, cfg,
+                                checkpoint_format=args.checkpoint_format)
     clusters.write.mode("overwrite").parquet(args.output)
     for m in CheckpointManager(spark, args.workdir, fmt=args.checkpoint_format).all_manifests():
         print(json.dumps(m), file=sys.stderr)

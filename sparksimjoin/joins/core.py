@@ -199,15 +199,25 @@ def build_token_ranks(tok_dfs: list[DataFrame]) -> DataFrame:
     primitive fast path — measured 3.2s vs 81.7s (strings) on 1.8M
     verify pairs — and int join keys shuffle smaller.
     """
-    from pyspark.sql import Window
-
     ex = reduce(
         DataFrame.unionAll,
         [t.select(F.explode("toks").alias("token")) for t in tok_dfs],
     )
-    counts = ex.groupBy("token").agg(F.count("*").alias("cnt")).withColumn(
-        "_pb", F.substring("token", 1, RANK_PREFIX_LEN)
-    )
+    counts = ex.groupBy("token").agg(F.count("*").alias("cnt"))
+    return dense_rank_tids(counts)
+
+
+def dense_rank_tids(counts: DataFrame) -> DataFrame:
+    """Assign the deterministic 0-based dense rank ``tid`` in
+    (cnt asc, token asc) order to a ``(token, cnt)`` frame — the
+    distributed sub-bucketed ranking scheme described in
+    :func:`build_token_ranks` (its docstring carries the determinism
+    and skew rationale). Factored out so incremental runs can rank
+    just the UNSEEN tokens of a new batch and append them after a
+    frozen base vocabulary (incremental.py)."""
+    from pyspark.sql import Window
+
+    counts = counts.withColumn("_pb", F.substring("token", 1, RANK_PREFIX_LEN))
     hist = counts.groupBy("cnt", "_pb").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("cnt", "_pb").rowsBetween(Window.unboundedPreceding, -1)
     offsets = hist.select(

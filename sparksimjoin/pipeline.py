@@ -62,6 +62,14 @@ class PipelineConfig:
     max_cc_rounds: int = 50
 
 
+def tokenizer_descriptor(cfg: PipelineConfig) -> str:
+    """Stable textual identity of the configured tokenizer, recorded
+    in the candidates manifest so incremental batches can verify they
+    tokenize the same way the base run did (incremental.py)."""
+    t = cfg.tokenizer
+    return f"{type(t).__name__}:{sorted(vars(t).items())!r}"
+
+
 def prepare_records(transcripts: DataFrame) -> DataFrame:
     """S0: one row per conversation; doc = turn texts joined in
     turn_idx order. array_sort(struct(turn_idx, text)) gives a
@@ -110,28 +118,36 @@ def _run_stages(
     records = ckpt.get_or_compute("records", lambda: prepare_records(transcripts),
                                   inputs=["transcripts"])
 
-    def _tokens() -> DataFrame:
+    def _tok_df() -> DataFrame:
         tok = cfg.tokenizer.with_return_set(True)
-        tok_df = records.select(
+        return records.select(
             F.col("conv_id").alias("id"),
             F.length("doc").alias("strlen"),
             tok.spark_expr(F.col("doc")).alias("toks"),
         ).where(F.col("doc").isNotNull())
-        ranks = build_token_ranks([tok_df])
-        return order_tokens(tok_df, ranks)
 
-    tokens = ckpt.get_or_compute("tokens", _tokens, inputs=["records"])
+    # the (token, cnt, tid) vocabulary is durably checkpointed as its
+    # own stage: incremental batches (incremental.py) need the string
+    # token -> tid mapping to extend a FROZEN base ordering, and it is
+    # not recoverable from the integer token arrays alone. Manifest
+    # `rows` == vocabulary size == max_tid + 1 (tid is a 0-based dense
+    # rank), which is how incremental runs derive the append offset
+    # without an extra driver job.
+    ranks = ckpt.get_or_compute("token_ranks", lambda: build_token_ranks([_tok_df()]),
+                                inputs=["records"])
+    tokens = ckpt.get_or_compute("tokens", lambda: order_tokens(_tok_df(), ranks),
+                                 inputs=["records", "token_ranks"])
 
-    cand_extra = {"measure": cfg.measure, "threshold": cfg.threshold}
+    cand_extra = {"measure": cfg.measure, "threshold": cfg.threshold,
+                  "tokenizer": tokenizer_descriptor(cfg)}
 
     def _candidates() -> DataFrame:
         ex_l = prefix_explode(tokens, "l", cfg.measure, cfg.threshold)
         ex_r = prefix_explode(tokens, "r", cfg.measure, cfg.threshold)
-        ranks = (
-            tokens.select(F.explode("tokens").alias("token"))
-            .groupBy("token")
-            .agg(F.count("*").alias("cnt"))
-        )
+        # tid doc frequencies come straight from the checkpointed
+        # vocabulary (cnt rides along with tid) — the previous
+        # explode+groupBy re-scan of the tokens stage was redundant
+        tid_freq = ranks.select(F.col("tid").alias("token"), "cnt")
         if cfg.stop_token_cap:
             from .joins.core import stop_token_frame
 
@@ -139,7 +155,7 @@ def _run_stages(
             # (the action) via an Observation; the callable extra is
             # resolved by the manifest builder AFTER that action — no
             # separate eager count job in the capped path
-            stop_b, obs = stop_token_frame(ranks, cfg.stop_token_cap,
+            stop_b, obs = stop_token_frame(tid_freq, cfg.stop_token_cap,
                                            key_col="token")
             ex_l = ex_l.join(stop_b, "token", "left_anti")
             ex_r = ex_r.join(stop_b, "token", "left_anti")
@@ -149,14 +165,15 @@ def _run_stages(
             )
         from .joins.core import resolve_salt_cap
 
-        salt_map = build_salt_map(ranks, resolve_salt_cap(cfg.salt_cap), key_col="token")
+        salt_map = build_salt_map(tid_freq, resolve_salt_cap(cfg.salt_cap),
+                                  key_col="token")
         return candidate_pairs(
             ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map,
             position_mode=resolve_position_mode(cfg.measure, cfg.threshold),
         )
 
     candidates = ckpt.get_or_compute(
-        "candidates", _candidates, inputs=["tokens"], extra=cand_extra,
+        "candidates", _candidates, inputs=["tokens", "token_ranks"], extra=cand_extra,
     )
 
     def _scored() -> DataFrame:
