@@ -231,6 +231,33 @@ def q_cc_clusters_doc(spark, sf_dir):
     )
 
 
+def q_incremental_cc_doc(spark, sf_dir):
+    """Incremental linkage gate (sparksimjoin/incremental.py): the
+    documents corpus is split 80/20 by doc_id, run as a base pipeline
+    plus one incremental batch, and hash-compared against the FULL
+    recompute expressed in SQL — a valid oracle because incremental
+    output is exactly equivalent to a full run over the union
+    (frozen token order + contraction seeding; proven in
+    tests/test_incremental.py)."""
+    import tempfile
+
+    from sparksimjoin.incremental import run_incremental
+    from sparksimjoin.pipeline import PipelineConfig, run_pipeline
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    base = d.where(F.col("doc_id") % 10 < 8).drop("doc_id")
+    batch = d.where(F.col("doc_id") % 10 >= 8).drop("doc_id")
+    cfg = PipelineConfig(threshold=0.7)
+    wd = tempfile.mkdtemp(prefix="incq_")
+    run_pipeline(spark, base, f"{wd}/base", cfg)
+    return run_incremental(spark, batch, f"{wd}/base", f"{wd}/inc", cfg)
+
+
 def q_exact_dedup_doc(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return exact_dedup(d, "doc_id", "text")
@@ -396,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_callable_doc": q_matcher_callable_doc,
         "profile_documents": q_profile_documents,
         "cc_clusters_doc": q_cc_clusters_doc,
+        "incremental_cc_doc": q_incremental_cc_doc,
         "exact_dedup_doc": q_exact_dedup_doc,
         "ngram_dedup_part": q_ngram_dedup_part,
         "text_stats_doc": q_text_stats_doc,
@@ -830,6 +858,28 @@ reach(id, comp) AS (
   SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
 )
 SELECT id, min(comp) AS component FROM reach GROUP BY id
+""",
+        # full-recompute oracle for the INCREMENTAL run: incremental
+        # clusters are exactly equivalent to one full run over the
+        # union (incremental.py module docstring), and the pipeline
+        # labels components by min conv_id under STRING ordering, so
+        # the oracle casts doc_id to VARCHAR before taking mins
+        "incremental_cc_doc": f"""
+WITH RECURSIVE {_TOK_DOC},
+edges AS (
+  SELECT CAST(l_id AS VARCHAR) AS src, CAST(r_id AS VARCHAR) AS dst
+  FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.7
+),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+nodes AS (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+)
+SELECT id AS conv_id, min(comp) AS component FROM reach GROUP BY id
 """,
         "exact_dedup_doc": """
 SELECT doc_id AS id,
