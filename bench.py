@@ -216,8 +216,27 @@ def main():
         "n_clusters = clusters.count()\n"
         "pipe_sec = round(time.time() - t0, 3)\n"
         "n_cand = CheckpointManager(spark, wd).manifest('candidates')['rows']\n"
+        "# incremental-batch throughput: link the LAST 10% of convs\n"
+        "# against a base run over the first 90% (incremental.py);\n"
+        "# the base run is an untimed prerequisite, the batch is the\n"
+        "# metric — at 10^12-turn scale the daily unit of work is the\n"
+        "# batch, not the recompute\n"
+        "from sparksimjoin.incremental import run_incremental\n"
+        "from pyspark.sql import functions as SF\n"
+        f"cut = 'conv%08d' % int({N_CONV_BENCH} * 0.9)\n"
+        "base_df = tdf.where(SF.col('conv_id') < cut)\n"
+        "batch_df = tdf.where(SF.col('conv_id') >= cut).cache(); batch_df.count()\n"
+        "wb = tempfile.mkdtemp()\n"
+        "run_pipeline(spark, base_df, wb + '/base', PipelineConfig(threshold=0.6))\n"
+        "t1 = time.time()\n"
+        "inc = run_incremental(spark, batch_df, wb + '/base', wb + '/inc',"
+        " PipelineConfig(threshold=0.6))\n"
+        "inc.count()\n"
+        "inc_sec = round(time.time() - t1, 3)\n"
+        "n_inc_cand = CheckpointManager(spark, wb + '/inc').manifest('candidates')['rows']\n"
         "print(json.dumps({'n_turns': n_turns, 'n_clusters': n_clusters,"
-        " 'pipe_sec': pipe_sec, 'n_cand': n_cand}))\n"
+        " 'pipe_sec': pipe_sec, 'n_cand': n_cand,"
+        " 'inc_sec': inc_sec, 'n_inc_cand': n_inc_cand}))\n"
     )
     import subprocess
 
@@ -225,10 +244,12 @@ def main():
     info = json.loads(res.stdout.strip().splitlines()[-1])
     n_turns, n_clusters = info["n_turns"], info["n_clusters"]
     pipe_sec, n_cand = info["pipe_sec"], info["n_cand"]
+    inc_sec, n_inc_cand = info["inc_sec"], info["n_inc_cand"]
     timings["pipeline_transcripts"] = pipe_sec
     print(
         f"# pipeline: {n_turns} turns, {n_cand} candidates, "
-        f"{n_clusters} cluster rows in {pipe_sec}s",
+        f"{n_clusters} cluster rows in {pipe_sec}s; "
+        f"incremental 10% batch: {n_inc_cand} candidates in {inc_sec}s",
         file=sys.stderr,
         flush=True,
     )
@@ -256,6 +277,14 @@ def main():
             "_per_sec is not comparable to rounds 1-3 — compare "
             "pipeline wall time instead"
         ),
+        # incremental mode: wall time to link a 10% batch against a
+        # completed base run over the other 90% (exact-equivalent to
+        # the full recompute; sparksimjoin/incremental.py). Not part
+        # of bench_total_sec — the full pipeline above already covers
+        # the same corpus
+        "incremental_batch_sec": inc_sec,
+        "incremental_batch_candidates": int(n_inc_cand),
+        "incremental_vs_full_speedup": round(pipe_sec / inc_sec, 2) if inc_sec else None,
         "cores": cores,
     }
     print(json.dumps(out))

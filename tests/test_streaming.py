@@ -83,3 +83,77 @@ def test_batch_writer_idempotent_on_replay(spark, tmp_path):
     out = spark.read.parquet(target)
     assert out.count() == 15
     assert out.where("_epoch = 0").count() == 10
+
+
+def test_streaming_linkage_matches_full_batch(spark, tmp_path):
+    """Continuous linkage: two conversation-complete micro-batches
+    through make_linkage_batch_handler == one full run_pipeline over
+    the union; a replayed epoch is a no-op (same clusters)."""
+    import os
+
+    from sparksimjoin.pipeline import PipelineConfig, run_pipeline
+    from sparksimjoin.streaming import make_linkage_batch_handler
+    from sparksimjoin.checkpoint import CheckpointManager
+
+    cfg = PipelineConfig(threshold=0.6)
+    pdf, _ = make_transcripts(n_conv=120, seed=11)
+    convs = sorted(pdf["conv_id"].unique())
+    cut = set(convs[:80])
+    b1 = spark.createDataFrame(pdf[pdf.conv_id.isin(cut)])
+    b2 = spark.createDataFrame(pdf[~pdf.conv_id.isin(cut)])
+    root = str(tmp_path / "link")
+    handler = make_linkage_batch_handler(root, config=cfg)
+    handler(b1, 0)
+    handler(b2, 1)
+
+    def head_clusters():
+        done = sorted(d for d in os.listdir(root) if d.startswith("batch_"))
+        df = CheckpointManager(spark, os.path.join(root, done[-1])).read("clusters")
+        return sorted((r["conv_id"], r["component"]) for r in df.collect())
+
+    rows_stream = head_clusters()
+    full = run_pipeline(spark, spark.createDataFrame(pdf),
+                        str(tmp_path / "full"), cfg)
+    rows_full = sorted((r["conv_id"], r["component"]) for r in full.collect())
+    assert rows_stream == rows_full
+
+    handler(b2, 1)  # replayed committed epoch: no-op
+    assert head_clusters() == rows_full
+
+
+def test_link_transcript_stream_end_to_end(spark, tmp_path):
+    """Drive the real writeStream surface: one file per trigger ->
+    two linkage epochs; final clusters match the batch pipeline."""
+    import os
+
+    from sparksimjoin.pipeline import PipelineConfig, run_pipeline
+    from sparksimjoin.streaming import link_transcript_stream
+    from sparksimjoin.checkpoint import CheckpointManager
+
+    cfg = PipelineConfig(threshold=0.6)
+    pdf, _ = make_transcripts(n_conv=60, seed=13)
+    convs = sorted(pdf["conv_id"].unique())
+    cut = set(convs[:40])
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, sel in (("a", pdf.conv_id.isin(cut)), ("b", ~pdf.conv_id.isin(cut))):
+        pq.write_table(pa.Table.from_pandas(pdf[sel], preserve_index=False),
+                       str(src / f"{name}.parquet"), coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "a.parquet")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "link")
+    q = link_transcript_stream(stream, root, str(tmp_path / "ckpt"), config=cfg)
+    q.processAllAvailable()
+    q.stop()
+
+    done = sorted(d for d in os.listdir(root) if d.startswith("batch_"))
+    assert len(done) == 2
+    got = CheckpointManager(spark, os.path.join(root, done[-1])).read("clusters")
+    rows_stream = sorted((r["conv_id"], r["component"]) for r in got.collect())
+    full = run_pipeline(spark, spark.createDataFrame(pdf), str(tmp_path / "full"), cfg)
+    rows_full = sorted((r["conv_id"], r["component"]) for r in full.collect())
+    assert rows_stream == rows_full
