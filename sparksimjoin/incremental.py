@@ -227,6 +227,35 @@ def _run_stages(
         ex_new_l = prefix_explode(tokens_new, "l", cfg.measure, cfg.threshold)
         ex_new_r = prefix_explode(tokens_new, "r", cfg.measure, cfg.threshold)
         ex_base_r = prefix_explode(tokens_base, "r", cfg.measure, cfg.threshold)
+        # (new x base) base-side prune: a base posting can only form a
+        # candidate if its token occurs in the BATCH's own prefix
+        # postings, and the batch's DISTINCT prefix-token set is
+        # vocabulary-bounded (words ~1e7, qgrams alphabet^q) —
+        # broadcastable regardless of batch row count. Broadcast-semi-
+        # joining the base posting index against it BEFORE the
+        # candidate shuffle makes the per-batch base-side shuffle
+        # volume scale with the batch's vocabulary coverage instead of
+        # |base postings| — at 10^12-turn scale re-shuffling the whole
+        # base index per daily batch would dominate the batch cost.
+        # Exact: never drops a joinable posting (test_incremental
+        # asserts batch+base == full-recompute byte-identical). The -2
+        # sentinel (no real tid is negative) keeps the broadcast non-
+        # empty so AQE's empty-relation propagation cannot delete the
+        # CollectMetrics node (same trick as stop_token_frame); the
+        # vocab size rides the candidates write as a lazy metric.
+        from pyspark.sql import Observation
+
+        obs_vocab = Observation()
+        batch_vocab = ex_new_l.select("token").distinct().observe(
+            obs_vocab, F.count(F.lit(1)).alias("batch_prefix_vocab")
+        )
+        sentinel = spark.range(1).select(F.lit(-2).cast("bigint").alias("token"))
+        ex_base_r = ex_base_r.join(
+            F.broadcast(batch_vocab.unionAll(sentinel)), "token", "left_semi"
+        )
+        cand_extra["batch_prefix_vocab"] = (
+            lambda: int(obs_vocab.get["batch_prefix_vocab"])
+        )
         tid_freq = ranks.select(F.col("tid").alias("token"), "cnt")
         if cfg.stop_token_cap:
             from .joins.core import stop_token_frame
@@ -261,7 +290,13 @@ def _run_stages(
     )
 
     def _scored() -> DataFrame:
-        # every candidate's l_id is a new record; r side is mixed
+        # every candidate's l_id is a new record; r side is mixed.
+        # The r-side join reads the full base tokens chain but only
+        # candidate r_ids survive; at scale (application-side scan
+        # >= 10 GiB) Spark's runtime bloom-filter injection
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled, default
+        # on) builds a bloom from the materialized candidates side
+        # and prunes the base scan before the shuffle
         return verify_pairs(
             candidates, tokens_new, tokens_base.unionByName(tokens_new),
             cfg.measure, cfg.threshold, cfg.comp_op,
