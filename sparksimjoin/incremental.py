@@ -240,9 +240,13 @@ def _run_stages(
         # Exact: never drops a joinable posting (test_incremental
         # asserts batch+base == full-recompute byte-identical). The -2
         # sentinel (no real tid is negative) keeps the broadcast non-
-        # empty so AQE's empty-relation propagation cannot delete the
-        # CollectMetrics node (same trick as stop_token_frame); the
-        # vocab size rides the candidates write as a lazy metric.
+        # empty (same trick as stop_token_frame); the vocab size rides
+        # the candidates write as a lazy observed metric. AQE's
+        # empty-relation propagation can still delete the whole
+        # CollectMetrics subtree when the (new x base) join output is
+        # empty (e.g. a batch sharing no tokens with the base), so the
+        # resolver falls back to one cheap count job over the small
+        # batch postings in that degenerate case.
         from pyspark.sql import Observation
 
         obs_vocab = Observation()
@@ -253,9 +257,14 @@ def _run_stages(
         ex_base_r = ex_base_r.join(
             F.broadcast(batch_vocab.unionAll(sentinel)), "token", "left_semi"
         )
-        cand_extra["batch_prefix_vocab"] = (
-            lambda: int(obs_vocab.get["batch_prefix_vocab"])
-        )
+
+        def _vocab_metric() -> int:
+            try:
+                return int(obs_vocab.get["batch_prefix_vocab"])
+            except Exception:
+                return ex_new_l.select("token").distinct().count()
+
+        cand_extra["batch_prefix_vocab"] = _vocab_metric
         tid_freq = ranks.select(F.col("tid").alias("token"), "cnt")
         if cfg.stop_token_cap:
             from .joins.core import stop_token_frame

@@ -100,6 +100,32 @@ def test_bridge_merges_two_base_clusters(spark, tmp_path):
     assert rows == [("a", "a"), ("b", "a"), ("c", "a")]
 
 
+def test_base_prune_metric_and_disjoint_vocab(spark, tmp_path):
+    """The (new x base) posting prune: the batch's distinct prefix
+    vocabulary is recorded on the candidates manifest (lazy observed
+    metric, resolved by the stage write — proves the CollectMetrics
+    node survived the broadcast-semi-join plan), and a batch sharing
+    NO tokens with the base still links correctly — the pruned base
+    side contributes nothing and clusters come out right."""
+    from sparksimjoin.checkpoint import CheckpointManager
+
+    cfg = PipelineConfig(threshold=0.5)
+    base = _mini_transcripts(
+        spark, [("a", "alpha beta gamma"), ("b", "delta epsilon zeta")]
+    )
+    new = _mini_transcripts(
+        spark, [("x", "eta theta iota"), ("y", "eta theta iota")]
+    )
+    run_pipeline(spark, base, str(tmp_path / "base"), cfg)
+    rows = _rows(
+        run_incremental(spark, new, str(tmp_path / "base"), str(tmp_path / "inc"), cfg)
+    )
+    assert rows == [("a", "a"), ("b", "b"), ("x", "x"), ("y", "x")]
+    m = CheckpointManager(spark, str(tmp_path / "inc")).manifest("candidates")
+    assert isinstance(m["batch_prefix_vocab"], int)
+    assert 1 <= m["batch_prefix_vocab"] <= 3  # <= |{eta, theta, iota}|
+
+
 def test_incremental_resume_identical(spark, split, tmp_path):
     """Kill-after-candidates resume inside the incremental dir: later
     stages recompute, result identical (same contract as
