@@ -397,6 +397,22 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF cell-probed candidates + exact cosine rerank
+    (sparksimjoin/ann.py::ivf_topk). Like ann_lsh_topk, the oracle
+    replicates the ALGORITHM (same deterministic sampled centroids,
+    same single-cell lists / n_probe probes, same rerank) so the
+    approximate result is checked hash-exactly. Rank columns only:
+    numpy and DuckDB dot products can differ by 1 ulp at 6-decimal
+    rounding boundaries (same caveat as the other ANN rows)."""
+    from sparksimjoin.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, "vec_id", "embedding", k=3, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: whitespace-jaccard self-join of documents at sf0.001."""
     return q_jaccard_doc(spark, "/root/testdata/sf0.001")
@@ -431,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_doc": q_user_event_doc,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features_doc": q_multimodal_features_doc,
         "frame_sample_doc": q_frame_sample_doc,
@@ -636,6 +653,53 @@ WITH buckets AS ({buckets}),
 cand AS (
   SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id <> b.id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(qa.embedding, qb.embedding) /
+               (sqrt(list_dot_product(qa.embedding, qa.embedding)) *
+                sqrt(list_dot_product(qb.embedding, qb.embedding))), 6) AS cosine
+  FROM cand c
+  JOIN embeddings qa ON qa.vec_id = c.query_id
+  JOIN embeddings qb ON qb.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 3) -> str:
+    """Replicate ivf_topk in DuckDB: centroids = the ``n_cells``
+    smallest-vec_id embeddings (cell index = id order, as
+    ann._ivf_centroids); every vector ranks the cells by
+    6-decimal-rounded cosine with lower cell index on ties; base
+    vectors keep rank 1 (their single inverted list), queries probe
+    rank <= ``n_probe``; exact cosine rerank with the same
+    rounding/tie-break as the Spark plan."""
+    return f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells})
+),
+asg AS (
+  SELECT e.vec_id AS id, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.embedding, c.cv) /
+                          (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                           sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                    c.cell ASC) AS prank
+  FROM embeddings e CROSS JOIN cents c
+),
+cand AS (
+  SELECT q.id AS query_id, b.id AS neighbor_id
+  FROM (SELECT id, cell FROM asg WHERE prank <= {n_probe}) q
+  JOIN (SELECT id, cell FROM asg WHERE prank = 1) b
+    ON q.cell = b.cell AND q.id <> b.id
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
@@ -955,6 +1019,7 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
 """,
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "embedding_neardup": _neardup_oracle(),
         "minhash_dedup_doc": _MINHASH_ORACLE,
         "simhash_doc": _SIMHASH_ORACLE,

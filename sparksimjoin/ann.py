@@ -255,6 +255,111 @@ def lsh_topk(
     )
 
 
+def _ivf_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> np.ndarray:
+    """Deterministic sampled coarse quantizer: the ``n_cells``
+    smallest-id vectors. IVF quality usually comes from a k-means
+    refinement of exactly such a seed; the data-sampled codebook is
+    the standard zero-training starting point, is reproducible, and
+    is SQL-replicable for the oracle harness. Quantization only gates
+    RECALL — candidates are exactly re-scored, so a better codebook
+    can be dropped in without touching correctness. The collect is
+    bounded by ``n_cells`` (a model parameter riding in task
+    closures, like the LSH hyperplanes) — never corpus-sized; the
+    ORDER BY + LIMIT compiles to a distributed TakeOrdered."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .orderBy("id").limit(n_cells).collect()
+    )
+    return np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+
+
+def _ivf_assign(
+    base: DataFrame, id_type: str, centroids: np.ndarray, n_probe: int
+) -> DataFrame:
+    """-> (id, cell): each vector's ``n_probe`` nearest cells by
+    cosine (rounded to 6 decimals for cross-engine tie parity; ties
+    broken by lower cell index). One numpy matmul per Arrow batch."""
+    c_norms = np.linalg.norm(centroids, axis=1)
+    c_norms[c_norms == 0] = 1.0
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vm, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((vm @ centroids.T) / np.outer(norms, c_norms), 6)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame({
+                "id": np.repeat(pdf["id"].to_numpy(), order.shape[1]),
+                "cell": order.reshape(-1).astype(np.int32),
+            })
+
+    return base.select("id", "_v").mapInPandas(
+        gen, schema=f"id {id_type}, cell int"
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k: a coarse
+    quantizer partitions the corpus into ``n_cells`` inverted lists
+    (each base vector in its single nearest cell); each query probes
+    its ``n_probe`` nearest cells and is exactly re-scored against
+    only those lists. -> (query_id, neighbor_id, cosine, rank).
+
+    The cell-structured alternative to ``lsh_topk``: recall degrades
+    gracefully with ``n_probe/n_cells`` instead of with hyperplane
+    count, and the probe is an equi-join on one int key. Because a
+    base vector lives in exactly ONE cell, a (query, neighbor) pair
+    meets at most once across the probed cells — no distinct/dedup
+    shuffle at all (vs the LSH multi-table bucket join).
+
+    Scale: assignment is one numpy matmul per Arrow batch with the
+    centroid matrix in the task closure; the probe equi-join on
+    ``cell`` is left to Catalyst un-pinned so AQE's skew-join split
+    handles popular cells. Size ``n_cells`` ~ sqrt(N) at scale
+    (standard IVF sizing) so each inverted list stays
+    executor-sized."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    cents = _ivf_centroids(df, id_col, vec_col, n_cells)
+    lists = _ivf_assign(base, id_t, cents, 1)
+    probes = _ivf_assign(base, id_t, cents, n_probe)
+    cand = (
+        probes.withColumnRenamed("id", "query_id")
+        .join(lists.withColumnRenamed("id", "neighbor_id"), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    scored = (
+        cand.repartition(n_part, "query_id", "neighbor_id")
+        .join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")),
+              "query_id")
+        .join(base.select(F.col("id").alias("neighbor_id"), F.col("_v").alias("_nv")),
+              "neighbor_id")
+        .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     n_planes: int = 8, n_tables: int = 4, seed: int = 42,

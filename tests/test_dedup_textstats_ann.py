@@ -149,6 +149,33 @@ def test_lsh_topk_recall(spark):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_ivf_topk_recall_and_no_pair_dup(spark):
+    from sparksimjoin.ann import ivf_topk
+
+    df = spark.createDataFrame(_vectors(), "vec_id long, embedding array<double>")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, "vec_id", "embedding", k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, "vec_id", "embedding", k=1,
+                          n_cells=5, n_probe=3).collect()
+    }
+    # the near-identical pair lands in each other's probed cells
+    assert (0, 1) in approx and (1, 0) in approx
+    assert len(exact & approx) / len(exact) >= 0.5
+    # one inverted list per base vector -> a pair meets at most once:
+    # ranks are dense and rows unique without any distinct in the plan
+    rows = ivf_topk(df, "vec_id", "embedding", k=3, n_cells=5, n_probe=3).collect()
+    keys = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(keys) == len(rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
 def test_minhash_md5_variant(spark, docs):
     """The md5 hash variant (driver-oracle path) finds the same
     verified near-dup pairs as the default xxhash64 banding on this
