@@ -223,9 +223,14 @@ def _lsh_scored_candidates(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # no explicit repartition between distinct and the vector
+    # re-joins: the joins hash-exchange on query_id/neighbor_id
+    # themselves, so a pinned (query_id, neighbor_id) repartition
+    # here was a pure extra full shuffle of the candidate set
+    # (read off the physical plan: Exchange(distinct) ->
+    # Exchange(pin) -> Exchange(join key))
     return (
-        cand.repartition(n_part, "query_id", "neighbor_id")
-        .join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")), "query_id")
+        cand.join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")), "query_id")
         .join(base.select(F.col("id").alias("neighbor_id"), F.col("_v").alias("_nv")), "neighbor_id")
         .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
         .select("query_id", "neighbor_id", "cosine")
@@ -341,11 +346,9 @@ def ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     scored = (
-        cand.repartition(n_part, "query_id", "neighbor_id")
-        .join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")),
-              "query_id")
+        cand.join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")),
+                  "query_id")
         .join(base.select(F.col("id").alias("neighbor_id"), F.col("_v").alias("_nv")),
               "neighbor_id")
         .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
