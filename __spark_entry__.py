@@ -38,6 +38,7 @@ from sparksimjoin.filters import (
     SizeFilter,
     SuffixFilter,
 )
+from sparksimjoin.estimate import estimate_join_cost
 from sparksimjoin.missing import get_pairs_with_missing_value
 from sparksimjoin.matcher import apply_matcher
 from sparksimjoin.profiler import profile_table_for_join
@@ -216,6 +217,18 @@ def q_profile_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return profile_table_for_join(d, ["doc_id", "text", "lang", "source"]).select(
         "attribute", "unique_count", "missing_count"
+    )
+
+
+def q_candidate_estimate_doc(spark, sf_dir):
+    """Pre-flight blocking-cost predictors (estimate.py) for the
+    JACCARD-0.8 documents self-join: exact occurrence-mode candidate
+    meetings, prefix shuffle volume, and hot-token count at linear
+    cost — the numbers a 100 TB capacity plan needs BEFORE launch."""
+    d = _t(spark, sf_dir, "documents")
+    return estimate_join_cost(
+        d, d, "doc_id", "doc_id", "text", "text", WS, "JACCARD", 0.8,
+        self_join=True,
     )
 
 
@@ -438,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_candset_doc": q_filter_candset_doc,
         "matcher_callable_doc": q_matcher_callable_doc,
         "profile_documents": q_profile_documents,
+        "candidate_estimate_doc": q_candidate_estimate_doc,
         "cc_clusters_doc": q_cc_clusters_doc,
         "incremental_cc_doc": q_incremental_cc_doc,
         "exact_dedup_doc": q_exact_dedup_doc,
@@ -906,6 +920,32 @@ SELECT 'lang', CAST(count(DISTINCT lang) AS BIGINT),
 UNION ALL
 SELECT 'source', CAST(count(DISTINCT source) AS BIGINT),
        CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+""",
+        "candidate_estimate_doc": f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (SELECT id, len(toks) AS sz, unnest(toks) AS token FROM tok WHERE len(toks) > 0),
+cnt AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+ranked AS (
+  SELECT ex.id, ex.sz, ex.token,
+         row_number() OVER (PARTITION BY ex.id ORDER BY cnt.c, ex.token) AS rn
+  FROM ex JOIN cnt USING (token)
+),
+pref AS (
+  SELECT id, token FROM ranked
+  WHERE rn <= sz - CAST(ceil(0.8 * sz - greatest(abs(0.8 * sz), 1.0) * 1e-12) AS BIGINT) + 1
+),
+pdf AS (SELECT token, count(*) AS c FROM pref GROUP BY token)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM cnt) AS distinct_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM pref) AS prefix_postings,
+       (SELECT CAST(coalesce(sum((CAST(c AS BIGINT) * (c - 1)) // 2), 0) AS BIGINT) FROM pdf) AS est_candidates,
+       (SELECT CAST(coalesce(max((CAST(c AS BIGINT) * (c - 1)) // 2), 0) AS BIGINT) FROM pdf) AS max_token_candidates,
+       (SELECT CAST(coalesce(sum(CASE WHEN c > 512 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM pdf) AS hot_tokens
 """,
         "cc_clusters_doc": f"""
 WITH RECURSIVE {_TOK_DOC},

@@ -1,0 +1,137 @@
+"""Pre-flight candidate-cost estimation for prefix-filtered joins.
+
+At 100 TB the question a user must answer BEFORE launching a
+1000-executor join is "how many candidate pairs will the blocking
+stage emit, and is there a token hot enough to serialize it?". Both
+are exactly computable at LINEAR cost (two scans + one token-level
+aggregation — the same work as building the join's frequency table)
+because the occurrence-mode candidate stream is, by construction,
+
+    sum over tokens t of  pdf_l(t) * pdf_r(t)        (R x S)
+    sum over tokens t of  C(pdf(t), 2)               (self-join)
+
+where pdf(t) = number of records whose PREFIX contains t. The
+quadratic blow-up is therefore predictable without paying it — run
+the estimator, read ``est_candidates`` and ``max_token_candidates``,
+and size (or re-threshold) the real job accordingly.
+
+The reference package has no analogue ([R] upstream exposes only
+``profile_table_for_join``, which reports uniqueness/missing stats);
+this is the scale-side complement: the same numbers the join's OWN
+planner acts on (AUTO_SALT_CAP hot-token splitting), surfaced to the
+user as a one-row frame.
+
+Definitions shared with the join (joins/core.py):
+- prefix membership: first ``prefix_length(sz)`` tokens in global
+  (doc-frequency asc, token asc) order — identical to
+  ``prefix_explode`` over ``prepare_sides`` output, and to every
+  hash-green prefix oracle's ``rn <= plen`` CTE.
+- ``est_candidates`` counts occurrence-mode MEETINGS before the
+  dedup pre-pass, position bound, and verification — i.e. the upper
+  bound of the candidate shuffle, which is what capacity planning
+  needs. The accumulated-bound / dedup passes only shrink it.
+- ``hot_tokens``: prefix tokens whose pdf exceeds ``salt_cap``
+  (default AUTO_SALT_CAP) — exactly the tokens the join will salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .filter_math import EDIT_DISTANCE
+from .joins.core import AUTO_SALT_CAP, prefix_explode, prepare_sides
+from .tokenizers import Tokenizer
+from .validation import validate_join_inputs, validate_threshold
+
+
+def estimate_join_cost(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer: Tokenizer,
+    measure: str,
+    threshold: float,
+    qval: int = 2,
+    self_join: bool = False,
+    salt_cap: int = AUTO_SALT_CAP,
+) -> DataFrame:
+    """One-row frame of exact blocking-cost predictors for a
+    prefix-filtered set-similarity join (JACCARD / COSINE / DICE /
+    OVERLAP / OVERLAP_COEFFICIENT) at ``threshold``:
+
+    - ``n_left`` / ``n_right``: joinable (non-null attr) records,
+    - ``distinct_tokens``: global vocabulary size,
+    - ``prefix_postings``: rows the candidate stage will explode
+      (its shuffle volume; left+right, counted once for self-join),
+    - ``est_candidates``: exact occurrence-mode candidate meetings
+      the blocking stage emits (pre-dedup/bound upper bound),
+    - ``max_token_candidates``: the largest single token's meetings
+      — the stage's serialization risk if unsalted,
+    - ``hot_tokens``: prefix tokens with pdf > ``salt_cap`` (the
+      ones the join will split).
+
+    Linear cost: no pair is ever materialized. EDIT_DISTANCE is
+    rejected (its blocking is band-structured, not df-structured).
+    """
+    if measure == EDIT_DISTANCE:
+        raise ValueError(
+            "estimate_join_cost covers set-similarity prefix blocking; "
+            "EDIT_DISTANCE candidates are size-band-structured"
+        )
+    validate_join_inputs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr)
+    validate_threshold(threshold, measure)
+    tokenizer = tokenizer.with_return_set(True)
+    prep_l, prep_r, ranks = prepare_sides(
+        l_df, r_df, l_key_attr, r_key_attr, l_join_attr, r_join_attr,
+        tokenizer, persist=False,
+    )
+    pl = prefix_explode(prep_l, "l", measure, threshold, qval)
+    pdf_l = pl.groupBy("token").agg(F.count("*").alias("c_l"))
+    if self_join:
+        # exact integer math (DIV): c*(c-1)/2 through doubles loses
+        # exactness past 2^53 meetings, well inside 100 TB territory
+        per_tok = pdf_l.select(
+            "token",
+            F.expr("CAST(c_l AS BIGINT) * (c_l - 1) DIV 2").alias("meet"),
+            F.col("c_l").alias("pdf_max"),
+        )
+        postings = pl.select(F.count("*").alias("prefix_postings"))
+    else:
+        pr = prefix_explode(prep_r, "r", measure, threshold, qval)
+        pdf_r = pr.groupBy("token").agg(F.count("*").alias("c_r"))
+        per_tok = pdf_l.join(pdf_r, "token").select(
+            "token",
+            (F.col("c_l").cast("long") * F.col("c_r")).alias("meet"),
+            F.greatest("c_l", "c_r").alias("pdf_max"),
+        )
+        postings = (
+            pl.select("token").unionAll(pr.select("token"))
+            .select(F.count("*").alias("prefix_postings"))
+        )
+    agg = per_tok.agg(
+        F.coalesce(F.sum("meet"), F.lit(0)).alias("est_candidates"),
+        F.coalesce(F.max("meet"), F.lit(0)).alias("max_token_candidates"),
+        F.coalesce(
+            F.sum((F.col("pdf_max") > salt_cap).cast("long")), F.lit(0)
+        ).alias("hot_tokens"),
+    )
+    n_l = prep_l.select(F.count("*").alias("n_left"))
+    n_r = (
+        n_l.select(F.col("n_left").alias("n_right"))
+        if prep_r is prep_l
+        else prep_r.select(F.count("*").alias("n_right"))
+    )
+    vocab = ranks.select(F.count("*").alias("distinct_tokens"))
+    return (
+        n_l.crossJoin(n_r)
+        .crossJoin(vocab)
+        .crossJoin(postings)
+        .crossJoin(agg)
+        .select(
+            "n_left", "n_right", "distinct_tokens", "prefix_postings",
+            "est_candidates", "max_token_candidates", "hot_tokens",
+        )
+    )

@@ -1,0 +1,116 @@
+"""estimate_join_cost: the pre-flight blocking-cost predictors must
+be EXACT — est_candidates is defined as the occurrence-mode meeting
+count the candidate stage emits, so it is checked against an
+independent pure-Python derivation and against the real join's
+blocking output, not just for plausibility."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from sparksimjoin import WhitespaceTokenizer, jaccard_join
+from sparksimjoin.estimate import estimate_join_cost
+from sparksimjoin.filter_math import prefix_length_py
+from sparksimjoin.filters import PrefixFilter
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+         "iota", "kappa", "mu", "nu"]
+
+
+def _corpus(n=40):
+    rows = []
+    for i in range(n):
+        ws = sorted({WORDS[(i * 7 + k * 3) % len(WORDS)] for k in range(2 + i % 5)})
+        rows.append((i, " ".join(ws)))
+    rows.append((n, None))          # null join attr: excluded everywhere
+    rows.append((n + 1, "   "))     # tokenizes to empty: counted, no postings
+    return rows
+
+
+def _python_reference(rows, threshold):
+    """Independent derivation of every estimator column."""
+    toks = {i: set(t.split()) for i, t in rows if t is not None}
+    ex = [(i, w) for i, s in toks.items() for w in s]
+    cnt = Counter(w for _, w in ex)
+    pdf = Counter()
+    postings = 0
+    for i, s in toks.items():
+        sz = len(s)
+        if sz == 0:
+            continue
+        plen = prefix_length_py(sz, "JACCARD", threshold)
+        prefix = sorted(s, key=lambda w: (cnt[w], w))[:plen]
+        postings += len(prefix)
+        for w in prefix:
+            pdf[w] += 1
+    return {
+        "n_left": len(toks),
+        "distinct_tokens": len(cnt),
+        "prefix_postings": postings,
+        "est_candidates": sum(c * (c - 1) // 2 for c in pdf.values()),
+        "max_token_candidates": max((c * (c - 1) // 2 for c in pdf.values()), default=0),
+        "pdf": pdf,
+    }
+
+
+def test_estimate_matches_python_reference(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    got = estimate_join_cost(
+        df, df, "id", "id", "t", "t", WhitespaceTokenizer(), "JACCARD", 0.8,
+        self_join=True,
+    ).first().asDict()
+    ref = _python_reference(rows, 0.8)
+    assert got["n_left"] == got["n_right"] == ref["n_left"]
+    assert got["distinct_tokens"] == ref["distinct_tokens"]
+    assert got["prefix_postings"] == ref["prefix_postings"]
+    assert got["est_candidates"] == ref["est_candidates"]
+    assert got["max_token_candidates"] == ref["max_token_candidates"]
+    assert got["hot_tokens"] == 0  # nothing exceeds AUTO_SALT_CAP here
+
+
+def test_estimate_upper_bounds_real_blocking(spark):
+    """est_candidates counts MEETINGS, so it upper-bounds (and with
+    distinct prefixes usually exceeds) the distinct candidate pairs
+    the prefix filter emits — and both bound the verified join."""
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    est = estimate_join_cost(
+        df, df, "id", "id", "t", "t", WhitespaceTokenizer(), "JACCARD", 0.8,
+        self_join=True,
+    ).first()
+    f = PrefixFilter(WhitespaceTokenizer(), "JACCARD", 0.8, allow_empty=False)
+    n_cand = f.filter_tables(df, df, "id", "id", "t", "t", self_join=True).count()
+    n_join = jaccard_join(df, df, "id", "id", "t", "t", WhitespaceTokenizer(),
+                          0.8, allow_empty=False, self_join=True).count()
+    assert est["est_candidates"] >= n_cand >= n_join
+
+
+def test_hot_tokens_and_rxs(spark):
+    rows = [(i, "common extra%d" % (i % 17)) for i in range(30)]
+    l_df = spark.createDataFrame(rows, "id bigint, t string")
+    r_df = spark.createDataFrame(rows[:20], "rid bigint, t string")
+    got = estimate_join_cost(
+        l_df, r_df, "id", "rid", "t", "t", WhitespaceTokenizer(), "JACCARD",
+        0.5, salt_cap=8,
+    ).first()
+    # threshold 0.5, sz=2 -> plen=2: every token is a prefix token.
+    # 'common' appears in all 30 left / 20 right rows -> hot at cap 8,
+    # and meetings = 30*20 for it plus the extra% matches.
+    assert got["hot_tokens"] >= 1
+    assert got["n_left"] == 30 and got["n_right"] == 20
+    extra_l = Counter("extra%d" % (i % 17) for i in range(30))
+    extra_r = Counter("extra%d" % (i % 17) for i in range(20))
+    expect = 30 * 20 + sum(extra_l[w] * extra_r[w] for w in extra_r)
+    assert got["est_candidates"] == expect
+    assert got["max_token_candidates"] == 30 * 20
+
+
+def test_edit_distance_rejected(spark):
+    df = spark.createDataFrame([(1, "a")], "id bigint, t string")
+    with pytest.raises(ValueError):
+        estimate_join_cost(df, df, "id", "id", "t", "t",
+                           WhitespaceTokenizer(), "EDIT_DISTANCE", 2,
+                           self_join=True)
