@@ -271,11 +271,11 @@ def main():
         "pipeline_candidate_pairs": int(n_cand),
         "candidate_pairs_per_sec": round(n_cand / pipe_sec, 1) if pipe_sec else None,
         "pipeline_note": (
-            "round 4 switched the candidate stage to the accumulated "
-            "PPJoin bound: ~40% fewer candidates for identical final "
-            "matches (2.37M -> 1.38M at this size), so candidate_pairs"
-            "_per_sec is not comparable to rounds 1-3 — compare "
-            "pipeline wall time instead"
+            "position bound is back on occurrence mode (the mid-round "
+            "accumulated-bound default was retracted after quiet-host "
+            "re-measurement, BENCH/BASELINE.md round-4 retraction "
+            "entry), so candidate counts and candidate_pairs_per_sec "
+            "are comparable to rounds 1-3 again"
         ),
         # incremental mode: wall time to link a 10% batch against a
         # completed base run over the other 90% (exact-equivalent to

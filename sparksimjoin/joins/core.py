@@ -563,35 +563,35 @@ def apply_salt(
 
 def resolve_position_mode(measure: str, threshold: float) -> str:
     """Choose between the occurrence-level and accumulated (PPJoin)
-    position bounds. Round-4 measurement (scripts/bench_position_mode
-    .py, 12k transcripts, fresh JVM per cell) overturned the round-3
-    25%-prefix heuristic: the pair-grouping aggregation costs the
-    same as the occurrence filter at the CANDIDATE stage (30.9s vs
-    29.3s at t=0.6 — narrow rows, the shuffle dominates either way)
-    while its tighter bound cuts candidates 9.7M->5.6M at t=0.6 and
-    2.1M->1.6M at t=0.8, and that cut flows straight through the
-    expensive verify stage: cand+verify 159s vs 296s (t=0.6) and 25s
-    vs 86s (t=0.8). Aggregate is therefore the default for every
-    fractional-prefix set measure at every threshold. (The earlier
-    'crossover' had timed only the candidate stage, where the two
-    modes tie.)
+    position bounds. Default: OCCURRENCE for every measure.
 
-    OVERLAP (prefix size-t+1) and OVERLAP_COEFFICIENT (prefix = the
-    FULL token set — no sound record-local prefix exists) stay on
-    occurrence: aggregate mode defers the position bound until after
-    the pair-grouping shuffle, so for full/near-full-prefix measures
-    it would group the ENTIRE unfiltered inverted-index join stream —
-    measured as a GC/heartbeat meltdown on the 48k-row Zipf skew
-    corpus (~10B join rows), where the occurrence bound instead
-    discards hot-token occurrences in the join stage itself.
-    EDIT_DISTANCE stays on occurrence for SOUNDNESS: the accumulated
-    bound assumes set semantics (one join row per shared token) and
-    edit distance is bag-tokenized."""
-    from ..filter_math import EDIT_DISTANCE, OVERLAP, OVERLAP_COEFFICIENT
+    History, because this flag has now flipped twice and only the
+    quiet-host measurement should be trusted: a mid-round-4 A/B taken
+    in a heavily contended window (identical cells spread 6x;
+    BENCH/BASELINE.md 09:57 entry) concluded aggregate wins at every
+    threshold and flipped the default. Re-measured on a quiet host
+    (full pipeline, 24k transcripts, fresh JVM per cell, BENCH/
+    BASELINE.md round-4 retraction entry) the conclusion inverted at
+    BOTH thresholds and BOTH core counts: occurrence 297s vs
+    aggregate 665s at t=0.6/8 cores, 51s vs 192s at t=0.8/8 cores,
+    with the same shape at 32 cores. The aggregate mode's tighter
+    bound does cut candidates (40.2M->23.2M at t=0.6) but its
+    pair-grouping shuffle of the full meeting stream inside the
+    candidates stage (573s vs 161s at t=0.6; 116s vs 11s at t=0.8)
+    costs several times more than the verify-stage savings. The
+    documents corpus (31-word vocab, t=0.95) agreed: occurrence 8.9s
+    vs aggregate 11.8s min-of-3. Aggregate stays available via the
+    ``position_mode`` parameter (joins) / ``PipelineConfig.
+    position_mode`` for workloads whose verify step is far more
+    expensive per pair (e.g. long arrays, costly user scorers).
 
-    if measure in (OVERLAP, OVERLAP_COEFFICIENT, EDIT_DISTANCE):
-        return "occurrence"
-    return "aggregate"
+    EDIT_DISTANCE must stay on occurrence for SOUNDNESS regardless:
+    the accumulated bound assumes set semantics (one join row per
+    shared token) and edit distance is bag-tokenized. OVERLAP /
+    OVERLAP_COEFFICIENT likewise: their full/near-full prefixes would
+    make aggregate group the entire unfiltered inverted-index join
+    stream (measured GC meltdown on the 48k-row Zipf corpus)."""
+    return "occurrence"
 
 
 def candidate_pairs(

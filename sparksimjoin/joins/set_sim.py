@@ -74,6 +74,7 @@ def set_sim_join(
     salt_cap: int | None = None,
     dense_id: bool = False,
     position_filter: bool = True,
+    position_mode: str | None = None,
     dedup_strings: bool | str = "auto",
     stop_token_cap: int | None = None,
     metrics_out: dict | None = None,
@@ -144,16 +145,14 @@ def set_sim_join(
     from .core import resolve_salt_cap
 
     salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap))
-    # position-bound mode: the accumulated (PPJoin) bound for all
-    # fractional-prefix set measures — measured at both t=0.6 and
-    # t=0.8 its pair-grouping agg costs the same as the occurrence
-    # filter at the candidate stage while the tighter candidate set
-    # (9.7M->5.6M at t=0.6) nearly halves the expensive verify stage
-    # (resolve_position_mode docstring has the numbers)
+    # position-bound mode: occurrence by default — the accumulated
+    # bound's tighter candidate set never paid for its pair-grouping
+    # shuffle on any quiet-host measurement (resolve_position_mode
+    # docstring has the numbers and the contaminated-A/B history)
     cand = candidate_pairs(
         ex_l, ex_r, measure, threshold,
         self_join=self_join, salt_map=salt_map, position_filter=position_filter,
-        position_mode=resolve_position_mode(measure, threshold),
+        position_mode=position_mode or resolve_position_mode(measure, threshold),
     )
     pairs = verify_pairs(cand, prep_l, prep_r, measure, threshold, comp_op)
 

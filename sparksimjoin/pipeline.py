@@ -59,6 +59,12 @@ class PipelineConfig:
     # candidates manifest ("no silent caps"). None = off (default, and
     # required for the parity/F1 gates).
     stop_token_cap: int | None = None
+    # PPJoin position-bound mode for the candidate join: "occurrence",
+    # "aggregate", or None -> joins/core.resolve_position_mode picks
+    # by measure/threshold. Exposed because the crossover is workload-
+    # dependent (vocabulary size / prefix length); both modes are
+    # output-equivalent (losslessness test in test_joins_parity).
+    position_mode: str | None = None
     max_cc_rounds: int = 50
 
 
@@ -169,7 +175,8 @@ def _run_stages(
                                   key_col="token")
         return candidate_pairs(
             ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map,
-            position_mode=resolve_position_mode(cfg.measure, cfg.threshold),
+            position_mode=cfg.position_mode
+            or resolve_position_mode(cfg.measure, cfg.threshold),
         )
 
     candidates = ckpt.get_or_compute(

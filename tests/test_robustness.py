@@ -207,10 +207,12 @@ def test_resolve_position_mode_guards():
     from sparksimjoin.filter_math import OVERLAP_COEFFICIENT
 
     assert resolve_position_mode(OVERLAP_COEFFICIENT, 0.8) == "occurrence"
-    # round-4 measurement: aggregate wins at EVERY threshold for
-    # fractional-prefix measures (scripts/bench_position_mode.py)
-    assert resolve_position_mode(JACCARD, 0.9) == "aggregate"
-    assert resolve_position_mode(JACCARD, 0.3) == "aggregate"
+    # round-4 quiet-host retraction (BENCH/BASELINE.md): occurrence
+    # wins every measured cell — the aggregate bound must be an
+    # explicit opt-in (position_mode kwarg / PipelineConfig), never
+    # the resolved default
+    assert resolve_position_mode(JACCARD, 0.9) == "occurrence"
+    assert resolve_position_mode(JACCARD, 0.3) == "occurrence"
 
 
 def test_salt_cap_zero_rejected(spark, tiny):
