@@ -1,14 +1,16 @@
-"""Empirical validation of resolve_position_mode's 25%-prefix
-heuristic (round-3 verdict item 8): run the transcripts candidate
-pipeline with BOTH position-bound modes at two thresholds and check
-the heuristic picks the winner at each. Appends the numbers to
+"""Position-bound mode A/B: run the transcripts candidate pipeline
+with BOTH modes at two thresholds and append the numbers to
 BENCH/BASELINE.md.
 
-- t=0.6 (JACCARD): prefix ~45% of a record -> heuristic says
-  'occurrence' (the aggregation over the unfiltered prefix-join
-  stream costs more than it saves).
-- t=0.8: prefix ~25% -> heuristic says 'aggregate' (PPJoin
-  accumulated bound prunes the candidate stream hard before verify).
+METHODOLOGY CAUTION (learned the hard way, see BENCH/BASELINE.md
+round-4 retraction entry): this script times cand+verify composed
+in-process, cells run minutes apart — on this shared host a
+co-tenant burst hitting one cell and not another INVERTED the
+verdict once (it picked aggregate; quiet-host full-pipeline A/B
+shows occurrence wins every cell 1.3-3.8x). Trust only runs whose
+cells were taken back-to-back in a quiet window (/proc/loadavg
+< ~1 before AND after), and corroborate with the full pipeline via
+PipelineConfig(position_mode=...) before changing any default.
 
 Usage: python scripts/bench_position_mode.py [n_conv] [cores]
 """
