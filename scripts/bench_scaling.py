@@ -78,11 +78,23 @@ def run_best(cores: int, n_conv: int, attempts: int, quiet_load: float) -> tuple
     own run) is accepted early."""
     best = None
     all_runs = []
+    # per-ATTEMPT bandwidth reading: the box's DRAM ceiling drifts
+    # 25-35% between "quiet" windows (hypervisor co-tenants invisible
+    # to loadavg; observed quiet-window 8-thread readings 44.8-66.7
+    # GB/s), and a bandwidth-bound leg tracks the ceiling AT ITS OWN
+    # run time — a single probe at invocation start mis-labels legs
+    # run an hour later
+    sys.path.insert(0, str(REPO / "scripts"))
+    from bench_membw import measure as membw_measure
+
     for i in range(attempts):
+        bw_pre = round(membw_measure(cores), 1)
         r = run(cores, n_conv)
+        r["membw_gbps_pre"] = bw_pre
         all_runs.append(r)
         print(f"  attempt {i + 1} local[{cores}]: {r['sec']}s "
-              f"(load1 pre={r['load1_pre']} post={r['load1_post']})", flush=True)
+              f"(load1 pre={r['load1_pre']} post={r['load1_post']} "
+              f"membw@{cores}t={bw_pre}GB/s)", flush=True)
         if best is None or r["sec"] < best["sec"]:
             best = r
         # our own child has exited, so post-load ~= co-tenant load;
@@ -148,6 +160,14 @@ def main():
             f"{bw_4n / bw_n:.2f}x (eff {bw_4n / bw_n / (cores_4n / cores_n):.3f}); "
             f"pipeline eff this row = {eff:.3f}\n"
         )
+        bwl, bwh = r8.get("membw_gbps_pre"), r32.get("membw_gbps_pre")
+        if bwl and bwh:
+            f.write(
+                f"  - per-leg membw at best-attempt start: "
+                f"{bwl} GB/s @{cores_n}t, {bwh} GB/s @{cores_4n}t "
+                f"(leg-time ceiling scaling {bwh / bwl:.2f}x, "
+                f"eff {bwh / bwl / (cores_4n / cores_n):.3f})\n"
+            )
     print(f"all local[8] attempts: {[r['sec'] for r in all8]}")
     print(f"all local[32] attempts: {[r['sec'] for r in all32]}")
     print(f"efficiency (8->32 cores, /4): {eff:.3f}  -> appended to {md}")
