@@ -68,8 +68,13 @@ class PositionFilter(Filter):
     def _survivor_pairs(self, prep_l, prep_r, ranks) -> DataFrame:
         from ..joins.core import AUTO_SALT_CAP, build_salt_map
 
-        ex_l = prefix_explode(prep_l, "l", self.sim_measure_type, self.threshold)
-        ex_r = prefix_explode(prep_r, "r", self.sim_measure_type, self.threshold)
+        # id_col='id': filter table mode hands survivor ids straight
+        # to its output without a prep join, so it stays in
+        # original-id space (the joins' funnel uses iid surrogates)
+        ex_l = prefix_explode(prep_l, "l", self.sim_measure_type, self.threshold,
+                              id_col="id")
+        ex_r = prefix_explode(prep_r, "r", self.sim_measure_type, self.threshold,
+                              id_col="id")
         pairs = candidate_pairs(ex_l, ex_r, self.sim_measure_type, self.threshold,
                                 salt_map=build_salt_map(ranks, AUTO_SALT_CAP))
         if self.allow_empty:

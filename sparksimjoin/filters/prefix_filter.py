@@ -54,8 +54,13 @@ class PrefixFilter(Filter):
     def _survivor_pairs(self, prep_l, prep_r, ranks) -> DataFrame:
         from ..joins.core import AUTO_SALT_CAP, apply_salt, build_salt_map
 
-        ex_l = prefix_explode(prep_l, "l", self.sim_measure_type, self.threshold)
-        ex_r = prefix_explode(prep_r, "r", self.sim_measure_type, self.threshold)
+        # id_col='id': filter table mode hands survivor ids straight
+        # to its output without a prep join, so it stays in
+        # original-id space (the joins' funnel uses iid surrogates)
+        ex_l = prefix_explode(prep_l, "l", self.sim_measure_type, self.threshold,
+                              id_col="id")
+        ex_r = prefix_explode(prep_r, "r", self.sim_measure_type, self.threshold,
+                              id_col="id")
         # mandatory hot-token salt, same defense as candidate_pairs:
         # one ubiquitous prefix token otherwise serializes the stage.
         # Each surviving (l,r) still meets at least once (l's salt

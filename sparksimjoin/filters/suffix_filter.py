@@ -109,14 +109,21 @@ class SuffixFilter(Filter):
     def _survivor_pairs(self, prep_l, prep_r, ranks) -> DataFrame:
         ex_l = prefix_explode(prep_l, "l", self.sim_measure_type, self.threshold)
         ex_r = prefix_explode(prep_r, "r", self.sim_measure_type, self.threshold)
+        # the explode/candidate hop runs on iid surrogate longs; the
+        # prep joins below (needed anyway for the token arrays) decode
+        # back to original ids for free
         cand = ex_l.join(ex_r, "token").select("l_id", "r_id").distinct()
         joined = (
             cand.join(
-                prep_l.select(F.col("id").alias("l_id"), F.col("tokens").alias("_lt")),
+                prep_l.select(F.col("iid").alias("l_id"),
+                              F.col("id").alias("_lo"),
+                              F.col("tokens").alias("_lt")),
                 "l_id",
             )
             .join(
-                prep_r.select(F.col("id").alias("r_id"), F.col("tokens").alias("_rt")),
+                prep_r.select(F.col("iid").alias("r_id"),
+                              F.col("id").alias("_ro"),
+                              F.col("tokens").alias("_rt")),
                 "r_id",
             )
         )
@@ -131,7 +138,9 @@ class SuffixFilter(Filter):
                 ]
             )
 
-        pairs = joined.where(keep(F.col("_lt"), F.col("_rt"))).select("l_id", "r_id")
+        pairs = joined.where(keep(F.col("_lt"), F.col("_rt"))).select(
+            F.col("_lo").alias("l_id"), F.col("_ro").alias("r_id")
+        )
         if self.allow_empty:
             el = prep_l.where(F.col("size") == 0).select(F.col("id").alias("l_id"))
             er = prep_r.where(F.col("size") == 0).select(F.col("id").alias("r_id"))

@@ -65,6 +65,8 @@ from .joins.core import (
     build_salt_map,
     candidate_pairs,
     dense_rank_tids,
+    ensure_iid,
+    iid_tag,
     order_tokens,
     prefix_explode,
     resolve_position_mode,
@@ -74,18 +76,28 @@ from .joins.core import (
 from .pipeline import PipelineConfig, prepare_records, tokenizer_descriptor
 
 
-def _chained_stage(ckpt: CheckpointManager, fmt: str, name: str) -> DataFrame:
+def _chained_stage(
+    ckpt: CheckpointManager, fmt: str, name: str, per_link=None
+) -> DataFrame:
     """Union a per-batch stage across the base chain (the stage's
     manifest carries a ``base`` pointer when the dir is an
     incremental one). Chain length = number of batches — a driver-
-    side walk over manifests only, no data action."""
+    side walk over manifests only, no data action.
+
+    ``per_link(df, depth)`` transforms each link before the union
+    (depth 0 = the immediate base's own stage). The tokens chain uses
+    it to stamp a per-link iid namespace: stored iids are frame-local
+    (with_iid ns 0), so two links' iids WOULD collide in the union."""
     frames = []
     cur: CheckpointManager | None = ckpt
     seen = set()
     while cur is not None:
         assert cur.root not in seen, f"checkpoint base chain cycle at {cur.root}"
         seen.add(cur.root)
-        frames.append(cur.read(name))
+        df = cur.read(name)
+        if per_link is not None:
+            df = per_link(df, len(frames))
+        frames.append(df)
         base = cur.manifest(name).get("base")
         cur = CheckpointManager(cur.spark, base, fmt=fmt) if base else None
     return reduce(DataFrame.unionByName, frames)
@@ -178,7 +190,16 @@ def _run_stages(
 
     base_ranks = track(base.read("token_ranks"))
     base_vocab = base.manifest("token_ranks")["rows"]  # == max base tid + 1
-    tokens_base = _chained_stage(base, fmt, "tokens")
+    # each chain link gets a distinct iid namespace (depth + 1; the
+    # new batch keeps ns 0): stored iids are frame-local, and the
+    # candidate funnel + verify union these frames. ensure_iid covers
+    # pre-iid base checkpoints (deterministic re-derivation). The
+    # 8-bit ns field bounds the chain at 254 links — far beyond any
+    # practical batch cadence before a full recompaction.
+    tokens_base = _chained_stage(
+        base, fmt, "tokens",
+        per_link=lambda df, d: iid_tag(ensure_iid(df), d + 1),
+    )
 
     def _tok_df() -> DataFrame:
         tok = cfg.tokenizer.with_return_set(True)
@@ -210,10 +231,10 @@ def _run_stages(
         "token_ranks", _ranks_ext, inputs=["records", f"base:{base.root}/token_ranks"],
     )
 
-    tokens_new = ckpt.get_or_compute(
+    tokens_new = ensure_iid(ckpt.get_or_compute(
         "tokens", lambda: order_tokens(_tok_df(), ranks),
         inputs=["records", "token_ranks"], extra={"base": base.root},
-    )
+    ))
 
     cand_extra = {
         "measure": cfg.measure, "threshold": cfg.threshold,
@@ -306,9 +327,20 @@ def _run_stages(
         # (spark.sql.optimizer.runtime.bloomFilter.enabled, default
         # on) builds a bloom from the materialized candidates side
         # and prunes the base scan before the shuffle
+        from pyspark.sql.types import LongType
+
+        # iid-space candidates (long l_id; conv ids are strings) vs
+        # pre-iid checkpoints (string pairs). The r-side prep union is
+        # collision-free: base links carry depth+1 namespaces, the new
+        # batch ns 0.
+        id_space = (
+            "iid"
+            if isinstance(candidates.schema["l_id"].dataType, LongType)
+            else "id"
+        )
         return verify_pairs(
             candidates, tokens_new, tokens_base.unionByName(tokens_new),
-            cfg.measure, cfg.threshold, cfg.comp_op,
+            cfg.measure, cfg.threshold, cfg.comp_op, id_space=id_space,
         )
 
     scored = ckpt.get_or_compute(

@@ -233,8 +233,10 @@ def dense_rank_tids(counts: DataFrame) -> DataFrame:
 
 def order_tokens(tok_df: DataFrame, ranks: DataFrame) -> DataFrame:
     """-> (id, strlen, tokens[array<bigint> tids, rarity-ordered],
-    size). Records whose token list is empty are retained with
-    size=0."""
+    size, iid). Records whose token list is empty are retained with
+    size=0. ``iid`` is the deterministic dense-long surrogate id
+    (:func:`with_iid`) the candidate funnel shuffles instead of the
+    (often string) record id."""
     ex = tok_df.select("id", F.explode("toks").alias("token")).join(
         ranks.select("token", "tid"), "token"
     )
@@ -243,11 +245,91 @@ def order_tokens(tok_df: DataFrame, ranks: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_list("tid")).alias("tokens"))
         .select("id", "tokens", F.size("tokens").alias("size"))
     )
-    return tok_df.select("id", "strlen").join(ordered, "id", "left").select(
+    out = tok_df.select("id", "strlen").join(ordered, "id", "left").select(
         "id",
         "strlen",
         F.coalesce("tokens", _empty_long_array()).alias("tokens"),
         F.coalesce("size", F.lit(0)).alias("size"),
+    )
+    return with_iid(out)
+
+
+# ---- deterministic dense-long surrogate record ids ------------------
+# The candidate funnel (prefix explode -> salted token equi-join ->
+# residual predicates -> pair distinct) carries two record ids on
+# every row. Record ids are strings in the north-rule workload
+# (conv_id; dedup gids) and string keys dominate the funnel's shuffle
+# bytes and sort-comparison cost: an UnsafeRow string field is an
+# 8-byte offset word plus 8-byte-padded UTF8 payload (~24B for a
+# 12-char conv id) vs 8B for a long — measured on the 24k-conv
+# pipeline the candidates stage is the single-box scaling wall, and
+# its rows are ~2/3 id bytes. ``with_iid`` attaches a surrogate long
+# so the whole funnel shuffles longs; ORIGINAL ids are recovered
+# through verify's existing joins back to prep (no extra decode join
+# anywhere).
+IID_BUCKETS = 1 << 16  # hash buckets for the balanced ranking window
+IID_NS_SHIFT = 55  # 8-bit namespace field at bits 55..62
+
+
+def with_iid(prep: DataFrame, ns: int = 0) -> DataFrame:
+    """Attach ``iid``: a DETERMINISTIC, injective long surrogate for
+    the (unique) ``id`` column.
+
+    Scheme: bucket rows by ``xxhash64(id) % IID_BUCKETS`` and
+    row_number within the bucket ordered by ``id``;
+    ``iid = rn * IID_BUCKETS + bucket + ns << IID_NS_SHIFT``.
+
+    - DETERMINISTIC across re-materializations (same property the tid
+      dense rank provides, and for the same reason: a cache-evicted
+      branch must re-derive identical ids): the bucket is a pure
+      function of the id value and rn is a pure function of the
+      bucket's membership set — no RangePartitioner sampling, no
+      ``monotonically_increasing_id``.
+    - BALANCED regardless of key-prefix skew: buckets are hash-uniform,
+      so no single window partition goes hot (the tid scheme must
+      bucket by an order-consistent PREFIX because tids encode the
+      global rarity order; iids carry no order contract — self-join
+      pair orientation is restored on the ORIGINAL ids at decode —
+      so they can use the perfectly-balanced hash bucketing).
+    - Injective: (bucket, rn) is unique per row; headroom holds to
+      rn < 2^39 per bucket (~5e11 — far above 10^12 total records
+      spread over 65k buckets).
+
+    ``ns`` stamps an 8-bit namespace so iids from DIFFERENT frames can
+    be unioned without collision (frame-local rns otherwise collide):
+    incremental linkage tags each base-chain link with its depth+1 and
+    keeps the new batch at 0. NEVER union or join two preps' iid
+    columns without distinct namespaces."""
+    from pyspark.sql import Window
+
+    assert 0 <= ns < (1 << (63 - IID_NS_SHIFT)), ns
+    bucket = F.pmod(F.xxhash64(F.col("id")), F.lit(IID_BUCKETS))
+    w = Window.partitionBy(bucket).orderBy("id")
+    iid = (
+        F.row_number().over(w).cast("bigint") * F.lit(IID_BUCKETS)
+        + bucket
+        + F.lit(ns << IID_NS_SHIFT).cast("bigint")
+    )
+    return prep.withColumn("iid", iid)
+
+
+def ensure_iid(prep: DataFrame, ns: int = 0) -> DataFrame:
+    """Idempotent :func:`with_iid` — re-derives ``iid`` only when the
+    column is absent (checkpointed ``tokens`` stages written before
+    the iid funnel lack it; the recomputation is deterministic, so a
+    resumed run derives exactly the ids a fresh run would)."""
+    if "iid" in prep.columns:
+        return prep
+    return with_iid(prep, ns)
+
+
+def iid_tag(prep: DataFrame, ns: int) -> DataFrame:
+    """Stamp namespace ``ns`` onto an existing ns-0 ``iid`` column (a
+    cheap bitwise OR projection — used when unioning base-chain links
+    whose stored iids are all frame-local ns 0)."""
+    assert ns > 0, "tagging with ns=0 is a no-op; pass the link depth + 1"
+    return prep.withColumn(
+        "iid", F.col("iid").bitwiseOR(F.lit(ns << IID_NS_SHIFT).cast("bigint"))
     )
 
 
@@ -472,15 +554,28 @@ def diagonal_pairs(
 
 
 def prefix_explode(
-    prep: DataFrame, side: str, measure: str, threshold: float, qval: int = 2
+    prep: DataFrame,
+    side: str,
+    measure: str,
+    threshold: float,
+    qval: int = 2,
+    id_col: str = "iid",
 ) -> DataFrame:
     """Explode the (measure-dependent) prefix of each ordered token
     array, carrying 1-based position and set size for the residual
-    filters. -> (token, {side}_id, {side}_size, {side}_pos)."""
+    filters. -> (token, {side}_id, {side}_size, {side}_pos).
+
+    ``id_col`` defaults to the dense-long surrogate ``iid`` (see
+    :func:`with_iid` — id bytes dominate the funnel shuffle); filters
+    that hand exploded ids straight to their output without a prep
+    join pass ``id_col='id'`` to stay in original-id space."""
     plen = prefix_length_expr(F.col("size"), measure, threshold, qval)
     pref = F.slice(F.col("tokens"), F.lit(1), plen)
     return (
-        prep.select(F.col("id"), F.col("size"), F.posexplode(pref).alias("p0", "token"))
+        prep.select(
+            F.col(id_col).alias("id"), F.col("size"),
+            F.posexplode(pref).alias("p0", "token"),
+        )
         .select(
             "token",
             F.col("id").alias(f"{side}_id"),
@@ -710,11 +805,22 @@ def verify_pairs(
     measure: str,
     threshold: float,
     comp_op: str = ">=",
+    self_join: bool = False,
+    id_space: str = "iid",
 ) -> DataFrame:
     """Exact similarity on the full token sets; JVM-side
     ``array_intersect`` (ordered, duplicate-free int arrays — the
-    primitive codegen fast path). -> (l_id, r_id, _sim_score)
-    filtered by comp_op/threshold.
+    primitive codegen fast path). -> (l_id, r_id, _sim_score) in
+    ORIGINAL-id space, filtered by comp_op/threshold.
+
+    ``id_space`` names the cand id columns' key into prep: ``"iid"``
+    (default — the funnel runs on dense-long surrogates) or ``"id"``
+    (candidate frames checkpointed before the iid funnel; the
+    consumer detects this from the stored l_id dtype). Either way the
+    output carries the ORIGINAL ids: they ride the token-array joins
+    this stage already does, so decoding is free. Self-join candidate
+    pairs are unordered in iid space; ``self_join=True`` restores the
+    canonical (least, greatest) ORIGINAL-id orientation.
 
     The candidate set is explicitly repartitioned to the session
     parallelism first: candidates are narrow (two ids) so AQE's
@@ -723,30 +829,41 @@ def verify_pairs(
     intersections)."""
     spark = cand.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert id_space in ("iid", "id"), id_space
     # containsNull=false is re-asserted ONCE PER RECORD on the prep
     # side (pre-join): interpreted ArrayTransform on N records is
     # cheap, and the resulting type keeps array_intersect on its
     # primitive codegen path for every candidate pair
     l_tok = prep_l.select(
-        F.col("id").alias("l_id"), nonnull_long_array(F.col("tokens")).alias("_lt")
+        F.col(id_space).alias("l_id"),
+        F.col("id").alias("_lo"),
+        nonnull_long_array(F.col("tokens")).alias("_lt"),
     )
     r_tok = prep_r.select(
-        F.col("id").alias("r_id"), nonnull_long_array(F.col("tokens")).alias("_rt")
+        F.col(id_space).alias("r_id"),
+        F.col("id").alias("_ro"),
+        nonnull_long_array(F.col("tokens")).alias("_rt"),
     )
     # hash-repartition on the full pair key: unique per row -> uniform
     # spread with no skew (l_id alone skews on hot records) and no
     # local sort (round-robin repartition sorts each input partition
     # serially); the token-array joins broadcast, so co-partitioning
     # is irrelevant
-    out = (
+    scored = (
         cand.repartition(n_part, "l_id", "r_id")
         .join(l_tok, "l_id")
         .join(r_tok, "r_id")
         .withColumn("_sim_score", sim_expr(F.col("_lt"), F.col("_rt"), measure))
         .where(COMP_OP_MAP[comp_op](F.col("_sim_score"), F.lit(float(threshold))))
-        .select("l_id", "r_id", "_sim_score")
     )
-    return out
+    if self_join:
+        sel = [
+            F.least("_lo", "_ro").alias("l_id"),
+            F.greatest("_lo", "_ro").alias("r_id"),
+        ]
+    else:
+        sel = [F.col("_lo").alias("l_id"), F.col("_ro").alias("r_id")]
+    return scored.select(*sel, "_sim_score")
 
 
 def empty_pairs(

@@ -117,14 +117,16 @@ def edit_distance_join(
     # short side and go quasi-cartesian on short-string corpora (e.g.
     # names with q=2, k=3, where most records are "short").
     min_grams = q * band + 1
+    # short branch runs in the same iid space as the main candidate
+    # funnel (prefix_explode defaults to the with_iid surrogate longs)
     shorts_l = prep_l.where(F.col("size") < min_grams).select(
-        F.col("id").alias("l_id"), F.col("size").alias("l_size")
+        F.col("iid").alias("l_id"), F.col("size").alias("l_size")
     )
     shorts_r = prep_r.where(F.col("size") < min_grams).select(
-        F.col("id").alias("r_id"), F.col("size").alias("r_size")
+        F.col("iid").alias("r_id"), F.col("size").alias("r_size")
     )
-    all_l = prep_l.select(F.col("id").alias("l_id"), F.col("size").alias("l_size"))
-    all_r = prep_r.select(F.col("id").alias("r_id"), F.col("size").alias("r_size"))
+    all_l = prep_l.select(F.col("iid").alias("l_id"), F.col("size").alias("l_size"))
+    all_r = prep_r.select(F.col("iid").alias("r_id"), F.col("size").alias("r_size"))
 
     def _band_sizes(size_col):
         return F.explode(
@@ -145,28 +147,43 @@ def edit_distance_join(
         short_cand = short_cand.where(F.col("l_id") < F.col("r_id"))
     cand = cand.unionAll(short_cand).distinct()
 
-    # verify with the banded built-in levenshtein (returns -1 above band)
+    # verify with the banded built-in levenshtein (returns -1 above
+    # band). Candidates carry iids; the string values live in the
+    # original tables, so verify decodes iid -> original id through
+    # the narrow prep projections and fetches the strings by original
+    # key — the same joins the string fetch needed anyway, one hop
+    # longer per side, all on long keys until the final string join.
     l_str = vl.where(F.col(vla).isNotNull()).select(
-        F.col(vlk).alias("l_id"), F.col(vla).alias("_ls")
+        F.col(vlk).alias("_lo"), F.col(vla).alias("_ls")
     )
     r_str = vr.where(F.col(vra).isNotNull()).select(
-        F.col(vrk).alias("r_id"), F.col(vra).alias("_rs")
+        F.col(vrk).alias("_ro"), F.col(vra).alias("_rs")
     )
+    l_dec = prep_l.select(F.col("iid").alias("l_id"), F.col("id").alias("_lo"))
+    r_dec = prep_r.select(F.col("iid").alias("r_id"), F.col("id").alias("_ro"))
     dist = F.levenshtein(F.col("_ls"), F.col("_rs"), band)
     n_part = int(l_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # pair-key repartition: uniform spread for the CPU-heavy banded
     # levenshtein stage (AQE byte-based coalescing would otherwise
     # shrink it to a handful of tasks)
-    pairs = (
+    scored = (
         cand.repartition(n_part, "l_id", "r_id")
-        .join(l_str, "l_id").join(r_str, "r_id")
+        .join(l_dec, "l_id").join(r_dec, "r_id")
+        .join(l_str, "_lo").join(r_str, "_ro")
         .withColumn("_sim_score", dist.cast("double"))
         .where(
             (F.col("_sim_score") >= 0)
             & COMP_OP_MAP[comp_op](F.col("_sim_score"), F.lit(float(threshold)))
         )
-        .select("l_id", "r_id", "_sim_score")
     )
+    if self_join:
+        # iid-space pair orientation is arbitrary wrt the original
+        # ids; restore the canonical (least, greatest) orientation
+        sel = [F.least("_lo", "_ro").alias("l_id"),
+               F.greatest("_lo", "_ro").alias("r_id")]
+    else:
+        sel = [F.col("_lo").alias("l_id"), F.col("_ro").alias("r_id")]
+    pairs = scored.select(*sel, "_sim_score")
     if use_dedup:
         pairs = expand_gid_pairs(pairs, l_map, r_map, self_join)
         if self_join:

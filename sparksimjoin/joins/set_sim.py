@@ -154,7 +154,11 @@ def set_sim_join(
         self_join=self_join, salt_map=salt_map, position_filter=position_filter,
         position_mode=position_mode or resolve_position_mode(measure, threshold),
     )
-    pairs = verify_pairs(cand, prep_l, prep_r, measure, threshold, comp_op)
+    # the candidate funnel above ran on dense-long iids (with_iid);
+    # verify decodes back to original ids through its prep joins and
+    # restores the canonical self-join pair orientation
+    pairs = verify_pairs(cand, prep_l, prep_r, measure, threshold, comp_op,
+                         self_join=self_join)
 
     if allow_empty and measure != fm.OVERLAP:
         ep = empty_pairs(prep_l, prep_r, threshold, comp_op, self_join=self_join,

@@ -33,6 +33,7 @@ from .joins.core import (
     build_salt_map,
     build_token_ranks,
     candidate_pairs,
+    ensure_iid,
     order_tokens,
     prefix_explode,
     resolve_position_mode,
@@ -141,11 +142,22 @@ def _run_stages(
     # without an extra driver job.
     ranks = ckpt.get_or_compute("token_ranks", lambda: build_token_ranks([_tok_df()]),
                                 inputs=["records"])
-    tokens = ckpt.get_or_compute("tokens", lambda: order_tokens(_tok_df(), ranks),
-                                 inputs=["records", "token_ranks"])
+    # ensure_iid: tokens stages checkpointed before the iid funnel
+    # lack the surrogate-id column; the re-derivation is deterministic
+    # (with_iid docstring), so a resumed old workdir gets exactly the
+    # iids a fresh run would
+    tokens = ensure_iid(
+        ckpt.get_or_compute("tokens", lambda: order_tokens(_tok_df(), ranks),
+                            inputs=["records", "token_ranks"])
+    )
 
     cand_extra = {"measure": cfg.measure, "threshold": cfg.threshold,
-                  "tokenizer": tokenizer_descriptor(cfg)}
+                  "tokenizer": tokenizer_descriptor(cfg),
+                  # candidate pairs are stored as iid surrogate longs
+                  # (decoded to conv ids by the scored stage's prep
+                  # joins); the scored stage detects pre-iid
+                  # checkpoints by the stored l_id dtype
+                  "id_space": "iid64"}
 
     def _candidates() -> DataFrame:
         ex_l = prefix_explode(tokens, "l", cfg.measure, cfg.threshold)
@@ -184,7 +196,18 @@ def _run_stages(
     )
 
     def _scored() -> DataFrame:
-        return verify_pairs(candidates, tokens, tokens, cfg.measure, cfg.threshold, cfg.comp_op)
+        from pyspark.sql.types import LongType
+
+        # conv ids are strings, so a long l_id unambiguously marks an
+        # iid-space candidates checkpoint; pre-iid checkpoints (string
+        # pairs) resume through the original-id join path
+        id_space = (
+            "iid"
+            if isinstance(candidates.schema["l_id"].dataType, LongType)
+            else "id"
+        )
+        return verify_pairs(candidates, tokens, tokens, cfg.measure, cfg.threshold,
+                            cfg.comp_op, self_join=True, id_space=id_space)
 
     scored = ckpt.get_or_compute("scored", _scored, inputs=["candidates", "tokens"])
 

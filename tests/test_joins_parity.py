@@ -441,15 +441,19 @@ def test_aggregate_position_mode_lossless(spark, tables):
     a, b = tables
     tok = WhitespaceTokenizer().with_return_set(True)
     prep_l, prep_r, _ = prepare_sides(a, b, "id", "id", "name", "name", tok)
+    # the funnel runs on iid surrogates; decode for comparison with
+    # the original-id naive oracle
+    lmap = {r["iid"]: r["id"] for r in prep_l.select("iid", "id").collect()}
+    rmap = {r["iid"]: r["id"] for r in prep_r.select("iid", "id").collect()}
     for thr in (0.3, 0.6, 0.8):
         ex_l = prefix_explode(prep_l, "l", "JACCARD", thr)
         ex_r = prefix_explode(prep_r, "r", "JACCARD", thr)
         occ = {
-            (r["l_id"], r["r_id"])
+            (lmap[r["l_id"]], rmap[r["r_id"]])
             for r in candidate_pairs(ex_l, ex_r, "JACCARD", thr).collect()
         }
         agg = {
-            (r["l_id"], r["r_id"])
+            (lmap[r["l_id"]], rmap[r["r_id"]])
             for r in candidate_pairs(
                 ex_l, ex_r, "JACCARD", thr, position_mode="aggregate"
             ).collect()
