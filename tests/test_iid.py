@@ -91,6 +91,29 @@ def test_two_table_join_sides_not_swapped(spark):
     assert [(x["l_id"], x["r_id"]) for x in out] == [("L1", "R1")]
 
 
+def test_iid_property_random_unicode(spark):
+    """Hypothesis-style corpus (fixed seeds — one Spark roundtrip per
+    example set is too slow for per-example shrinking): random unicode
+    ids incl. surrogum-adjacent codepoints, whitespace, and empties
+    must stay injective and deterministic."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "ab01-_ \té中\U0001f600"
+    ids = {""} | {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        for _ in range(500)
+    }
+    ids = sorted(ids)
+    m1 = {r["id"]: r["iid"] for r in with_iid(_ids_df(spark, ids)).collect()}
+    assert len(set(m1.values())) == len(ids)
+    m2 = {
+        r["id"]: r["iid"]
+        for r in with_iid(_ids_df(spark, ids).repartition(13)).collect()
+    }
+    assert m1 == m2
+
+
 def test_funnel_is_long_keyed(spark):
     """The candidate funnel's shuffled id columns are BIGINT (the whole
     point: ~24B UnsafeRow string ids -> 8B longs in the wall stage)."""
