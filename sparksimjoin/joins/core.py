@@ -807,11 +807,19 @@ def verify_pairs(
     comp_op: str = ">=",
     self_join: bool = False,
     id_space: str = "iid",
+    keep_iids: bool = False,
 ) -> DataFrame:
     """Exact similarity on the full token sets; JVM-side
     ``array_intersect`` (ordered, duplicate-free int arrays — the
     primitive codegen fast path). -> (l_id, r_id, _sim_score) in
     ORIGINAL-id space, filtered by comp_op/threshold.
+
+    ``keep_iids=True`` (iid space only) appends ``l_iid``/``r_iid`` —
+    the dense-long surrogates, oriented to MATCH the emitted original
+    ids — so downstream edge-heavy consumers (the pipeline's
+    connected-components rounds) can keep shuffling 8-byte longs
+    instead of re-encoding or carrying string ids through O(log n)
+    groupBy exchanges.
 
     ``id_space`` names the cand id columns' key into prep: ``"iid"``
     (default — the funnel runs on dense-long surrogates) or ``"id"``
@@ -861,8 +869,18 @@ def verify_pairs(
             F.least("_lo", "_ro").alias("l_id"),
             F.greatest("_lo", "_ro").alias("r_id"),
         ]
+        if keep_iids:
+            assert id_space == "iid", "keep_iids requires iid-space candidates"
+            fwd = F.col("_lo") <= F.col("_ro")
+            sel += [
+                F.when(fwd, F.col("l_id")).otherwise(F.col("r_id")).alias("l_iid"),
+                F.when(fwd, F.col("r_id")).otherwise(F.col("l_id")).alias("r_iid"),
+            ]
     else:
         sel = [F.col("_lo").alias("l_id"), F.col("_ro").alias("r_id")]
+        if keep_iids:
+            assert id_space == "iid", "keep_iids requires iid-space candidates"
+            sel += [F.col("l_id").alias("l_iid"), F.col("r_id").alias("r_iid")]
     return scored.select(*sel, "_sim_score")
 
 

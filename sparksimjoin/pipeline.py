@@ -206,8 +206,15 @@ def _run_stages(
             if isinstance(candidates.schema["l_id"].dataType, LongType)
             else "id"
         )
+        # keep_iids: the scored checkpoint carries the dense-long pair
+        # alongside the decoded conv ids so the clusters stage's
+        # O(log n) star-contraction rounds shuffle 8-byte longs, not
+        # ~24-byte conv-id strings (same lever as the candidate
+        # funnel's dictionary encoding — CC re-shuffles every edge
+        # each round, multiplying the per-byte saving)
         return verify_pairs(candidates, tokens, tokens, cfg.measure, cfg.threshold,
-                            cfg.comp_op, self_join=True, id_space=id_space)
+                            cfg.comp_op, self_join=True, id_space=id_space,
+                            keep_iids=id_space == "iid")
 
     scored = ckpt.get_or_compute("scored", _scored, inputs=["candidates", "tokens"])
 
@@ -217,10 +224,31 @@ def _run_stages(
         def round_ckpt(df: DataFrame, rnd: int) -> DataFrame:
             return ckpt.write(df, f"cc_round_{rnd}", inputs=["scored"])
 
-        comp = connected_components(
-            scored, "l_id", "r_id", max_rounds=cfg.max_cc_rounds,
-            round_checkpoint=round_ckpt, stats=stats,
-        )
+        if "l_iid" in scored.columns:
+            # iid-space contraction: every star round (and its durable
+            # cc_round checkpoint) moves 8-byte longs. Decode + relabel
+            # happen ONCE over the node set (|V| rows, not |E|·rounds):
+            # component labels are re-anchored to the MIN ORIGINAL id
+            # per component, so output is identical to string-space CC
+            # (min-iid and min-conv-id can disagree — iids carry no
+            # order contract; tests/test_pipeline.py asserts equality).
+            comp_iid = connected_components(
+                scored, "l_iid", "r_iid", max_rounds=cfg.max_cc_rounds,
+                round_checkpoint=round_ckpt, stats=stats,
+            )
+            idmap = tokens.select(F.col("iid").alias("id"), F.col("id").alias("_conv"))
+            decoded = comp_iid.join(idmap, "id").select("_conv", "component")
+            labels = decoded.groupBy("component").agg(F.min("_conv").alias("_lbl"))
+            comp = decoded.join(labels, "component").select(
+                F.col("_conv").alias("id"), F.col("_lbl").alias("component")
+            )
+        else:
+            # pre-iid scored checkpoint (string pairs): contract on the
+            # original ids directly, as before
+            comp = connected_components(
+                scored, "l_id", "r_id", max_rounds=cfg.max_cc_rounds,
+                round_checkpoint=round_ckpt, stats=stats,
+            )
         all_ids = records.select(F.col("conv_id"))
         return (
             all_ids.join(comp, comp["id"] == all_ids["conv_id"], "left")

@@ -139,6 +139,51 @@ def test_stop_token_cap_metrics(spark, transcripts, tmp_path):
     assert m_lo["stop_token_cap"] == 50
 
 
+def test_clusters_iid_space_cc_parity(spark, transcripts, tmp_path):
+    """The clusters stage contracts the match graph in iid space
+    (8-byte longs through every star round + cc_round checkpoint)
+    and re-anchors component labels to the min ORIGINAL id — output
+    must be EXACTLY the string-space contraction's, labels included."""
+    from sparksimjoin.checkpoint import CheckpointManager
+    from sparksimjoin.clustering import connected_components
+
+    wd = str(tmp_path / "wd_iid")
+    clusters = run_pipeline(spark, transcripts, wd, CFG)
+    ckpt = CheckpointManager(spark, wd)
+    scored = ckpt.read("scored")
+    # the scored checkpoint carries the surrogate pair, and the CC
+    # round checkpoints actually stored longs (the shuffle-byte claim)
+    assert dict(scored.dtypes)["l_iid"] == "bigint"
+    assert dict(ckpt.read("cc_round_0").dtypes) == {"src": "bigint", "dst": "bigint"}
+    # surrogate orientation matches the emitted original orientation
+    from sparksimjoin.joins.core import IID_BUCKETS  # noqa: F401 (import guards path)
+    bad = scored.where(
+        (F.col("l_id") > F.col("r_id"))
+        | ((F.col("l_id") == F.col("r_id")) & (F.col("l_iid") != F.col("r_iid")))
+    )
+    assert bad.count() == 0
+    # reference: string-space CC over the SAME edges (min conv_id label)
+    comp = connected_components(scored, "l_id", "r_id")
+    all_ids = clusters.select("conv_id")
+    ref = (
+        all_ids.join(comp, comp["id"] == all_ids["conv_id"], "left")
+        .select("conv_id", F.coalesce("component", F.col("conv_id")).alias("component"))
+    )
+    got = sorted((r["conv_id"], r["component"]) for r in clusters.collect())
+    want = sorted((r["conv_id"], r["component"]) for r in ref.collect())
+    assert got == want
+    # the relabel is doing real work: iid rarity order must disagree
+    # with conv_id lexicographic order somewhere (hash-bucketed iids
+    # carry no order contract), else this test proves nothing
+    toks = ckpt.read("tokens")
+    from sparksimjoin.joins.core import ensure_iid
+
+    idmap = ensure_iid(toks).select("id", "iid").collect()
+    order_str = [r["id"] for r in sorted(idmap, key=lambda r: r["id"])]
+    order_iid = [r["id"] for r in sorted(idmap, key=lambda r: r["iid"])]
+    assert order_str != order_iid
+
+
 def test_iceberg_checkpoint_backend(spark, tmp_path):
     """End-to-end CheckpointManager over Iceberg tables. Skips when
     the runtime jars are absent (the in-sandbox case) — with them,
