@@ -396,11 +396,11 @@ def resolve_dedup(
     key_fn=None,
 ) -> bool:
     """Decide whether the exact-duplicate dedup pre-pass pays. "auto"
-    samples duplication factors with one cheap agg per side (runtime
-    stats — the same spirit as AQE) and opts in when collapsing
-    duplicates would cut pairwise work by >= ``min_pair_reduction``x;
-    True/False force. ``key_fn(col) -> Column`` overrides the dedup
-    key (e.g. canonical token set for set-sim measures)."""
+    samples duplication with one linear agg per side (runtime stats —
+    the same spirit as AQE) and opts in when collapsing duplicates
+    would cut pairwise work by >= ``min_pair_reduction``x; True/False
+    force. ``key_fn(col) -> Column`` overrides the dedup key (e.g.
+    canonical token set for set-sim measures)."""
     if dedup_strings is True or dedup_strings is False:
         return dedup_strings
     same = l_join_attr == r_join_attr and (l_df is r_df or l_df.sameSemantics(r_df))
@@ -410,13 +410,37 @@ def resolve_dedup(
 
 
 def dup_factor(df: DataFrame, attr: str, key_fn=None) -> float:
-    """Average duplication of non-null ``attr`` dedup keys
-    (approximate; one cheap agg job). Drives the auto dedup decision."""
+    """SIZE-BIASED mean duplication of non-null ``attr`` dedup keys:
+    sum(d_k^2)/sum(d_k) — the expected duplication of the key a
+    RANDOM ROW carries. Drives the auto dedup decision.
+
+    Why size-biased and not the plain mean (count/approx_distinct):
+    candidate work scales with sum(d_k^2) — every blocking scheme
+    (prefix tokens, LSH bands, simhash chunks) co-buckets identical
+    keys, so each duplicated key contributes its copies SQUARED to
+    the meeting stream. A corpus of 4,000 unique docs plus 10 hot
+    1,000-copy boilerplates has plain mean ~3.5 but generates ~10M
+    meetings from the hot keys alone; skew-blind averaging is exactly
+    the mistake that made "auto" decline set-collapse on a corpus
+    where forcing it was measured 1.6x faster (BENCH/BASELINE.md
+    round-4 set-collapse entry). For uniform duplication f the
+    statistic equals f, so the non-skewed decision is unchanged.
+
+    Cost: one groupBy over 8-byte key hashes with map-side partial
+    aggregation + a scalar agg — linear, no row data shuffled (the
+    old approx_count_distinct agg was also one job; this one is
+    skew-aware for the same shape of cost)."""
     key = key_fn(F.col(attr)) if key_fn else F.col(attr)
-    r = df.where(F.col(attr).isNotNull()).agg(
-        F.count(F.lit(1)).alias("n"), F.approx_count_distinct(key).alias("d")
+    per = (
+        df.where(F.col(attr).isNotNull())
+        .select(F.xxhash64(key).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    r = per.agg(
+        F.sum("__d").alias("n"), F.sum(F.col("__d") * F.col("__d")).alias("s2")
     ).first()
-    return (r["n"] or 0) / max(r["d"] or 1, 1)
+    return (r["s2"] or 0) / max(r["n"] or 1, 1)
 
 
 def string_dedup_maps(

@@ -261,3 +261,43 @@ def test_unique_key_gid_guard_passes(spark):
     assert sorted((r["__gid"], r["__oid"]) for r in mp.collect()) == [
         (1, 1), (1, 2), (3, 3)
     ]
+
+
+def test_dup_factor_size_biased_skew(spark):
+    """The auto-dedup decision statistic is the SIZE-BIASED mean
+    duplication (sum d^2 / sum d), not the plain mean: a corpus of
+    unique rows plus one hot boilerplate key must trip the pre-pass
+    even though the plain mean stays ~1 (blocking co-buckets the hot
+    key's copies, so its pair work is quadratic in the copy count)."""
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.joins.core import dup_factor, resolve_dedup
+
+    # 900 unique + 100 copies of one value: plain mean = 1000/901 ~ 1.1
+    # (old stat -> auto False); size-biased = (900 + 100^2)/1000 = 10.9
+    skew = spark.range(1000).select(
+        F.when(F.col("id") < 100, F.lit("hot"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("t")
+    )
+    f = dup_factor(skew, "t")
+    assert abs(f - 10.9) < 1e-6, f
+    assert resolve_dedup("auto", skew, skew, "t", "t") is True
+
+    # uniform-unique corpus: statistic equals the plain mean (1.0)
+    uniq = spark.range(1000).select(F.col("id").cast("string").alias("t"))
+    assert abs(dup_factor(uniq, "t") - 1.0) < 1e-6
+    assert resolve_dedup("auto", uniq, uniq, "t", "t") is False
+
+    # uniform duplication f: statistic equals f exactly (4 copies
+    # each -> 4.0; f*f = 16 >= 4 -> True)
+    unif = spark.range(1000).select((F.col("id") % 250).cast("string").alias("t"))
+    assert abs(dup_factor(unif, "t") - 4.0) < 1e-6
+    assert resolve_dedup("auto", unif, unif, "t", "t") is True
+
+    # nulls excluded; empty frame -> 0 without error
+    withnull = spark.range(10).select(
+        F.when(F.col("id") < 5, F.col("id").cast("string")).alias("t")
+    )
+    assert abs(dup_factor(withnull, "t") - 1.0) < 1e-6
+    assert dup_factor(withnull.where("t IS NULL AND t IS NOT NULL"), "t") == 0
