@@ -155,7 +155,7 @@ print("RESULT", {name!r}, n, cold, warm if warm != "" else "-", startup)
 
 
 def _run_query_isolated(
-    name: str, sf_dir: str, cores: int, warm_cutoff: float = 20.0
+    name: str, sf_dir: str, cores: int, warm_cutoff: float = 30.0
 ) -> tuple[int, float, float | None, float]:
     """One query per fresh subprocess/JVM — the way a real spark-submit
     job runs. A single long-lived local session degrades several-fold
@@ -264,7 +264,7 @@ def main():
         "jvm_startup_sec": round(sorted(startups)[len(startups) // 2], 3),
         "timing_note": (
             "queries = steady-state (2nd run in-session) when the cold run "
-            "was <20s, else cold; per-query fresh JVM; startup excluded"
+            "was <30s, else cold; per-query fresh JVM; startup excluded"
         ),
         "sf": sf,
         "pipeline_turns": n_turns,
