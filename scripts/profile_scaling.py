@@ -34,6 +34,8 @@ cores = {cores}
 n_conv = {n_conv}
 spark = get_spark(app_name="scaleprof", cores=cores, shuffle_partitions=cores,
                   extra_conf={{"spark.eventLog.enabled": "true",
+                              "spark.eventLog.compress": "false",
+                              "spark.eventLog.rolling.enabled": "false",
                               "spark.eventLog.dir": {evdir!r}}})
 tpdf, _ = make_transcripts(n_conv=n_conv, seed=42, vocab=expanded_vocab(2000))
 tdf = spark.createDataFrame(tpdf).repartition(cores).cache()
@@ -58,11 +60,31 @@ _KEYS = {
 }
 
 
+def _event_lines(path: Path):
+    # Spark 4 rolling event logs are DIRECTORIES
+    # (eventlog_v2_<app>/events_1_<app>...); single-file logs still occur
+    # with rolling disabled
+    files = sorted(path.glob("events_*")) if path.is_dir() else [path]
+    for fp in files:
+        if fp.suffix in (".zstd", ".lz4", ".snappy"):
+            # Spark compresses rolling event logs with the codec in
+            # spark.eventLog.compression.codec (zstd default);
+            # pyarrow's input_stream handles streaming frames
+            import io
+
+            import pyarrow as pa
+
+            with pa.input_stream(str(fp), compression=fp.suffix[1:]) as raw:
+                yield from io.TextIOWrapper(raw, encoding="utf-8")
+        else:
+            with open(fp) as f:
+                yield from f
+
+
 def parse_eventlog(path: Path) -> list[dict]:
     stages: dict[int, dict] = {}
     agg: dict[int, defaultdict] = {}
-    with open(path) as f:
-        for line in f:
+    for line in _event_lines(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -123,16 +145,21 @@ def main():
         out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                              text=True, env=dict(os.environ), check=True)
         summary = out.stdout.strip().splitlines()[-1]
-        logs = sorted(Path(evdir).glob("*"), key=lambda p: p.stat().st_size)
+        print("RUN:", summary, flush=True)
+        logs = sorted(Path(evdir).glob("*"), key=lambda p: p.stat().st_mtime)
         rows = parse_eventlog(logs[-1]) if logs else []
+    sys.path.insert(0, str(REPO / "scripts"))
+    from bench_membw import measure as membw_measure
+
+    print("MEMBW_POST_GBPS:", membw_measure(cores), flush=True)
     tot = defaultdict(float)
     for r in rows:
-        print(json.dumps(r))
+        if r["run_s"] >= 1.0:  # drop sub-second scheduler noise stages
+            print(json.dumps(r))
         for k in ("wall_s", "run_s", "cpu_s", "gc_s", "shufw_s", "fetch_s",
                   "stall_s", "shufw_mb", "in_mb", "out_mb"):
             tot[k] += r.get(k, 0.0)
     print("TOTALS:", json.dumps({k: round(v, 1) for k, v in tot.items()}))
-    print("RUN:", summary)
 
 
 if __name__ == "__main__":
