@@ -93,9 +93,23 @@ def parse_eventlog(path: Path) -> list[dict]:
             if t == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sid = si["Stage ID"]
+                # the callsite Stage Name is useless for SQL plans
+                # ("withThreadLocalCaptured..."); the RDD scope names
+                # carry the physical operators this stage executes
+                scopes: list[str] = []
+                for rdd in si.get("RDD Info", []):
+                    sc = rdd.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name", "")
+                        except json.JSONDecodeError:
+                            nm = ""
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
                 stages[sid] = {
                     "stage": sid,
-                    "name": si["Stage Name"].split("\n")[0][:60],
+                    "name": " ".join(reversed(scopes))[:120]
+                    or si["Stage Name"].split("\n")[0][:60],
                     "tasks": si["Number of Tasks"],
                     "wall_s": round(
                         (si.get("Completion Time", 0) - si.get("Submission Time", 0))
@@ -110,13 +124,28 @@ def parse_eventlog(path: Path) -> list[dict]:
                 a["gc_ms"] += m.get("JVM GC Time", 0)
                 a["deser_ms"] += m.get("Executor Deserialize Time", 0)
                 a["ser_ms"] += m.get("Result Serialization Time", 0)
+                a["max_task_run_ms"] = max(
+                    a["max_task_run_ms"], m.get("Executor Run Time", 0)
+                )
                 sw = m.get("Shuffle Write Metrics") or {}
                 a["shufw_ms"] += sw.get("Shuffle Write Time", 0) / 1e6  # ns
                 a["shufw_mb"] += sw.get("Shuffle Bytes Written", 0) / 1e6
+                a["shufw_rec"] += sw.get("Shuffle Records Written", 0)
                 sr = m.get("Shuffle Read Metrics") or {}
                 a["fetch_ms"] += sr.get("Fetch Wait Time", 0)
                 a["shufr_mb"] += (sr.get("Local Bytes Read", 0)
                                   + sr.get("Remote Bytes Read", 0)) / 1e6
+                a["shufr_rec"] += sr.get("Total Records Read", 0)
+                # sort/agg spill: per-task execution memory shrinks as
+                # parallelism grows (shared pool / n concurrent tasks),
+                # so a stage can run in-memory at 2 cores and spill at
+                # 8+ — the fallback burns CPU, not wait time
+                a["spill_mem_mb"] += m.get("Memory Bytes Spilled", 0) / 1e6
+                a["spill_disk_mb"] += m.get("Disk Bytes Spilled", 0) / 1e6
+                a["peak_mem_mb"] = max(
+                    a["peak_mem_mb"],
+                    m.get("Peak Execution Memory", 0) / 1e6,
+                )
                 inp = m.get("Input Metrics") or {}
                 a["in_mb"] += inp.get("Bytes Read", 0) / 1e6
                 out = m.get("Output Metrics") or {}
@@ -129,6 +158,11 @@ def parse_eventlog(path: Path) -> list[dict]:
                   "shufw_ms", "fetch_ms"):
             row[k.replace("_ms", "_s")] = round(a.get(k, 0.0) / 1000.0, 2)
         for k in ("shufw_mb", "shufr_mb", "in_mb", "out_mb"):
+            row[k] = round(a.get(k, 0.0), 1)
+        for k in ("shufw_rec", "shufr_rec"):
+            row[k] = int(a.get(k, 0))
+        row["max_task_s"] = round(a.get("max_task_run_ms", 0.0) / 1000.0, 2)
+        for k in ("spill_mem_mb", "spill_disk_mb", "peak_mem_mb"):
             row[k] = round(a.get(k, 0.0), 1)
         # stall = task clock not accounted by CPU or GC: I/O waits,
         # lock contention, scheduler preemption, page faults
