@@ -17,15 +17,29 @@ def get_spark(
     app_name: str = "sparksimjoin",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    driver_memory: str = "48g",
+    driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores=None -> leave master untouched (spark-submit decides) unless
     no master is configured, in which case local[*].
+
+    driver_memory=None -> $SPARKSIMJOIN_DRIVER_MEM or 12g. The default
+    is deliberately RIGHT-SIZED, not maximal: with a huge heap G1
+    wanders a tens-of-GB young gen across the address space, ballooning
+    RSS far beyond the workload's live set. On memory-oversubscribed
+    virtualized hosts that triggers hypervisor demand-faulting (pages
+    host-evicted, ~ms per first touch — measured 6 MB/s fill speed in
+    bad windows; see BENCH/BASELINE.md round-4 root-cause entry), which
+    multiplied allocation-heavy stages 7-40x. The same discipline is
+    the right call on a real cluster: size executor heaps to the
+    workload (execution memory spills gracefully when tight) instead
+    of handing each executor the machine.
     """
     n = cores or int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
+    driver_memory = (driver_memory
+                     or os.environ.get("SPARKSIMJOIN_DRIVER_MEM") or "12g")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
