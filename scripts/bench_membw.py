@@ -90,3 +90,18 @@ def probe(thread_counts: list[int]) -> dict:
 if __name__ == "__main__":
     tcs = [int(x) for x in sys.argv[1:]] or [2, 4, 8, 16, 32]
     print(json.dumps(probe(tcs)))
+
+
+def firsttouch_mbps(mib: int = 512) -> float:
+    """MB/s of a first-touch fill over freshly mapped pages. On a
+    host that is oversubscribing memory (demand-faulting guest pages
+    to disk) this collapses ~1000x — from GB/s to single-digit MB/s —
+    while the warm-page stream probe above can still look normal.
+    The decisive discriminator for the round-4 'poisoned verify'
+    investigation (BENCH/BASELINE.md)."""
+    import numpy as np
+
+    a = np.empty(mib * MIB // 8, dtype=np.float64)
+    t0 = time.perf_counter()
+    a.fill(1.0)
+    return round(mib / (time.perf_counter() - t0), 1)

@@ -85,16 +85,22 @@ def run_best(cores: int, n_conv: int, attempts: int, quiet_load: float) -> tuple
     # run time — a single probe at invocation start mis-labels legs
     # run an hour later
     sys.path.insert(0, str(REPO / "scripts"))
+    from bench_membw import firsttouch_mbps
     from bench_membw import measure as membw_measure
 
     for i in range(attempts):
         bw_pre = round(membw_measure(cores), 1)
+        # first-touch MB/s: detects host memory oversubscription
+        # (demand-faulted guest pages), which the warm-page stream
+        # probe misses — see BENCH/BASELINE.md round-4 root-cause
+        ft_pre = firsttouch_mbps()
         r = run(cores, n_conv)
         r["membw_gbps_pre"] = bw_pre
+        r["firsttouch_mbps_pre"] = ft_pre
         all_runs.append(r)
         print(f"  attempt {i + 1} local[{cores}]: {r['sec']}s "
               f"(load1 pre={r['load1_pre']} post={r['load1_post']} "
-              f"membw@{cores}t={bw_pre}GB/s)", flush=True)
+              f"membw@{cores}t={bw_pre}GB/s firsttouch={ft_pre}MB/s)", flush=True)
         if best is None or r["sec"] < best["sec"]:
             best = r
         # our own child has exited, so post-load ~= co-tenant load;
