@@ -92,7 +92,7 @@ if __name__ == "__main__":
     print(json.dumps(probe(tcs)))
 
 
-def firsttouch_mbps(mib: int = 512) -> float:
+def firsttouch_mbps(mib: int = 128) -> float:
     """MB/s of a first-touch fill over freshly mapped pages. On a
     host that is oversubscribing memory (demand-faulting guest pages
     to disk) this collapses ~1000x — from GB/s to single-digit MB/s —
