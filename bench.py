@@ -176,10 +176,25 @@ def _run_query_isolated(
     return int(n), float(cold), (None if warm == "-" else float(warm)), float(startup)
 
 
+def _firsttouch_mbps(mib: int = 128) -> float:
+    """MB/s of a first-touch fill over fresh pages. Collapses ~1000x
+    (GB/s -> single-digit MB/s) when the hypervisor is demand-faulting
+    this VM's memory — the host-health stamp that makes bench numbers
+    interpretable across windows (BENCH/BASELINE.md round-4
+    root-cause entry)."""
+    import numpy as np
+
+    a = np.empty(mib * (1 << 20) // 8, dtype=np.float64)
+    t0 = time.time()
+    a.fill(1.0)
+    return round(mib / (time.time() - t0), 1)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    ft_pre = _firsttouch_mbps()
 
     timings: dict[str, float] = {}
     cold_secs: dict[str, float] = {}
@@ -286,6 +301,11 @@ def main():
         "incremental_batch_candidates": int(n_inc_cand),
         "incremental_vs_full_speedup": round(pipe_sec / inc_sec, 2) if inc_sec else None,
         "cores": cores,
+        # host-health stamps: first-touch fill MB/s before and after
+        # the run; single-digit readings mean the hypervisor was
+        # demand-faulting guest memory and timings are upper bounds
+        "firsttouch_mbps_pre": ft_pre,
+        "firsttouch_mbps_post": _firsttouch_mbps(),
     }
     print(json.dumps(out))
 
