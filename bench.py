@@ -143,8 +143,13 @@ cold = round(time.time() - t0, 3)
 warm = ""
 # short queries are dominated by per-session first-use costs (Arrow/
 # pandas-UDF init, codegen compiles); re-run once in the same session
-# for the steady-state number. Long queries: cold ~= steady already.
-if cold < {warm_cutoff}:
+# for the steady-state number. Long queries: cold ~= steady already —
+# UNLESS the host probe was bad at launch ({force_warm}=True): a
+# first-touch-poisoned window (BENCH/BASELINE.md round-4 root cause)
+# inflates the cold run via host demand-faults on fresh pages; the
+# in-session rerun touches already-faulted pages and recovers the
+# steady-state number even then.
+if cold < {warm_cutoff} or {force_warm}:
     release_all()
     t1 = time.time()
     n2 = bench_queries()[{name!r}](spark, {sf_dir!r}).count()
@@ -155,18 +160,22 @@ print("RESULT", {name!r}, n, cold, warm if warm != "" else "-", startup)
 
 
 def _run_query_isolated(
-    name: str, sf_dir: str, cores: int, warm_cutoff: float = 30.0
+    name: str, sf_dir: str, cores: int, warm_cutoff: float = 30.0,
+    force_warm: bool = False,
 ) -> tuple[int, float, float | None, float]:
     """One query per fresh subprocess/JVM — the way a real spark-submit
     job runs. A single long-lived local session degrades several-fold
     after a few heavy queries (accumulated listener/broadcast/codegen
     state), which corrupts every measurement after the first two.
-    -> (rows, cold_sec, warm_sec | None, jvm_startup_sec)."""
+    ``force_warm`` requests the steady-state rerun even past the
+    cutoff (set when the pre-query host probe shows a poisoned
+    window). -> (rows, cold_sec, warm_sec | None, jvm_startup_sec)."""
     import subprocess
 
     code = _QUERY_CHILD.format(repo=str(Path(__file__).resolve().parent),
                                cores=cores, name=name, sf_dir=sf_dir,
-                               warm_cutoff=warm_cutoff)
+                               warm_cutoff=warm_cutoff,
+                               force_warm=bool(force_warm))
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     if res.returncode != 0:
         print(res.stderr[-2000:], file=sys.stderr, flush=True)
@@ -198,18 +207,25 @@ def main():
 
     timings: dict[str, float] = {}
     cold_secs: dict[str, float] = {}
+    probes: dict[str, float] = {}
     startups: list[float] = []
     for name in bench_queries():
-        n, cold, warm, startup = _run_query_isolated(name, sf_dir, cores)
+        ft_q = _firsttouch_mbps()
+        probes[name] = ft_q
+        n, cold, warm, startup = _run_query_isolated(
+            name, sf_dir, cores, force_warm=ft_q < 500.0
+        )
         # steady-state number where measured (short queries re-run in
         # the same session; cold includes per-session first-use costs
-        # like Arrow/pandas-UDF init and codegen compiles)
+        # like Arrow/pandas-UDF init and codegen compiles). When the
+        # pre-query probe flagged a poisoned window the rerun is
+        # forced, so `timings` stays a steady-state number there too.
         timings[name] = warm if warm is not None else cold
         cold_secs[name] = cold
         startups.append(startup)
         print(f"# {name}: {n} rows, cold {cold}s"
               + (f", warm {warm}s" if warm is not None else "")
-              + f" (jvm+session startup {startup}s)",
+              + f" (jvm+session startup {startup}s, firsttouch {ft_q}MB/s)",
               file=sys.stderr, flush=True)
 
     # realistic-workload pipeline bench on synthetic transcripts, also
@@ -279,8 +295,13 @@ def main():
         "jvm_startup_sec": round(sorted(startups)[len(startups) // 2], 3),
         "timing_note": (
             "queries = steady-state (2nd run in-session) when the cold run "
-            "was <30s, else cold; per-query fresh JVM; startup excluded"
+            "was <30s OR the pre-query first-touch probe flagged a poisoned "
+            "host window, else cold; per-query fresh JVM; startup excluded"
         ),
+        # per-query pre-launch first-touch probe (MB/s): <~500 means
+        # the hypervisor was demand-faulting guest pages during that
+        # query's window and its cold number is an upper bound
+        "firsttouch_mbps_per_query": probes,
         "sf": sf,
         "pipeline_turns": n_turns,
         "pipeline_candidate_pairs": int(n_cand),
