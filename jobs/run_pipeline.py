@@ -1,10 +1,13 @@
 """spark-submit entrypoint (north_rule: ``spark-submit --py-files
 sparksimjoin.zip jobs/run_pipeline.py``).
 
-Reads a transcripts table (parquet path or Iceberg table name),
-runs the blocking -> scoring -> clustering pipeline with checkpoints
-under --workdir, writes clusters to --output, and prints the stage
-manifests (per-partition lineage + counters).
+Reads a transcripts table (parquet/CSV/TSV/JSON-lines path by suffix,
+or an Iceberg table name; sparksimjoin/io.py coerces all of them to
+the canonical transcript schema with an explicit schema — never
+inferSchema's extra data pass), runs the blocking -> scoring ->
+clustering pipeline with checkpoints under --workdir, writes clusters
+to --output (parquet/csv/json), and prints the stage manifests
+(per-partition lineage + counters).
 
 Packaging:
   cd /root/repo && zip -r sparksimjoin.zip sparksimjoin
@@ -35,7 +38,19 @@ from sparksimjoin.tokenizers import QgramTokenizer, WhitespaceTokenizer
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="transcripts parquet path or iceberg table")
+    ap.add_argument(
+        "--input", required=True,
+        help="transcripts path (parquet/csv/tsv/json-lines by suffix) or iceberg table",
+    )
+    ap.add_argument(
+        "--input-format", default=None,
+        choices=["parquet", "csv", "json", "table"],
+        help="override suffix-based format inference (sparksimjoin/io.py)",
+    )
+    ap.add_argument(
+        "--output-format", default=None, choices=["parquet", "csv", "json"],
+        help="clusters output format (default: inferred from --output suffix, parquet otherwise)",
+    )
     ap.add_argument("--workdir", required=True, help="checkpoint root")
     ap.add_argument("--output", required=True, help="clusters output path")
     ap.add_argument(
@@ -65,10 +80,9 @@ def main(argv=None):
         measure=args.measure, threshold=args.threshold, tokenizer=tok,
         salt_cap=args.salt_cap,
     )
-    if args.input.endswith(".parquet") or "/" in args.input:
-        transcripts = spark.read.parquet(args.input)
-    else:  # pragma: no cover - iceberg path for real clusters
-        transcripts = spark.read.table(args.input)
+    from sparksimjoin.io import read_transcripts, write_output
+
+    transcripts = read_transcripts(spark, args.input, fmt=args.input_format)
     if args.base:
         from sparksimjoin.incremental import run_incremental
 
@@ -77,7 +91,7 @@ def main(argv=None):
     else:
         clusters = run_pipeline(spark, transcripts, args.workdir, cfg,
                                 checkpoint_format=args.checkpoint_format)
-    clusters.write.mode("overwrite").parquet(args.output)
+    write_output(clusters, args.output, fmt=args.output_format)
     for m in CheckpointManager(spark, args.workdir, fmt=args.checkpoint_format).all_manifests():
         print(json.dumps(m), file=sys.stderr)
     print(f"clusters written to {args.output}")
