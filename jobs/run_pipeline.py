@@ -63,6 +63,14 @@ def main(argv=None):
     ap.add_argument("--tokenizer", default="whitespace", choices=["whitespace", "qgram2", "qgram3"])
     ap.add_argument("--salt-cap", type=int, default=10_000)
     ap.add_argument(
+        "--estimate", action="store_true",
+        help="pre-flight only: print the exact blocking-cost predictors "
+        "(candidate meetings, prefix shuffle volume, hot-token count) for "
+        "this input/measure/threshold as one JSON line and exit WITHOUT "
+        "running the pipeline — size or re-threshold a 100 TB job before "
+        "paying for it (sparksimjoin/estimate.py)",
+    )
+    ap.add_argument(
         "--checkpoint-format", default="parquet", choices=["parquet", "iceberg"],
         help="iceberg needs --packages org.apache.iceberg:iceberg-spark-runtime-* "
         "and a spark.sql.catalog.<name>; --workdir is then a catalog namespace",
@@ -83,6 +91,18 @@ def main(argv=None):
     from sparksimjoin.io import read_transcripts, write_output
 
     transcripts = read_transcripts(spark, args.input, fmt=args.input_format)
+    if args.estimate:
+        from sparksimjoin.estimate import estimate_join_cost
+        from sparksimjoin.pipeline import prepare_records
+
+        recs = prepare_records(transcripts)
+        row = estimate_join_cost(
+            recs, recs, "conv_id", "conv_id", "doc", "doc",
+            cfg.tokenizer, cfg.measure, cfg.threshold,
+            self_join=True, salt_cap=args.salt_cap,
+        ).collect()[0]
+        print(json.dumps(row.asDict()))
+        return
     if args.base:
         from sparksimjoin.incremental import run_incremental
 
