@@ -47,8 +47,15 @@ EXEC_MEM = "5g"  # right-sized: see BENCH/BASELINE.md round-4 heap A/B
 sys.path.insert(0, str(REPO / "scripts"))
 from bench_membw import firsttouch_mbps, measure as membw_measure  # noqa: E402
 
-FT_MIN = 500.0  # MB/s — below this the host is demand-faulting guest pages
-LOAD_MAX = 3.0
+# gates are env-tunable: the host's poisoned windows can outlast any
+# fixed deadline (observed: multi-hour stretches), and the heap A/B in
+# BENCH/BASELINE.md showed right-sized JVMs (these legs: 5g exec / 6g
+# driver) run at normal speed even in probe-bad windows — so past the
+# deadline the legs run anyway, each stamped with its own first-touch
+# probe so the row stays interpretable (min-over-attempts defends)
+FT_MIN = float(os.environ.get("SPARKSIMJOIN_FT_MIN", "500"))
+LOAD_MAX = float(os.environ.get("SPARKSIMJOIN_LOAD_MAX", "3.0"))
+QUIET_DEADLINE = float(os.environ.get("SPARKSIMJOIN_QUIET_DEADLINE", "3600"))
 
 
 def wait_for_quiet(deadline_s: float = 3600.0) -> float:
@@ -194,12 +201,19 @@ def main() -> None:
     bw = {str(t): round(membw_measure(t), 1) for t in (2, 8)}
     procs = start_cluster()
     try:
+        def gate() -> None:
+            try:
+                wait_for_quiet(QUIET_DEADLINE)
+            except TimeoutError as e:
+                print(f"quiet deadline passed — running anyway ({e}); "
+                      "per-leg probe stamps keep the row interpretable", flush=True)
+
         best = None
         for i in range(attempts):
-            wait_for_quiet()
+            gate()
             r1 = run_leg(WORKER_CORES, input_path, f"1ex-{i}")
             print(f"1 executor : {json.dumps(r1)}", flush=True)
-            wait_for_quiet()
+            gate()
             r4 = run_leg(WORKER_CORES * N_WORKERS, input_path, f"4ex-{i}")
             print(f"4 executors: {json.dumps(r4)}", flush=True)
             eff = (r4["cand_per_sec"] / r1["cand_per_sec"]) / N_WORKERS
