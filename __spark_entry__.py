@@ -244,6 +244,33 @@ def q_cc_clusters_doc(spark, sf_dir):
     )
 
 
+def q_cluster_audit_doc(spark, sf_dir):
+    """Cluster quality audit (sparksimjoin/audit.py): per-component
+    size, intra-cluster edge support, density (the bad-transitive-
+    merge signature), and weakest/mean supporting similarity — the
+    review queue a 100 TB linkage run needs over its own output."""
+    from sparksimjoin.audit import cluster_audit
+
+    d = _t(spark, sf_dir, "documents")
+    edges = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.7,
+                         allow_empty=False, self_join=True)
+    comp = connected_components(edges, "l_doc_id", "r_doc_id")
+    all_ids = d.select(F.col("doc_id").alias("id"))
+    comp_full = (
+        all_ids.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    # singletons are NULL-density/NULL-sim by design (audit.py); the
+    # driver's value-hash sorts rows, and None breaks float ordering,
+    # so the query surface reports only multi-record components (the
+    # only ones with audit content)
+    return cluster_audit(comp_full, edges, id_col="id",
+                         component_col="component",
+                         l_col="l_doc_id", r_col="r_doc_id").where(
+        F.col("n_records") > 1
+    )
+
+
 def q_incremental_cc_doc(spark, sf_dir):
     """Incremental linkage gate (sparksimjoin/incremental.py): the
     documents corpus is split 80/20 by doc_id, run as a base pipeline
@@ -453,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": q_profile_documents,
         "candidate_estimate_doc": q_candidate_estimate_doc,
         "cc_clusters_doc": q_cc_clusters_doc,
+        "cluster_audit_doc": q_cluster_audit_doc,
         "incremental_cc_doc": q_incremental_cc_doc,
         "exact_dedup_doc": q_exact_dedup_doc,
         "ngram_dedup_part": q_ngram_dedup_part,
@@ -962,6 +990,42 @@ reach(id, comp) AS (
   SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
 )
 SELECT id, min(comp) AS component FROM reach GROUP BY id
+""",
+        # cluster audit: components as in cc_clusters_doc, then
+        # per-component size / intra-edge support / density / weakest
+        # and mean similarity; avg_sim rounded to 6 in BOTH engines so
+        # double summation order cannot flip the value hash
+        "cluster_audit_doc": f"""
+WITH RECURSIVE {_TOK_DOC},
+edges AS (
+  SELECT l_id AS src, r_id AS dst, CAST(o AS DOUBLE)/(s1+s2-o) AS s
+  FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.7
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+),
+lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+es AS (
+  SELECT la.component AS component, count(*) AS n_edges,
+         min(e.s) AS min_sim, round(avg(e.s), 6) AS avg_sim
+  FROM edges e JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id
+  WHERE la.component = lb.component
+  GROUP BY la.component
+),
+sz AS (SELECT component, count(*) AS n_records FROM lab GROUP BY component)
+SELECT sz.component, sz.n_records,
+       coalesce(es.n_edges, 0) AS n_edges,
+       CASE WHEN sz.n_records > 1
+            THEN CAST(coalesce(es.n_edges, 0) AS DOUBLE)
+                 / (CAST(sz.n_records AS DOUBLE) * (sz.n_records - 1) / 2)
+            ELSE NULL END AS density,
+       es.min_sim, es.avg_sim
+FROM sz LEFT JOIN es ON sz.component = es.component
+WHERE sz.n_records > 1
 """,
         # full-recompute oracle for the INCREMENTAL run: incremental
         # clusters are exactly equivalent to one full run over the

@@ -27,6 +27,7 @@ from .profiler import profile_table_for_join
 from .converter import column_to_str
 from .clustering import connected_components
 from .pipeline import PipelineConfig, pairwise_f1, prepare_records, run_pipeline
+from .audit import cluster_audit
 
 __all__ = [
     "AlphanumericTokenizer",
@@ -36,6 +37,7 @@ __all__ = [
     "Tokenizer",
     "WhitespaceTokenizer",
     "apply_matcher",
+    "cluster_audit",
     "column_to_str",
     "connected_components",
     "cosine_join",

@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import math
+
+from sparksimjoin.audit import cluster_audit
+
+
+def _rows(df):
+    return {r["component"]: r.asDict() for r in df.collect()}
+
+
+def test_cluster_audit_basic(spark):
+    """Chain component (density 2/3 — the bad-merge signature), clique
+    pair, singleton (NULL density), and a cross-component edge that
+    must be ignored."""
+    comp = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("d", "D"), ("e", "D"), ("f", "F")],
+        "id string, component string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),
+            ("b", "c", 0.7),   # chain a-b-c: a~c only by transitivity
+            ("d", "e", 0.95),
+            ("c", "d", 0.8),   # cross-component (A vs D): ignored
+        ],
+        "l_id string, r_id string, _sim_score double",
+    )
+    out = _rows(cluster_audit(comp, edges))
+    assert set(out) == {"A", "D", "F"}
+
+    a = out["A"]
+    assert a["n_records"] == 3 and a["n_edges"] == 2
+    assert math.isclose(a["density"], 2 / 3)
+    assert a["min_sim"] == 0.7
+    assert math.isclose(a["avg_sim"], 0.8)
+
+    d = out["D"]
+    assert d["n_records"] == 2 and d["n_edges"] == 1
+    assert d["density"] == 1.0 and d["min_sim"] == 0.95
+
+    f = out["F"]
+    assert f["n_records"] == 1 and f["n_edges"] == 0
+    assert f["density"] is None and f["min_sim"] is None and f["avg_sim"] is None
+
+
+def test_cluster_audit_orientation_insensitive(spark):
+    """Each undirected edge counts once regardless of orientation."""
+    comp = spark.createDataFrame(
+        [("a", "A"), ("b", "A")], "id string, component string"
+    )
+    fwd = spark.createDataFrame(
+        [("a", "b", 0.8)], "l_id string, r_id string, _sim_score double"
+    )
+    rev = spark.createDataFrame(
+        [("b", "a", 0.8)], "l_id string, r_id string, _sim_score double"
+    )
+    out_f = _rows(cluster_audit(comp, fwd))["A"]
+    out_r = _rows(cluster_audit(comp, rev))["A"]
+    assert out_f == out_r
+    assert out_f["n_edges"] == 1 and out_f["density"] == 1.0
+
+
+def test_cluster_audit_matches_pipeline_edges(spark):
+    """Audit over a real join + CC output: every component's support
+    stats must be internally consistent (n_edges <= C(n,2), density in
+    (0, 1], min_sim >= threshold, singletons edge-free)."""
+    from sparksimjoin import WhitespaceTokenizer, jaccard_join
+    from sparksimjoin.clustering import connected_components
+    from sparksimjoin.fixtures import make_person_tables
+
+    import pyspark.sql.functions as F
+
+    pdf_a, _ = make_person_tables(n_a=150, seed=7)
+    d = spark.createDataFrame(pdf_a)
+    edges = jaccard_join(
+        d, d, "id", "id", "name", "name",
+        WhitespaceTokenizer(), 0.6, allow_empty=False, self_join=True,
+    )
+    comp = connected_components(edges, "l_id", "r_id")
+    all_ids = d.select(F.col("id"))
+    comp_full = all_ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    audit = cluster_audit(comp_full, edges).collect()
+    assert sum(r["n_records"] for r in audit) == 150
+    total_edges = edges.count()
+    assert sum(r["n_edges"] for r in audit) == total_edges  # all intra
+    for r in audit:
+        n, e = r["n_records"], r["n_edges"]
+        if n == 1:
+            assert e == 0 and r["density"] is None
+        else:
+            assert 1 <= e <= n * (n - 1) // 2
+            assert 0.0 < r["density"] <= 1.0
+            assert r["min_sim"] >= 0.6
+            assert r["min_sim"] <= r["avg_sim"] <= 1.0
