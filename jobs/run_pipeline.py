@@ -71,6 +71,13 @@ def main(argv=None):
         "paying for it (sparksimjoin/estimate.py)",
     )
     ap.add_argument(
+        "--audit", action="store_true",
+        help="also checkpoint an `audit` stage: per-component size, "
+        "intra-cluster edge support, density, and weakest/mean "
+        "similarity (sparksimjoin/audit.py) — the bad-transitive-merge "
+        "review queue; readable at <workdir>/audit",
+    )
+    ap.add_argument(
         "--checkpoint-format", default="parquet", choices=["parquet", "iceberg"],
         help="iceberg needs --packages org.apache.iceberg:iceberg-spark-runtime-* "
         "and a spark.sql.catalog.<name>; --workdir is then a catalog namespace",
@@ -86,7 +93,7 @@ def main(argv=None):
     }[args.tokenizer]
     cfg = PipelineConfig(
         measure=args.measure, threshold=args.threshold, tokenizer=tok,
-        salt_cap=args.salt_cap,
+        salt_cap=args.salt_cap, audit=args.audit,
     )
     from sparksimjoin.io import read_transcripts, write_output
 

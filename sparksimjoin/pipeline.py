@@ -67,6 +67,11 @@ class PipelineConfig:
     # output-equivalent (losslessness test in test_joins_parity).
     position_mode: str | None = None
     max_cc_rounds: int = 50
+    # also checkpoint an `audit` stage (audit.cluster_audit over the
+    # scored edges + final clusters): per-component size / edge
+    # support / density / weakest similarity — the bad-transitive-
+    # merge review queue. Off by default (one extra groupBy stage).
+    audit: bool = False
 
 
 def tokenizer_descriptor(cfg: PipelineConfig) -> str:
@@ -258,7 +263,18 @@ def _run_stages(
             )
         )
 
-    return ckpt.get_or_compute("clusters", _clusters, inputs=["scored", "records"])
+    clusters = ckpt.get_or_compute("clusters", _clusters, inputs=["scored", "records"])
+    if cfg.audit:
+        from .audit import cluster_audit
+
+        ckpt.get_or_compute(
+            "audit",
+            lambda: cluster_audit(
+                clusters, scored, id_col="conv_id", component_col="component"
+            ),
+            inputs=["scored", "clusters"],
+        )
+    return clusters
 
 
 def pairwise_f1(

@@ -211,3 +211,32 @@ def test_iceberg_checkpoint_backend(spark, tmp_path):
     assert df2.count() == 7 and len(calls) == 1
     m = ckpt.manifest("stage_a")
     assert m["rows"] == 7 and m["inputs"] == ["src"]
+
+
+def test_pipeline_audit_stage(spark, transcripts, tmp_path):
+    """cfg.audit=True checkpoints an `audit` stage equal to a direct
+    cluster_audit over the run's own scored edges + clusters."""
+    from sparksimjoin.audit import cluster_audit
+    from sparksimjoin.checkpoint import CheckpointManager
+
+    wd = str(tmp_path / "wd_audit")
+    cfg = PipelineConfig(threshold=0.6, audit=True)
+    clusters = run_pipeline(spark, transcripts, wd, cfg)
+    ckpt = CheckpointManager(spark, wd)
+    audit = ckpt.read("audit")
+    man = ckpt.manifest("audit")
+    assert man["inputs"] == ["scored", "clusters"]
+    direct = cluster_audit(
+        clusters, ckpt.read("scored"), id_col="conv_id",
+        component_col="component",
+    )
+    key = lambda r: (str(r["component"]),)  # noqa: E731
+    got = sorted((r.asDict() for r in audit.collect()), key=key)
+    want = sorted((r.asDict() for r in direct.collect()), key=key)
+    assert got == want
+    # every record accounted for; multi-record components have support
+    assert sum(r["n_records"] for r in got) == clusters.count()
+    for r in got:
+        if r["n_records"] > 1:
+            assert r["n_edges"] >= r["n_records"] - 1  # spanning support
+            assert r["min_sim"] >= cfg.threshold
