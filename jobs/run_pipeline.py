@@ -111,6 +111,18 @@ def main(argv=None):
         print(json.dumps(row.asDict()))
         return
     if args.base:
+        if args.audit:
+            # the incremental run's `scored` holds only the batch's
+            # edges (new x new + new x base) — auditing the union
+            # clusters against a partial edge set would understate
+            # density/support misleadingly. Fail loudly; audit a chain
+            # by unioning the scored checkpoints and calling
+            # sparksimjoin.cluster_audit directly.
+            raise SystemExit(
+                "--audit is not supported with --base: an incremental run's "
+                "scored edges cover only the batch; union the chain's scored "
+                "checkpoints and call sparksimjoin.cluster_audit instead"
+            )
         from sparksimjoin.incremental import run_incremental
 
         clusters = run_incremental(spark, transcripts, args.base, args.workdir, cfg,
