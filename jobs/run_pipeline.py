@@ -83,6 +83,17 @@ def main(argv=None):
         "and a spark.sql.catalog.<name>; --workdir is then a catalog namespace",
     )
     args = ap.parse_args(argv)
+    if args.audit and args.base:
+        # the incremental run's `scored` holds only the batch's edges
+        # (new x new + new x base) — auditing the union clusters
+        # against a partial edge set would understate density/support
+        # misleadingly. Fail fast; audit a chain by unioning the
+        # scored checkpoints and calling sparksimjoin.cluster_audit.
+        raise SystemExit(
+            "--audit is not supported with --base: an incremental run's "
+            "scored edges cover only the batch; union the chain's scored "
+            "checkpoints and call sparksimjoin.cluster_audit instead"
+        )
 
     spark = SparkSession.builder.appName("sparksimjoin-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -111,18 +122,6 @@ def main(argv=None):
         print(json.dumps(row.asDict()))
         return
     if args.base:
-        if args.audit:
-            # the incremental run's `scored` holds only the batch's
-            # edges (new x new + new x base) — auditing the union
-            # clusters against a partial edge set would understate
-            # density/support misleadingly. Fail loudly; audit a chain
-            # by unioning the scored checkpoints and calling
-            # sparksimjoin.cluster_audit directly.
-            raise SystemExit(
-                "--audit is not supported with --base: an incremental run's "
-                "scored edges cover only the batch; union the chain's scored "
-                "checkpoints and call sparksimjoin.cluster_audit instead"
-            )
         from sparksimjoin.incremental import run_incremental
 
         clusters = run_incremental(spark, transcripts, args.base, args.workdir, cfg,
