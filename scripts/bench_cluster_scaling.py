@@ -218,11 +218,20 @@ def main() -> None:
             print(f"4 executors: {json.dumps(r4)}", flush=True)
             eff = (r4["cand_per_sec"] / r1["cand_per_sec"]) / N_WORKERS
             pair = {"r1": r1, "r4": r4, "eff": eff}
+            # append evidence per attempt, not only at the end: a
+            # killed/crashed later attempt must not lose a measured pair
+            append_row(n_conv, pair, bw, note=f"attempt {i + 1}/{attempts}")
             if best is None or eff > best["eff"]:
                 best = pair
         r1, r4, eff = best["r1"], best["r4"], best["eff"]
+        print(f"best pair: eff={eff:.3f} "
+              f"({r1['stage_sum_sec']}s -> {r4['stage_sum_sec']}s)", flush=True)
     finally:
         stop_cluster(procs)
+
+
+def append_row(n_conv: int, pair: dict, bw: dict, note: str = "") -> None:
+    r1, r4, eff = pair["r1"], pair["r4"], pair["eff"]
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
     md = REPO / "BENCH" / "BASELINE.md"
     with md.open("a") as f:
@@ -230,7 +239,8 @@ def main() -> None:
             f"| {stamp} [standalone 1ex v 4ex, 2 cores/ex] | {n_conv} | — "
             f"| {r1['candidates']} | {r1['stage_sum_sec']} | {r4['stage_sum_sec']} "
             f"| {r1['cand_per_sec']} | {r4['cand_per_sec']} | {eff:.3f} |\n"
-            f"  - REAL multi-executor run: standalone master + {N_WORKERS} workers, "
+            f"  - REAL multi-executor run{' (' + note + ')' if note else ''}: "
+            f"standalone master + {N_WORKERS} workers, "
             f"separate executor JVMs ({EXEC_MEM} each), spark-submit --py-files; "
             f"times = engine stage-manifest sums (submit walls {r1['submit_wall_sec']}"
             f"/{r4['submit_wall_sec']}s incl. app startup); per-leg firsttouch "
