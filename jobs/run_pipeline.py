@@ -75,7 +75,9 @@ def main(argv=None):
         help="also checkpoint an `audit` stage: per-component size, "
         "intra-cluster edge support, density, and weakest/mean "
         "similarity (sparksimjoin/audit.py) — the bad-transitive-merge "
-        "review queue; readable at <workdir>/audit",
+        "review queue; readable at <workdir>/audit. With --base the "
+        "audit walks the chain's scored checkpoints for the complete "
+        "edge set (cluster_audit_chain)",
     )
     ap.add_argument(
         "--checkpoint-format", default="parquet", choices=["parquet", "iceberg"],
@@ -83,17 +85,6 @@ def main(argv=None):
         "and a spark.sql.catalog.<name>; --workdir is then a catalog namespace",
     )
     args = ap.parse_args(argv)
-    if args.audit and args.base:
-        # the incremental run's `scored` holds only the batch's edges
-        # (new x new + new x base) — auditing the union clusters
-        # against a partial edge set would understate density/support
-        # misleadingly. Fail fast; audit a chain by unioning the
-        # scored checkpoints and calling sparksimjoin.cluster_audit.
-        raise SystemExit(
-            "--audit is not supported with --base: an incremental run's "
-            "scored edges cover only the batch; union the chain's scored "
-            "checkpoints and call sparksimjoin.cluster_audit instead"
-        )
 
     spark = SparkSession.builder.appName("sparksimjoin-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,7 +27,7 @@ from .profiler import profile_table_for_join
 from .converter import column_to_str
 from .clustering import connected_components
 from .pipeline import PipelineConfig, pairwise_f1, prepare_records, run_pipeline
-from .audit import cluster_audit
+from .audit import cluster_audit, cluster_audit_chain
 
 __all__ = [
     "AlphanumericTokenizer",
@@ -38,6 +38,7 @@ __all__ = [
     "WhitespaceTokenizer",
     "apply_matcher",
     "cluster_audit",
+    "cluster_audit_chain",
     "column_to_str",
     "connected_components",
     "cosine_join",

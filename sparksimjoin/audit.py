@@ -27,7 +27,9 @@ equivalent because it stops at pairwise output.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -88,4 +90,43 @@ def cluster_audit(
             "min_sim",
             "avg_sim",
         )
+    )
+
+
+def cluster_audit_chain(
+    spark: SparkSession, workdir: str, checkpoint_format: str = "parquet"
+) -> DataFrame:
+    """Full-corpus audit from the HEAD of an incremental chain.
+
+    An incremental run's own ``scored`` checkpoint holds only the
+    batch's edges (new x new + new x base), so auditing its clusters
+    against it alone would understate support. But the chain's scored
+    checkpoints PARTITION the full edge set: the root run scored every
+    base-internal pair, and each batch scored exactly the pairs that
+    involve at least one of its new records — disjoint and together
+    complete (the same equivalence that makes incremental clusters ==
+    full-recompute clusters, incremental.py module docstring). So this
+    walks the ``base`` pointers recorded in each scored manifest,
+    unions the chain's scored frames, and audits the head's clusters
+    against the complete edge set.
+    """
+    from .checkpoint import CheckpointManager
+
+    head = CheckpointManager(spark, workdir, fmt=checkpoint_format)
+    clusters = head.read("clusters")
+    frames: list[DataFrame] = []
+    seen: set[str] = set()
+    cur = head
+    while True:
+        frames.append(cur.read("scored").select("l_id", "r_id", "_sim_score"))
+        base_root = cur.manifest("scored").get("base")
+        if not base_root:
+            break
+        if base_root in seen:
+            raise ValueError(f"cycle in incremental chain at {base_root!r}")
+        seen.add(base_root)
+        cur = CheckpointManager(spark, base_root, fmt=checkpoint_format)
+    edges = reduce(DataFrame.unionByName, frames)
+    return cluster_audit(
+        clusters, edges, id_col="conv_id", component_col="component"
     )

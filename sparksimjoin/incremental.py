@@ -376,7 +376,18 @@ def _run_stages(
             )
         )
 
-    return ckpt.get_or_compute(
+    clusters = ckpt.get_or_compute(
         "clusters", _clusters,
         inputs=["scored", "records", f"base:{base.root}/clusters"],
     )
+    if cfg.audit:
+        # full-corpus audit: the chain's scored checkpoints partition
+        # the complete edge set (audit.cluster_audit_chain docstring)
+        from .audit import cluster_audit_chain
+
+        ckpt.get_or_compute(
+            "audit",
+            lambda: cluster_audit_chain(spark, ckpt.root, fmt),
+            inputs=["scored", "clusters", f"base:{base.root}"],
+        )
+    return clusters

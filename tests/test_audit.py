@@ -95,3 +95,42 @@ def test_cluster_audit_matches_pipeline_edges(spark):
             assert 0.0 < r["density"] <= 1.0
             assert r["min_sim"] >= 0.6
             assert r["min_sim"] <= r["avg_sim"] <= 1.0
+
+
+def test_cluster_audit_chain_equals_full_run_audit(spark, tmp_path):
+    """Chain audit == auditing a full recompute's clusters against its
+    own scored edges: the chain's scored checkpoints partition the
+    complete edge set (the incremental equivalence theorem)."""
+    from sparksimjoin.audit import cluster_audit_chain
+    from sparksimjoin.checkpoint import CheckpointManager
+    from sparksimjoin.fixtures import make_transcripts
+    from sparksimjoin.incremental import run_incremental
+    from sparksimjoin.pipeline import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(threshold=0.6, audit=True)
+    t_pdf, _ = make_transcripts(n_conv=120, seed=11)
+    convs = sorted(t_pdf["conv_id"].unique())
+    base_ids = set(convs[:90])
+    base = spark.createDataFrame(t_pdf[t_pdf.conv_id.isin(base_ids)])
+    new = spark.createDataFrame(t_pdf[~t_pdf.conv_id.isin(base_ids)])
+    full = spark.createDataFrame(t_pdf)
+
+    full_wd = str(tmp_path / "full")
+    run_pipeline(spark, full, full_wd, cfg)
+    full_audit = CheckpointManager(spark, full_wd).read("audit")
+
+    run_pipeline(spark, base, str(tmp_path / "base"), cfg)
+    run_incremental(spark, new, str(tmp_path / "base"), str(tmp_path / "inc"), cfg)
+    # cfg.audit=True checkpointed the chain audit inside run_incremental
+    inc_ckpt = CheckpointManager(spark, str(tmp_path / "inc"))
+    inc_audit = inc_ckpt.read("audit")
+    # and the standalone walker gives the same frame
+    walker = cluster_audit_chain(spark, str(tmp_path / "inc"))
+
+    key = lambda r: (str(r["component"]),)  # noqa: E731
+    want = sorted((r.asDict() for r in full_audit.collect()), key=key)
+    got_ckpt = sorted((r.asDict() for r in inc_audit.collect()), key=key)
+    got_walk = sorted((r.asDict() for r in walker.collect()), key=key)
+    assert got_ckpt == want
+    assert got_walk == want
+    assert any(r["n_records"] > 1 for r in want)  # non-trivial corpus
