@@ -134,3 +134,36 @@ def test_cluster_audit_chain_equals_full_run_audit(spark, tmp_path):
     assert got_ckpt == want
     assert got_walk == want
     assert any(r["n_records"] > 1 for r in want)  # non-trivial corpus
+
+
+def test_cluster_audit_chain_two_links(spark, tmp_path):
+    """Walker over a depth-2 chain (base <- b1 <- b2): the loop must
+    hop two base pointers and still reproduce the full-run audit."""
+    from sparksimjoin.audit import cluster_audit_chain
+    from sparksimjoin.checkpoint import CheckpointManager
+    from sparksimjoin.fixtures import make_transcripts
+    from sparksimjoin.incremental import run_incremental
+    from sparksimjoin.pipeline import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(threshold=0.6)
+    t_pdf, _ = make_transcripts(n_conv=120, seed=13)
+    convs = sorted(t_pdf["conv_id"].unique())
+    cut1, cut2 = set(convs[:70]), set(convs[70:95])
+    base = spark.createDataFrame(t_pdf[t_pdf.conv_id.isin(cut1)])
+    b1 = spark.createDataFrame(t_pdf[t_pdf.conv_id.isin(cut2)])
+    b2 = spark.createDataFrame(t_pdf[~t_pdf.conv_id.isin(cut1 | cut2)])
+    full = spark.createDataFrame(t_pdf)
+
+    full_wd = str(tmp_path / "full")
+    run_pipeline(spark, full, full_wd, PipelineConfig(threshold=0.6, audit=True))
+    want_df = CheckpointManager(spark, full_wd).read("audit")
+
+    run_pipeline(spark, base, str(tmp_path / "base"), cfg)
+    run_incremental(spark, b1, str(tmp_path / "base"), str(tmp_path / "i1"), cfg)
+    run_incremental(spark, b2, str(tmp_path / "i1"), str(tmp_path / "i2"), cfg)
+    got_df = cluster_audit_chain(spark, str(tmp_path / "i2"))
+
+    key = lambda r: (str(r["component"]),)  # noqa: E731
+    want = sorted((r.asDict() for r in want_df.collect()), key=key)
+    got = sorted((r.asDict() for r in got_df.collect()), key=key)
+    assert got == want
