@@ -39,6 +39,8 @@ from sparksimjoin.filters import (
     SuffixFilter,
 )
 from sparksimjoin.estimate import estimate_join_cost
+from sparksimjoin.evaluation import clustering_pairwise_metrics, pair_metrics
+from sparksimjoin.ranking import topk_pairs
 from sparksimjoin.missing import get_pairs_with_missing_value
 from sparksimjoin.matcher import apply_matcher
 from sparksimjoin.profiler import profile_table_for_join
@@ -453,6 +455,58 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_topk_match_doc(spark, sf_dir):
+    """Per-record top-k match ranking (sparksimjoin/ranking.py): the
+    thresholded jaccard pair set symmetrized to undirected neighbor
+    lists, then each record keeps its 3 best matches (score DESC,
+    partner id ASC tie-break — deterministic, resume-stable)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.6,
+                          allow_empty=False, self_join=True)
+    pairs = _pair_cols(scored, "l_doc_id", "r_doc_id")
+    sym = pairs.unionByName(
+        pairs.select(F.col("r_id").alias("l_id"), F.col("l_id").alias("r_id"),
+                     "sim_score")
+    )
+    out = topk_pairs(sym, k=3, id_col="l_id", partner_col="r_id",
+                     score_col="sim_score", rank_out="match_rank")
+    return out.select(F.col("l_id").alias("id"), F.col("r_id").alias("match_id"),
+                      "match_rank", "sim_score")
+
+
+def q_linkage_eval_doc(spark, sf_dir):
+    """Distributed pair-level evaluation (sparksimjoin/evaluation.py):
+    precision/recall/F1 of the jaccard>=0.6 pair set against the
+    cosine>=0.8 pair set as gold — one full-outer join on the
+    canonical pair key, no driver-side set math."""
+    d = _t(spark, sf_dir, "documents")
+    pred = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.6,
+                        allow_empty=False, self_join=True)
+    gold = cosine_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.8,
+                       allow_empty=False, self_join=True)
+    return pair_metrics(pred, gold, "l_doc_id", "r_doc_id")
+
+
+def q_cluster_eval_doc(spark, sf_dir):
+    """Pairwise clustering F1 via the contingency-table identity
+    (sparksimjoin/evaluation.py::clustering_pairwise_metrics): CC
+    clusters at jaccard 0.6 scored against CC clusters at 0.7 as
+    gold, WITHOUT materializing any record pairs — the identity
+    sum C(n_ij,2) makes pairwise F1 computable at 10^12 ids."""
+    d = _t(spark, sf_dir, "documents")
+    all_ids = d.select(F.col("doc_id").alias("id"))
+
+    def clusters(t):
+        edges = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, t,
+                             allow_empty=False, self_join=True)
+        comp = connected_components(edges, "l_doc_id", "r_doc_id")
+        return all_ids.join(comp, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("cluster_id")
+        )
+
+    return clustering_pairwise_metrics(clusters(0.6), clusters(0.7), "id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: whitespace-jaccard self-join of documents at sf0.001."""
     return q_jaccard_doc(spark, "/root/testdata/sf0.001")
@@ -473,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_filter_doc": q_position_filter_doc,
         "suffix_filter_doc": q_suffix_filter_doc,
         "missing_pairs_doc": q_missing_pairs_doc,
+        "topk_match_doc": q_topk_match_doc,
+        "linkage_eval_doc": q_linkage_eval_doc,
+        "cluster_eval_doc": q_cluster_eval_doc,
         "column_to_str_part": q_column_to_str_part,
         "apply_matcher_doc": q_apply_matcher_doc,
         "filter_candset_doc": q_filter_candset_doc,
@@ -887,6 +944,89 @@ WHERE b.sz BETWEEN CAST(ceil(0.8 * a.sz - greatest(abs(0.8 * a.sz), 1.0) * 1e-12
   AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= ceil((0.8 / 1.8) * (a.sz + b.sz) - greatest(abs((0.8 / 1.8) * (a.sz + b.sz)), 1.0) * 1e-12)
 """,
         "suffix_filter_doc": _SUFFIX_ORACLE,
+        "topk_match_doc": f"""
+WITH {_TOK_DOC},
+pairs AS (
+  SELECT l_id, r_id, CAST(o AS DOUBLE)/(s1+s2-o) AS sim_score
+  FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6
+),
+sym AS (
+  SELECT l_id AS id, r_id AS match_id, sim_score FROM pairs
+  UNION ALL
+  SELECT r_id AS id, l_id AS match_id, sim_score FROM pairs
+),
+rk AS (
+  SELECT id, match_id, sim_score,
+         row_number() OVER (PARTITION BY id ORDER BY sim_score DESC, match_id) AS match_rank
+  FROM sym
+)
+SELECT id, match_id, match_rank, sim_score FROM rk WHERE match_rank <= 3
+""",
+        "linkage_eval_doc": f"""
+WITH {_TOK_DOC},
+pred AS (SELECT l_id AS a, r_id AS b FROM ov
+         WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6),
+gold AS (SELECT l_id AS a, r_id AS b FROM ov
+         WHERE CAST(o AS DOUBLE)/sqrt(CAST(s1 AS DOUBLE)*s2) >= 0.8),
+j AS (
+  SELECT p.a IS NOT NULL AS in_p, g.a IS NOT NULL AS in_g
+  FROM pred p FULL OUTER JOIN gold g ON p.a = g.a AND p.b = g.b
+),
+c AS (
+  SELECT CAST(count(*) FILTER (in_p AND in_g) AS BIGINT) AS tp_pairs,
+         CAST(count(*) FILTER (in_p AND NOT in_g) AS BIGINT) AS fp_pairs,
+         CAST(count(*) FILTER (NOT in_p AND in_g) AS BIGINT) AS fn_pairs
+  FROM j
+),
+c2 AS (SELECT *, tp_pairs + fp_pairs AS pred_pairs,
+              tp_pairs + fn_pairs AS gold_pairs FROM c)
+SELECT tp_pairs, fp_pairs, fn_pairs, pred_pairs, gold_pairs,
+       CASE WHEN pred_pairs > 0 THEN CAST(tp_pairs AS DOUBLE)/pred_pairs ELSE 0.0 END AS precision,
+       CASE WHEN gold_pairs > 0 THEN CAST(tp_pairs AS DOUBLE)/gold_pairs ELSE 0.0 END AS recall,
+       CASE WHEN pred_pairs > 0 AND gold_pairs > 0 AND tp_pairs > 0
+            THEN 2.0 * (CAST(tp_pairs AS DOUBLE)/pred_pairs) * (CAST(tp_pairs AS DOUBLE)/gold_pairs)
+                 / ((CAST(tp_pairs AS DOUBLE)/pred_pairs) + (CAST(tp_pairs AS DOUBLE)/gold_pairs))
+            ELSE 0.0 END AS f1
+FROM c2
+""",
+        "cluster_eval_doc": f"""
+WITH RECURSIVE {_TOK_DOC},
+nodes AS (SELECT doc_id AS id FROM documents),
+edges6 AS (SELECT l_id AS src, r_id AS dst FROM ov
+           WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6),
+und6 AS (SELECT src, dst FROM edges6 UNION SELECT dst, src FROM edges6),
+reach6(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach6 r JOIN und6 u ON u.src = r.id
+),
+pred AS (SELECT id, min(comp) AS pc FROM reach6 GROUP BY id),
+edges7 AS (SELECT l_id AS src, r_id AS dst FROM ov
+           WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.7),
+und7 AS (SELECT src, dst FROM edges7 UNION SELECT dst, src FROM edges7),
+reach7(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach7 r JOIN und7 u ON u.src = r.id
+),
+gold AS (SELECT id, min(comp) AS gc FROM reach7 GROUP BY id),
+cells AS (SELECT p.pc, g.gc, count(*) AS n
+          FROM pred p JOIN gold g USING (id) GROUP BY 1, 2),
+tp AS (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) AS tp_pairs,
+              CAST(sum(n) AS BIGINT) AS n_ids FROM cells),
+ps AS (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) AS pred_pairs
+       FROM (SELECT sum(n) AS n FROM cells GROUP BY pc)),
+gs AS (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) AS gold_pairs
+       FROM (SELECT sum(n) AS n FROM cells GROUP BY gc))
+SELECT n_ids, pred_pairs, gold_pairs, tp_pairs,
+       CASE WHEN pred_pairs > 0 THEN CAST(tp_pairs AS DOUBLE)/pred_pairs ELSE 0.0 END AS precision,
+       CASE WHEN gold_pairs > 0 THEN CAST(tp_pairs AS DOUBLE)/gold_pairs ELSE 0.0 END AS recall,
+       CASE WHEN pred_pairs > 0 AND gold_pairs > 0 AND tp_pairs > 0
+            THEN 2.0 * (CAST(tp_pairs AS DOUBLE)/pred_pairs) * (CAST(tp_pairs AS DOUBLE)/gold_pairs)
+                 / ((CAST(tp_pairs AS DOUBLE)/pred_pairs) + (CAST(tp_pairs AS DOUBLE)/gold_pairs))
+            ELSE 0.0 END AS f1
+FROM tp, ps, gs
+""",
         "missing_pairs_doc": """
 WITH d AS (
   SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text_n
