@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..tokenizers import Tokenizer
 from ..validation import validate_join_inputs, validate_threshold
 from .core import AUTO_SALT_CAP, apply_salt, build_salt_map, build_token_ranks
@@ -131,7 +132,14 @@ def weighted_jaccard_join(
     r_tok = l_tok if self_join else _tok_side(r_df, r_key_attr, r_join_attr, tok)
     corpus = [l_tok] if self_join else [l_tok, r_tok]
 
-    ranks = build_token_ranks(corpus)  # (token, cnt, tid)
+    # persisted: ranks feeds the weight table AND the salt map, and
+    # the record frame feeds four plan branches (both explode sides +
+    # both verify sides) — without the persist the whole
+    # rank/weight/prefix subtree re-executes per branch (measured 4x
+    # BroadcastNestedLoop repetitions of the N crossJoin in the
+    # un-persisted plan). Same cache.track discipline as
+    # prepare_sides; callers wrap in scoped_caches for hygiene.
+    ranks = track(build_token_ranks(corpus))  # (token, cnt, tid)
     # N via a broadcast 1-row frame: keeps the weight table lazy
     n_df = corpus[0]
     for extra in corpus[1:]:
@@ -142,8 +150,8 @@ def weighted_jaccard_join(
         F.expr(f"CAST((_n * {WEIGHT_SCALE}) DIV cnt AS BIGINT)").alias("w"),
     )
 
-    rec_l = _rec_frame(l_tok, wtab, threshold)
-    rec_r = rec_l if self_join else _rec_frame(r_tok, wtab, threshold)
+    rec_l = track(_rec_frame(l_tok, wtab, threshold))
+    rec_r = rec_l if self_join else track(_rec_frame(r_tok, wtab, threshold))
 
     ex_l = rec_l.select(
         F.col("id").alias("l_id"), F.col("tw").alias("l_tw"),
