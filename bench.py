@@ -103,6 +103,14 @@ def _q_overlap_coeff_zipf(s, d, salt_cap=None):
     )
 
 
+def _q_weighted(s, d):
+    from sparksimjoin.joins.weighted import weighted_jaccard_join
+
+    docs = _docs(s, d)
+    return weighted_jaccard_join(docs, docs, "doc_id", "doc_id", "text", "text",
+                                 WS, 0.8, self_join=True)
+
+
 def bench_queries():
     return {
         "jaccard_doc_t95": _q_jaccard,
@@ -120,6 +128,10 @@ def bench_queries():
             s.read.parquet(f"{d}/embeddings.parquet"), "vec_id", "embedding", k=3
         ),
         "text_stats_doc": lambda s, d: text_stats(_docs(s, d), "doc_id", "text"),
+        # IDF-weighted jaccard (joins/weighted.py): exercises the
+        # weighted-prefix blocking + bigint verify path; t=0.8 keeps
+        # the output selective on the 31-word bench vocabulary
+        "weighted_jaccard_doc_t8": _q_weighted,
         "overlap_coeff_zipf_skew": _q_overlap_coeff_zipf,
     }
 
