@@ -80,6 +80,15 @@ def main(argv=None):
         "edge set (cluster_audit_chain)",
     )
     ap.add_argument(
+        "--eval-gold", default=None,
+        help="optional gold cluster assignment (parquet with columns "
+        "conv_id, entity_id): after clustering, print pairwise "
+        "precision/recall/F1 of the run's clusters against it as one "
+        "JSON line (sparksimjoin/evaluation.py — contingency-table "
+        "identity, no pair materialization, so the check is linear in "
+        "conversations even when clusters are huge)",
+    )
+    ap.add_argument(
         "--checkpoint-format", default="parquet", choices=["parquet", "iceberg"],
         help="iceberg needs --packages org.apache.iceberg:iceberg-spark-runtime-* "
         "and a spark.sql.catalog.<name>; --workdir is then a catalog namespace",
@@ -123,6 +132,15 @@ def main(argv=None):
     write_output(clusters, args.output, fmt=args.output_format)
     for m in CheckpointManager(spark, args.workdir, fmt=args.checkpoint_format).all_manifests():
         print(json.dumps(m), file=sys.stderr)
+    if args.eval_gold:
+        from sparksimjoin.evaluation import clustering_pairwise_metrics
+
+        gold = spark.read.parquet(args.eval_gold)
+        row = clustering_pairwise_metrics(
+            clusters, gold, id_col="conv_id",
+            pred_cluster_col="component", gold_cluster_col="entity_id",
+        ).collect()[0]
+        print(json.dumps({"linkage_eval": row.asDict()}))
     print(f"clusters written to {args.output}")
 
 
