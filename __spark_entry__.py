@@ -468,6 +468,18 @@ def q_weighted_jaccard_doc(spark, sf_dir):
     return out.select("l_id", "r_id", F.col("_sim_score").alias("sim_score"))
 
 
+def q_weighted_cosine_doc(spark, sf_dir):
+    """Weighted-cosine twin of weighted_jaccard_doc (f = t² bounds;
+    sqrt over a double product — bigint W(x)·W(y) could overflow, so
+    both engines multiply as doubles, deterministically)."""
+    from sparksimjoin.joins.weighted import weighted_cosine_join
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_cosine_join(d, d, "doc_id", "doc_id", "text", "text", WS,
+                               0.65, self_join=True)
+    return out.select("l_id", "r_id", F.col("_sim_score").alias("sim_score"))
+
+
 def q_topk_match_doc(spark, sf_dir):
     """Per-record top-k match ranking (sparksimjoin/ranking.py): the
     thresholded jaccard pair set symmetrized to undirected neighbor
@@ -541,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_filter_doc": q_suffix_filter_doc,
         "missing_pairs_doc": q_missing_pairs_doc,
         "weighted_jaccard_doc": q_weighted_jaccard_doc,
+        "weighted_cosine_doc": q_weighted_cosine_doc,
         "topk_match_doc": q_topk_match_doc,
         "linkage_eval_doc": q_linkage_eval_doc,
         "cluster_eval_doc": q_cluster_eval_doc,
@@ -976,6 +989,25 @@ ovw AS (SELECT a.id AS l_id, b.id AS r_id, CAST(sum(a.w) AS BIGINT) AS o
 SELECT l_id, r_id, CAST(o AS DOUBLE)/(x.tw + y.tw - o) AS sim_score
 FROM ovw JOIN rs x ON x.id = ovw.l_id JOIN rs y ON y.id = ovw.r_id
 WHERE CAST(o AS DOUBLE)/(x.tw + y.tw - o) >= 0.45
+""",
+        "weighted_cosine_doc": f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ex2 AS (SELECT id, unnest(toks) AS token FROM tok WHERE len(toks) > 0),
+nrec AS (SELECT count(*) AS n FROM tok WHERE len(toks) > 0),
+dfc AS (SELECT token, count(*) AS df FROM ex2 GROUP BY token),
+wt AS (SELECT token, CAST((n.n * 1000000) // df AS BIGINT) AS w FROM dfc, nrec n),
+rw AS (SELECT e.id, e.token, wt.w FROM ex2 e JOIN wt USING (token)),
+rs AS (SELECT id, CAST(sum(w) AS BIGINT) AS tw FROM rw GROUP BY id),
+ovw AS (SELECT a.id AS l_id, b.id AS r_id, CAST(sum(a.w) AS BIGINT) AS o
+        FROM rw a JOIN rw b ON a.token = b.token AND a.id < b.id
+        GROUP BY 1, 2)
+SELECT l_id, r_id, CAST(o AS DOUBLE)/sqrt(CAST(x.tw AS DOUBLE) * y.tw) AS sim_score
+FROM ovw JOIN rs x ON x.id = ovw.l_id JOIN rs y ON y.id = ovw.r_id
+WHERE CAST(o AS DOUBLE)/sqrt(CAST(x.tw AS DOUBLE) * y.tw) >= 0.65
 """,
         "topk_match_doc": f"""
 WITH {_TOK_DOC},

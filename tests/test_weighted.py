@@ -7,13 +7,17 @@ import collections
 
 import pytest
 
-from sparksimjoin.joins.weighted import WEIGHT_SCALE, weighted_jaccard_join
+from sparksimjoin.joins.weighted import (
+    WEIGHT_SCALE,
+    weighted_cosine_join,
+    weighted_jaccard_join,
+)
 from sparksimjoin.tokenizers import WhitespaceTokenizer
 
 WS = WhitespaceTokenizer()
 
 
-def _brute(l_docs, r_docs, t, self_join):
+def _brute(l_docs, r_docs, t, self_join, measure="JACCARD"):
     """Python reimplementation: shared weight space over both inputs
     (counted once for a self-join)."""
     def toks(docs):
@@ -43,7 +47,10 @@ def _brute(l_docs, r_docs, t, self_join):
             if not shared:
                 continue
             o = sum(w[x] for x in shared)
-            sim = o / (tw_l[a] + tw_r[b] - o)
+            if measure == "JACCARD":
+                sim = o / (tw_l[a] + tw_r[b] - o)
+            else:
+                sim = o / (float(tw_l[a]) * float(tw_r[b])) ** 0.5
             if sim >= t:
                 out[(a, b)] = sim
     return out
@@ -76,6 +83,28 @@ def test_self_join_brute_force_parity(spark):
         want = _brute(docs, docs, t, self_join=True)
         assert got.keys() == want.keys(), (t, got.keys() ^ want.keys())
         assert all(got[k] == want[k] for k in got)
+
+
+def test_cosine_self_join_brute_force_parity(spark):
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(35)]
+    docs = {
+        i: " ".join(rng.choices(vocab, k=rng.randint(3, 10))) for i in range(70)
+    }
+    d = _docs_df(spark, docs)
+    for t in (0.4, 0.7):
+        got = {
+            (r.l_id, r.r_id): r._sim_score
+            for r in weighted_cosine_join(
+                d, d, "doc_id", "doc_id", "text", "text", WS, t, self_join=True
+            ).collect()
+        }
+        want = _brute(docs, docs, t, self_join=True, measure="COSINE")
+        assert got.keys() == want.keys(), (t, got.keys() ^ want.keys())
+        # sqrt path: brute force uses **0.5 on the same doubles
+        assert all(abs(got[k] - want[k]) < 1e-12 for k in got)
 
 
 def test_two_table_shared_weight_space(spark):
