@@ -18,6 +18,9 @@ from .joins.set_sim import (
     set_sim_join,
 )
 from .joins.edit_distance import edit_distance_join
+from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
+from .ranking import topk_pairs
+from .evaluation import clustering_pairwise_metrics, pair_metrics
 from .cache import release_all, scoped_caches
 from .session import get_spark
 from .matcher import apply_matcher
@@ -39,6 +42,7 @@ __all__ = [
     "apply_matcher",
     "cluster_audit",
     "cluster_audit_chain",
+    "clustering_pairwise_metrics",
     "column_to_str",
     "connected_components",
     "cosine_join",
@@ -50,6 +54,7 @@ __all__ = [
     "jaccard_join",
     "overlap_coefficient_join",
     "overlap_join",
+    "pair_metrics",
     "pairwise_f1",
     "prepare_records",
     "profile_table_for_join",
@@ -57,4 +62,7 @@ __all__ = [
     "run_pipeline",
     "scoped_caches",
     "set_sim_join",
+    "topk_pairs",
+    "weighted_cosine_join",
+    "weighted_jaccard_join",
 ]

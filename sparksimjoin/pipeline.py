@@ -281,22 +281,20 @@ def pairwise_f1(
     clusters: DataFrame, gold: DataFrame, id_col: str = "conv_id", gold_col: str = "entity_id"
 ) -> dict:
     """Pairwise precision/recall/F1 of predicted components vs gold
-    entities, computed distributed (no driver-side pair expansion):
-    |intra-pairs| via groupBy-size on each labeling, TP via groupBy on
-    the (component, entity) contingency."""
-    joined = clusters.join(gold, id_col).select("component", gold_col)
+    entities, computed distributed (no driver-side pair expansion) by
+    delegating to evaluation.clustering_pairwise_metrics — one action
+    over the (component, entity) contingency cells instead of three,
+    with C(n,2) in exact bigint arithmetic. Kept as a dict-returning
+    convenience with this function's historical degenerate-input
+    conventions (no pairs on a side -> that metric is vacuously 1.0,
+    where the DataFrame evaluator reports 0.0)."""
+    from .evaluation import clustering_pairwise_metrics
 
-    def n_pairs(df, cols):
-        return (
-            df.groupBy(*cols).agg(F.count("*").alias("n"))
-            .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("p"))
-            .collect()[0]["p"]
-            or 0
-        )
-
-    pred_pairs = n_pairs(joined, ["component"])
-    gold_pairs = n_pairs(joined, [gold_col])
-    tp = n_pairs(joined, ["component", gold_col])
+    row = clustering_pairwise_metrics(
+        clusters, gold, id_col=id_col,
+        pred_cluster_col="component", gold_cluster_col=gold_col,
+    ).collect()[0]
+    pred_pairs, gold_pairs, tp = row.pred_pairs, row.gold_pairs, row.tp_pairs
     precision = tp / pred_pairs if pred_pairs else 1.0
     recall = tp / gold_pairs if gold_pairs else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
