@@ -160,6 +160,23 @@ def test_identical_records_hit_threshold_one(spark):
     assert [(r.l_id, r.r_id, r._sim_score) for r in out] == [(1, 2, 1.0)]
 
 
+def test_plan_is_equi_join_not_cartesian(spark):
+    """The candidate stage must be a hash/merge equi-join on the
+    exploded prefix tid — never a cartesian pair enumeration. (The
+    only nested-loop node allowed is the broadcast of the 1-row
+    corpus-count frame into the weight table.)"""
+    docs = {i: f"a{i % 9} b{i % 4} c{i % 3}" for i in range(40)}
+    d = _docs_df(spark, docs)
+    out = weighted_jaccard_join(
+        d, d, "doc_id", "doc_id", "text", "text", WS, 0.5, self_join=True
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
 def test_salt_cap_validation(spark):
     d = _docs_df(spark, {1: "a"})
     with pytest.raises(ValueError):
