@@ -39,7 +39,11 @@ from sparksimjoin.filters import (
     SuffixFilter,
 )
 from sparksimjoin.estimate import estimate_join_cost
-from sparksimjoin.evaluation import clustering_pairwise_metrics, pair_metrics
+from sparksimjoin.evaluation import (
+    clustering_pairwise_metrics,
+    pair_metrics,
+    threshold_sweep,
+)
 from sparksimjoin.ranking import topk_pairs
 from sparksimjoin.missing import get_pairs_with_missing_value
 from sparksimjoin.matcher import apply_matcher
@@ -512,6 +516,25 @@ def q_linkage_eval_doc(spark, sf_dir):
     return pair_metrics(pred, gold, "l_doc_id", "r_doc_id")
 
 
+def q_threshold_sweep_doc(spark, sf_dir):
+    """Threshold calibration (sparksimjoin/evaluation.py::
+    threshold_sweep): score the candidate set ONCE at the loosest
+    jaccard cut (0.3), then evaluate seven thresholds against the
+    cosine>=0.8 gold pair set in a single full-outer join + one
+    aggregation — sweeping 7 thresholds costs the same shuffle as
+    evaluating one."""
+    d = _t(spark, sf_dir, "documents")
+    scored = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.3,
+                          allow_empty=False, self_join=True)
+    gold = cosine_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.8,
+                       allow_empty=False, self_join=True)
+    return threshold_sweep(
+        scored, gold, [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9],
+        l_col="l_doc_id", r_col="r_doc_id",
+        gold_l_col="l_doc_id", gold_r_col="r_doc_id",
+    )
+
+
 def q_cluster_eval_doc(spark, sf_dir):
     """Pairwise clustering F1 via the contingency-table identity
     (sparksimjoin/evaluation.py::clustering_pairwise_metrics): CC
@@ -556,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_cosine_doc": q_weighted_cosine_doc,
         "topk_match_doc": q_topk_match_doc,
         "linkage_eval_doc": q_linkage_eval_doc,
+        "threshold_sweep_doc": q_threshold_sweep_doc,
         "cluster_eval_doc": q_cluster_eval_doc,
         "column_to_str_part": q_column_to_str_part,
         "apply_matcher_doc": q_apply_matcher_doc,
@@ -1046,6 +1070,39 @@ c AS (
 c2 AS (SELECT *, tp_pairs + fp_pairs AS pred_pairs,
               tp_pairs + fn_pairs AS gold_pairs FROM c)
 SELECT tp_pairs, fp_pairs, fn_pairs, pred_pairs, gold_pairs,
+       CASE WHEN pred_pairs > 0 THEN CAST(tp_pairs AS DOUBLE)/pred_pairs ELSE 0.0 END AS precision,
+       CASE WHEN gold_pairs > 0 THEN CAST(tp_pairs AS DOUBLE)/gold_pairs ELSE 0.0 END AS recall,
+       CASE WHEN pred_pairs > 0 AND gold_pairs > 0 AND tp_pairs > 0
+            THEN 2.0 * (CAST(tp_pairs AS DOUBLE)/pred_pairs) * (CAST(tp_pairs AS DOUBLE)/gold_pairs)
+                 / ((CAST(tp_pairs AS DOUBLE)/pred_pairs) + (CAST(tp_pairs AS DOUBLE)/gold_pairs))
+            ELSE 0.0 END AS f1
+FROM c2
+""",
+        "threshold_sweep_doc": f"""
+WITH {_TOK_DOC},
+scored AS (SELECT l_id AS a, r_id AS b, CAST(o AS DOUBLE)/(s1+s2-o) AS s
+           FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.3),
+gold AS (SELECT l_id AS a, r_id AS b FROM ov
+         WHERE CAST(o AS DOUBLE)/sqrt(CAST(s1 AS DOUBLE)*s2) >= 0.8),
+j AS (
+  SELECT sc.s AS s, g.a IS NOT NULL AS in_g
+  FROM scored sc FULL OUTER JOIN gold g ON sc.a = g.a AND sc.b = g.b
+),
+ts(threshold) AS (
+  VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.4 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+         (CAST(0.6 AS DOUBLE)), (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)),
+         (CAST(0.9 AS DOUBLE))
+),
+c AS (
+  SELECT t.threshold,
+         CAST(count(*) FILTER (j.s >= t.threshold AND j.in_g) AS BIGINT) AS tp_pairs,
+         CAST(count(*) FILTER (j.s >= t.threshold) AS BIGINT) AS pred_pairs,
+         CAST(count(*) FILTER (j.in_g) AS BIGINT) AS gold_pairs
+  FROM ts t CROSS JOIN j GROUP BY t.threshold
+),
+c2 AS (SELECT threshold, tp_pairs, pred_pairs - tp_pairs AS fp_pairs,
+              gold_pairs - tp_pairs AS fn_pairs, pred_pairs, gold_pairs FROM c)
+SELECT threshold, tp_pairs, fp_pairs, fn_pairs, pred_pairs, gold_pairs,
        CASE WHEN pred_pairs > 0 THEN CAST(tp_pairs AS DOUBLE)/pred_pairs ELSE 0.0 END AS precision,
        CASE WHEN gold_pairs > 0 THEN CAST(tp_pairs AS DOUBLE)/gold_pairs ELSE 0.0 END AS recall,
        CASE WHEN pred_pairs > 0 AND gold_pairs > 0 AND tp_pairs > 0

@@ -20,7 +20,8 @@ from .joins.set_sim import (
 from .joins.edit_distance import edit_distance_join
 from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
 from .ranking import topk_pairs
-from .evaluation import clustering_pairwise_metrics, pair_metrics
+from .evaluation import (best_threshold, clustering_pairwise_metrics,
+                         pair_metrics, threshold_sweep)
 from .cache import release_all, scoped_caches
 from .session import get_spark
 from .matcher import apply_matcher
@@ -42,6 +43,7 @@ __all__ = [
     "apply_matcher",
     "cluster_audit",
     "cluster_audit_chain",
+    "best_threshold",
     "clustering_pairwise_metrics",
     "column_to_str",
     "connected_components",
@@ -55,6 +57,7 @@ __all__ = [
     "overlap_coefficient_join",
     "overlap_join",
     "pair_metrics",
+    "threshold_sweep",
     "pairwise_f1",
     "prepare_records",
     "profile_table_for_join",

@@ -26,9 +26,20 @@ Two evaluators:
 Metric floats are single IEEE divisions on exact BIGINT counts, so
 they reproduce bit-identically in any engine that evaluates the same
 expression (the DuckDB oracle does) — no tolerance games.
+
+- ``threshold_sweep`` / ``best_threshold``: threshold calibration.
+  Score the candidate set ONCE at the loosest threshold under
+  consideration, then evaluate every candidate threshold against a
+  gold pair set in a single pass — one full-outer join on the
+  canonical pair key plus ONE aggregation emitting all thresholds'
+  counts as columns (unpivoted to rows afterwards). No per-threshold
+  re-join, no re-scoring: sweeping 20 thresholds costs the same
+  shuffle as evaluating one.
 """
 
 from __future__ import annotations
+
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -152,3 +163,112 @@ def clustering_pairwise_metrics(
         F.coalesce("tp_pairs", F.lit(0)).alias("tp_pairs"),
     )
     return _finish(one)
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    gold: DataFrame,
+    thresholds: Sequence[float],
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    score_col: str = "_sim_score",
+    gold_l_col: str | None = None,
+    gold_r_col: str | None = None,
+    comp_op: str = ">=",
+) -> DataFrame:
+    """Evaluate every candidate ``threshold`` against ``gold`` in one
+    pass over ``scored`` -> DataFrame(threshold, tp_pairs, fp_pairs,
+    fn_pairs, pred_pairs, gold_pairs, precision, recall, f1), one row
+    per distinct threshold.
+
+    ``scored`` must be the pair set produced at (or below) the
+    LOOSEST threshold in the sweep — a pair absent from ``scored`` is
+    treated as unpredicted at every threshold, so scoring at a
+    tighter cut than ``min(thresholds)`` silently under-reports the
+    loose rows. Directed duplicates collapse to the canonical
+    undirected pair keeping the BEST score under ``comp_op``'s
+    direction (max for >=/>, min for <=/< — edit-distance sweeps cut
+    from below).
+
+    Plan shape (100 TB): canonical-pair groupBy + one full-outer join
+    with gold + ONE aggregate whose output is 2·T+1 bigint columns
+    (T = len(thresholds)), exploded JVM-side to T rows. Adding
+    thresholds adds agg columns, never jobs or shuffles.
+    """
+    from .filter_math import COMP_OP_MAP
+
+    if comp_op not in (">=", ">", "<=", "<"):
+        raise ValueError(
+            f"comp_op must be an ordering comparison (got {comp_op!r})"
+        )
+    ts = sorted({float(t) for t in thresholds})
+    if not ts:
+        raise ValueError("thresholds must be a non-empty sequence")
+    gl = gold_l_col if gold_l_col is not None else l_col
+    gr = gold_r_col if gold_r_col is not None else r_col
+    cmp_fn = COMP_OP_MAP[comp_op]
+    # "best" score = the one most likely to pass the cut
+    best = F.max if comp_op in (">=", ">") else F.min
+
+    a, b = F.col(l_col), F.col(r_col)
+    p = (
+        scored.select(
+            F.least(a, b).alias("__a"),
+            F.greatest(a, b).alias("__b"),
+            F.col(score_col).cast("double").alias("__s"),
+        )
+        .filter(F.col("__a") != F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(best("__s").alias("__s"))
+    )
+    g = _canon_pairs(gold, gl, gr).withColumn("__g", F.lit(1))
+    j = p.join(g, ["__a", "__b"], "full_outer")
+
+    # one aggregate, 2 columns per threshold; a NULL __s (gold-only
+    # pair) comparison yields NULL -> count() skips it, which is the
+    # correct "not predicted" semantics at every threshold
+    exprs = []
+    for i, t in enumerate(ts):
+        hit = cmp_fn(F.col("__s"), F.lit(t))
+        exprs.append(F.count(F.when(hit, 1)).cast("long").alias(f"__pred_{i}"))
+        exprs.append(
+            F.count(F.when(hit & F.col("__g").isNotNull(), 1))
+            .cast("long")
+            .alias(f"__tp_{i}")
+        )
+    exprs.append(F.count("__g").cast("long").alias("__gold"))
+    one = j.agg(*exprs)
+
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("threshold"),
+                        F.col(f"__tp_{i}").alias("tp_pairs"),
+                        (F.col(f"__pred_{i}") - F.col(f"__tp_{i}")).alias(
+                            "fp_pairs"
+                        ),
+                        (F.col("__gold") - F.col(f"__tp_{i}")).alias(
+                            "fn_pairs"
+                        ),
+                        F.col(f"__pred_{i}").alias("pred_pairs"),
+                        F.col("__gold").alias("gold_pairs"),
+                    )
+                    for i, t in enumerate(ts)
+                ]
+            ).alias("__r")
+        ).alias("__r")
+    ).select("__r.*")
+    return _finish(rows)
+
+
+def best_threshold(sweep: DataFrame) -> float:
+    """Pick the F1-maximizing threshold from a ``threshold_sweep``
+    result (ties -> smallest threshold). The sweep
+    frame is one row per threshold, so the collect is a metrics probe
+    on a tiny frame, not a data-path collect."""
+    rows = sweep.select("threshold", "f1").collect()
+    if not rows:
+        raise ValueError("empty sweep — no thresholds to choose from")
+    return float(max(rows, key=lambda r: (r["f1"], -r["threshold"]))["threshold"])

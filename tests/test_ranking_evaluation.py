@@ -11,7 +11,12 @@ import itertools
 
 from pyspark.sql import functions as F
 
-from sparksimjoin.evaluation import clustering_pairwise_metrics, pair_metrics
+from sparksimjoin.evaluation import (
+    best_threshold,
+    clustering_pairwise_metrics,
+    pair_metrics,
+    threshold_sweep,
+)
 from sparksimjoin.ranking import topk_pairs
 
 
@@ -122,6 +127,107 @@ def test_clustering_metrics_identical_clusterings(spark):
     row = clustering_pairwise_metrics(df, df, "id").collect()[0]
     assert row.precision == 1.0 and row.recall == 1.0 and row.f1 == 1.0
     assert row.tp_pairs == row.pred_pairs == row.gold_pairs == 30  # 10 groups of 3
+
+
+def _brute_sweep(scored, gold, ts, cmp):
+    """Python reimplementation: scored = {(a,b): best score}, gold =
+    set of canonical pairs; per-threshold (tp, pred, gold) counts."""
+    out = {}
+    for t in ts:
+        pred = {p for p, s in scored.items() if cmp(s, t)}
+        out[t] = (len(pred & gold), len(pred), len(gold))
+    return out
+
+
+def test_threshold_sweep_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    raw = []
+    scored_best = {}
+    for _ in range(300):
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a == b:
+            continue
+        s = round(rng.random(), 3)
+        raw.append((a, b, s))
+        key = (min(a, b), max(a, b))
+        scored_best[key] = max(scored_best.get(key, 0.0), s)
+    gold = {(min(a, b), max(a, b))
+            for a in range(40) for b in range(40)
+            if a < b and rng.random() < 0.1}
+    sdf = spark.createDataFrame(raw, "l_id long, r_id long, _sim_score double")
+    gdf = _pairs_df(spark, sorted(gold))
+    ts = [0.2, 0.4, 0.6, 0.8]
+    rows = {r.threshold: r for r in threshold_sweep(sdf, gdf, ts).collect()}
+    want = _brute_sweep(scored_best, gold, ts, lambda s, t: s >= t)
+    assert set(rows) == set(ts)
+    for t in ts:
+        tp, pred, gld = want[t]
+        r = rows[t]
+        assert (r.tp_pairs, r.pred_pairs, r.gold_pairs) == (tp, pred, gld), t
+        assert r.fp_pairs == pred - tp and r.fn_pairs == gld - tp
+        if pred and gld and tp:
+            p, rc = tp / pred, tp / gld
+            assert r.precision == p and r.recall == rc
+            assert r.f1 == 2.0 * p * rc / (p + rc)
+
+
+def test_threshold_sweep_directed_dupes_and_le(spark):
+    # directed duplicates keep the BEST score for the cut direction:
+    # max for >=, min for <= (edit-distance style)
+    sdf = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 0.3), (3, 4, 2.0), (4, 3, 5.0)],
+        "l_id long, r_id long, _sim_score double",
+    )
+    gdf = _pairs_df(spark, [(1, 2), (3, 4)])
+    row = threshold_sweep(sdf, gdf, [0.5]).collect()
+    ge = {r.threshold: r for r in row}
+    assert ge[0.5].tp_pairs == 2  # (1,2) via max(0.9,0.3); (3,4) passes
+    le = threshold_sweep(sdf, gdf, [3.0], comp_op="<=").collect()[0]
+    # (1,2): min=0.3 <= 3 yes; (3,4): min(2,5)=2 <= 3 yes
+    assert le.tp_pairs == 2 and le.pred_pairs == 2
+
+
+def test_threshold_sweep_gold_only_pairs_are_fn_everywhere(spark):
+    sdf = spark.createDataFrame(
+        [(1, 2, 0.9)], "l_id long, r_id long, _sim_score double"
+    )
+    gdf = _pairs_df(spark, [(1, 2), (7, 8)])
+    rows = threshold_sweep(sdf, gdf, [0.1, 0.95]).collect()
+    by_t = {r.threshold: r for r in rows}
+    assert by_t[0.1].fn_pairs == 1 and by_t[0.1].tp_pairs == 1
+    assert by_t[0.95].fn_pairs == 2 and by_t[0.95].tp_pairs == 0
+
+
+def test_threshold_sweep_single_pass(spark):
+    """The sweep is ONE aggregation regardless of threshold count —
+    no per-threshold scan/join in the plan."""
+    sdf = spark.createDataFrame(
+        [(1, 2, 0.9)], "l_id long, r_id long, _sim_score double"
+    )
+    gdf = _pairs_df(spark, [(1, 2)])
+    plan = threshold_sweep(
+        sdf, gdf, [i / 20 for i in range(1, 20)]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("join") == 1, plan
+
+
+def test_threshold_sweep_validation_and_best(spark):
+    import pytest
+
+    sdf = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.5), (5, 6, 0.4)],
+        "l_id long, r_id long, _sim_score double",
+    )
+    gdf = _pairs_df(spark, [(1, 2), (3, 4)])
+    with pytest.raises(ValueError):
+        threshold_sweep(sdf, gdf, [])
+    with pytest.raises(ValueError):
+        threshold_sweep(sdf, gdf, [0.5], comp_op="=")
+    sweep = threshold_sweep(sdf, gdf, [0.3, 0.45, 0.7])
+    # 0.45: pred={12,34}, tp=2 -> f1=1.0; 0.3 adds fp; 0.7 loses tp
+    assert best_threshold(sweep) == 0.45
 
 
 def test_clustering_metrics_id_universe_is_intersection(spark):
