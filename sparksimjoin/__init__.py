@@ -18,6 +18,7 @@ from .joins.set_sim import (
     set_sim_join,
 )
 from .joins.edit_distance import edit_distance_join
+from .joins.jaro import jaro_join, jaro_winkler_join
 from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
 from .ranking import topk_pairs
 from .evaluation import (best_threshold, clustering_pairwise_metrics,
@@ -54,6 +55,8 @@ __all__ = [
     "get_pairs_with_missing_value",
     "get_spark",
     "jaccard_join",
+    "jaro_join",
+    "jaro_winkler_join",
     "overlap_coefficient_join",
     "overlap_join",
     "pair_metrics",

@@ -33,6 +33,13 @@ DICE = "DICE"
 OVERLAP = "OVERLAP"
 OVERLAP_COEFFICIENT = "OVERLAP_COEFFICIENT"
 EDIT_DISTANCE = "EDIT_DISTANCE"
+# JARO_CHAR is the blocking-side reduction of a Jaro/Jaro-Winkler
+# predicate to character-multiset overlap (joins/jaro.py derives it):
+# jw >= t implies char-bag overlap m >= c * max(l1, l2) with
+# c = 3*j_min - 2; the *filter* threshold passed through these
+# formulas is c, NOT the user's similarity threshold. Verification is
+# the exact string kernel (simfunctions.py), never sim_expr.
+JARO_CHAR = "JARO_CHAR"
 
 SET_SIM_MEASURES = (JACCARD, COSINE, DICE, OVERLAP, OVERLAP_COEFFICIENT)
 
@@ -91,6 +98,8 @@ def prefix_length_py(num_tokens: int, measure: str, threshold: float, qval: int 
         p = num_tokens  # no record-local bound; block on all tokens
     elif measure == EDIT_DISTANCE:
         p = qval * int(threshold) + 1
+    elif measure == JARO_CHAR:
+        p = num_tokens - guarded_ceil_py(threshold * num_tokens) + 1
     else:
         raise ValueError(measure)
     return max(min(int(p), num_tokens), 0)
@@ -109,6 +118,8 @@ def size_lower_bound_py(num_tokens: int, measure: str, threshold: float) -> int:
         return 0
     if measure == EDIT_DISTANCE:
         return max(num_tokens - int(threshold), 0)
+    if measure == JARO_CHAR:
+        return guarded_ceil_py(threshold * num_tokens)
     raise ValueError(measure)
 
 
@@ -123,6 +134,8 @@ def size_upper_bound_py(num_tokens: int, measure: str, threshold: float) -> int:
         return _BIG
     if measure == EDIT_DISTANCE:
         return num_tokens + int(threshold)
+    if measure == JARO_CHAR:
+        return guarded_floor_py(num_tokens / threshold) if threshold > 0 else _BIG
     raise ValueError(measure)
 
 
@@ -140,6 +153,8 @@ def overlap_threshold_py(s1: int, s2: int, measure: str, threshold: float, qval:
         return guarded_ceil_py(threshold * min(s1, s2))
     if measure == EDIT_DISTANCE:
         return max(s1, s2) - qval * threshold
+    if measure == JARO_CHAR:
+        return guarded_ceil_py(threshold * max(s1, s2))
     raise ValueError(measure)
 
 
@@ -183,6 +198,8 @@ def prefix_length_expr(num_tokens: Column, measure: str, threshold: float, qval:
         p = num_tokens
     elif measure == EDIT_DISTANCE:
         p = F.lit(qval * int(threshold) + 1)
+    elif measure == JARO_CHAR:
+        p = num_tokens - guarded_ceil_expr(F.lit(threshold) * n) + 1
     else:
         raise ValueError(measure)
     return F.greatest(F.least(p.cast("int"), num_tokens), F.lit(0))
@@ -206,6 +223,9 @@ def size_bounds_expr(num_tokens: Column, measure: str, threshold: float) -> tupl
     elif measure == EDIT_DISTANCE:
         lo = F.greatest(num_tokens - F.lit(int(threshold)), F.lit(0))
         hi = num_tokens + F.lit(int(threshold))
+    elif measure == JARO_CHAR:
+        lo = guarded_ceil_expr(F.lit(threshold) * n)
+        hi = guarded_floor_expr(n / F.lit(threshold)) if threshold > 0 else F.lit(_BIG)
     else:
         raise ValueError(measure)
     return lo.cast("long"), hi.cast("long")
@@ -225,6 +245,8 @@ def overlap_threshold_expr(s1: Column, s2: Column, measure: str, threshold: floa
         return guarded_ceil_expr(F.lit(threshold) * F.least(d1, d2)).cast("double")
     if measure == EDIT_DISTANCE:
         return (F.greatest(d1, d2) - F.lit(float(qval) * threshold)).cast("double")
+    if measure == JARO_CHAR:
+        return guarded_ceil_expr(F.lit(threshold) * F.greatest(d1, d2)).cast("double")
     raise ValueError(measure)
 
 

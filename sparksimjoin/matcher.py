@@ -70,6 +70,13 @@ def apply_matcher(
         measure = sim_function.upper()
         if measure == EDIT_DISTANCE:
             score = F.levenshtein(F.col("__ls"), F.col("__rs")).cast("double")
+        elif measure in ("JARO", "JARO_WINKLER"):
+            # character-level measures: Arrow-batched exact kernels on
+            # the raw strings (simfunctions.py); no tokenizer involved
+            from .simfunctions import jaro_expr, jaro_winkler_expr
+
+            expr = jaro_winkler_expr if measure == "JARO_WINKLER" else jaro_expr
+            score = expr(F.col("__ls"), F.col("__rs"))
         else:
             assert measure in SET_SIM_MEASURES, measure
             assert tokenizer is not None, "tokenizer required for set measures"

@@ -74,6 +74,47 @@ def naive_set_sim_join(
     return out
 
 
+def naive_jaro_join(
+    l_pdf: pd.DataFrame,
+    r_pdf: pd.DataFrame,
+    l_key: str,
+    r_key: str,
+    l_attr: str,
+    r_attr: str,
+    threshold: float,
+    winkler: bool = True,
+    comp_op: str = ">=",
+    allow_empty: bool = True,
+    allow_missing: bool = False,
+    self_join: bool = False,
+) -> list[tuple]:
+    """Brute-force Jaro / Jaro-Winkler oracle; exact kernels from
+    simfunctions (themselves property-tested against DuckDB)."""
+    from .simfunctions import jaro_sim, jaro_winkler_sim
+
+    fn = jaro_winkler_sim if winkler else jaro_sim
+    cmp = COMP_OP_PY[comp_op]
+    out = []
+    for lid, ls in zip(l_pdf[l_key], l_pdf[l_attr]):
+        l_missing = ls is None or (isinstance(ls, float) and math.isnan(ls))
+        for rid, rs in zip(r_pdf[r_key], r_pdf[r_attr]):
+            if self_join and not (lid < rid):
+                continue
+            r_missing = rs is None or (isinstance(rs, float) and math.isnan(rs))
+            if l_missing or r_missing:
+                if allow_missing:
+                    out.append((lid, rid, None))
+                continue
+            if len(ls) == 0 and len(rs) == 0:
+                if allow_empty and cmp(1.0, threshold):
+                    out.append((lid, rid, 1.0))
+                continue
+            score = fn(ls, rs)
+            if cmp(score, threshold):
+                out.append((lid, rid, score))
+    return out
+
+
 def naive_edit_distance_join(
     l_pdf: pd.DataFrame,
     r_pdf: pd.DataFrame,
