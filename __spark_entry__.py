@@ -24,6 +24,8 @@ from sparksimjoin import (
     dice_join,
     edit_distance_join,
     jaccard_join,
+    jaro_join,
+    jaro_winkler_join,
     overlap_coefficient_join,
     overlap_join,
 )
@@ -40,6 +42,7 @@ from sparksimjoin.filters import (
 )
 from sparksimjoin.estimate import estimate_join_cost
 from sparksimjoin.evaluation import (
+    blocking_metrics,
     clustering_pairwise_metrics,
     pair_metrics,
     threshold_sweep,
@@ -115,6 +118,20 @@ def q_edit_part(spark, sf_dir):
     return _pair_cols(out, "l_p_partkey", "r_p_partkey", score_name="distance")
 
 
+def q_jaro_part(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    out = jaro_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name", 0.8,
+                    self_join=True)
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey")
+
+
+def q_jaro_winkler_part(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    out = jaro_winkler_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name", 0.9,
+                            self_join=True)
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey")
+
+
 def q_overlap_filter_part(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     f = OverlapFilter(WS, overlap_size=2)
@@ -135,6 +152,24 @@ def q_prefix_filter_doc(spark, sf_dir):
     f = PrefixFilter(WS, "JACCARD", 0.7, allow_empty=False)
     out = f.filter_tables(d, d, "doc_id", "doc_id", "text", "text", self_join=True)
     return _pair_cols(out, "l_doc_id", "r_doc_id", score=None)
+
+
+def q_blocking_eval_doc(spark, sf_dir):
+    """Blocking-quality metrics (sparksimjoin/evaluation.py): the
+    PrefixFilter candidate set at jaccard-0.7 evaluated against the
+    true jaccard-0.7 join — pairs completeness (blocking recall, 1.0
+    by the losslessness property), pair quality, reduction ratio."""
+    d = _t(spark, sf_dir, "documents")
+    f = PrefixFilter(WS, "JACCARD", 0.7, allow_empty=False)
+    cand = f.filter_tables(d, d, "doc_id", "doc_id", "text", "text", self_join=True)
+    gold = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.7,
+                        allow_empty=False, self_join=True)
+    n = d.where(F.col("text").isNotNull()).count()
+    return blocking_metrics(
+        cand.select(F.col("l_doc_id").alias("l_id"), F.col("r_doc_id").alias("r_id")),
+        gold.select(F.col("l_doc_id").alias("l_id"), F.col("r_doc_id").alias("r_id")),
+        total_pairs=n * (n - 1) // 2,
+    )
 
 
 def q_position_filter_doc(spark, sf_dir):
@@ -275,6 +310,46 @@ def q_cluster_audit_doc(spark, sf_dir):
                          l_col="l_doc_id", r_col="r_doc_id").where(
         F.col("n_records") > 1
     )
+
+
+def _doc_components(spark, sf_dir):
+    """Shared stage for the canonicalization queries: jaccard-0.7
+    edges on documents -> connected components -> full labeling
+    (singletons labeled by their own id)."""
+    d = _t(spark, sf_dir, "documents")
+    edges = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.7,
+                         allow_empty=False, self_join=True)
+    comp = connected_components(edges, "l_doc_id", "r_doc_id")
+    all_ids = d.select(F.col("doc_id").alias("id"))
+    comp_full = (
+        all_ids.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    return d, edges, comp_full
+
+
+def q_cluster_rep_doc(spark, sf_dir):
+    """Golden-record survivorship (sparksimjoin/canonical.py): per
+    component the medoid-like representative — max total intra-cluster
+    edge support, least-id tie-break — as a plain argmin-struct
+    aggregate (no per-cluster window sort)."""
+    from sparksimjoin.canonical import cluster_representatives
+
+    _, edges, comp_full = _doc_components(spark, sf_dir)
+    return cluster_representatives(comp_full, edges, id_col="id",
+                                   component_col="component",
+                                   l_col="l_doc_id", r_col="r_doc_id")
+
+
+def q_golden_records_doc(spark, sf_dir):
+    """Golden-record attribute consolidation (canonical.py): per
+    component the modal non-null lang/source (ties -> least value)."""
+    from sparksimjoin.canonical import golden_records
+
+    d, _, comp_full = _doc_components(spark, sf_dir)
+    comp = comp_full.withColumnRenamed("id", "doc_id")
+    return golden_records(comp, d, "doc_id", ["lang", "source"]
+                          ).withColumnRenamed("component", "comp")
 
 
 def q_incremental_cc_doc(spark, sf_dir):
@@ -569,10 +644,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_coeff_doc": q_overlap_coeff_doc,
         "jaccard_qgram_part": q_jaccard_qgram_part,
         "edit_part": q_edit_part,
+        "jaro_part": q_jaro_part,
+        "jaro_winkler_part": q_jaro_winkler_part,
         "overlap_filter_part": q_overlap_filter_part,
         "size_filter_doc": q_size_filter_doc,
         "prefix_filter_doc": q_prefix_filter_doc,
         "position_filter_doc": q_position_filter_doc,
+        "blocking_eval_doc": q_blocking_eval_doc,
         "suffix_filter_doc": q_suffix_filter_doc,
         "missing_pairs_doc": q_missing_pairs_doc,
         "weighted_jaccard_doc": q_weighted_jaccard_doc,
@@ -589,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_estimate_doc": q_candidate_estimate_doc,
         "cc_clusters_doc": q_cc_clusters_doc,
         "cluster_audit_doc": q_cluster_audit_doc,
+        "cluster_rep_doc": q_cluster_rep_doc,
+        "golden_records_doc": q_golden_records_doc,
         "incremental_cc_doc": q_incremental_cc_doc,
         "exact_dedup_doc": q_exact_dedup_doc,
         "ngram_dedup_part": q_ngram_dedup_part,
@@ -940,6 +1020,18 @@ SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 """,
+        "jaro_part": """
+SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+       jaro_similarity(a.p_name, b.p_name) AS sim_score
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE jaro_similarity(a.p_name, b.p_name) >= 0.8
+""",
+        "jaro_winkler_part": """
+SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+       jaro_winkler_similarity(a.p_name, b.p_name) AS sim_score
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+""",
         "overlap_filter_part": f"""
 WITH tok AS (
   SELECT p_partkey AS id,
@@ -976,6 +1068,37 @@ pref AS (
 )
 SELECT DISTINCT a.id AS l_id, b.id AS r_id
 FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
+""",
+        "blocking_eval_doc": f"""
+WITH {_TOK_DOC},
+cnt AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+ranked AS (
+  SELECT ex.id, ex.sz, ex.token,
+         row_number() OVER (PARTITION BY ex.id ORDER BY cnt.c, ex.token) AS rn
+  FROM ex JOIN cnt USING (token)
+),
+pref AS (
+  SELECT id, token FROM ranked WHERE rn <= sz - CAST(ceil(0.7 * sz - greatest(abs(0.7 * sz), 1.0) * 1e-12) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
+),
+gold AS (
+  SELECT l_id, r_id FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.7
+),
+counts AS (
+  SELECT (SELECT count(*) FROM cand) AS cand_pairs,
+         (SELECT count(*) FROM gold) AS gold_pairs,
+         (SELECT count(*) FROM cand JOIN gold USING (l_id, r_id)) AS tp_pairs,
+         (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS n
+)
+SELECT cand_pairs, gold_pairs, tp_pairs,
+       n * (n - 1) // 2 AS total_pairs,
+       CASE WHEN gold_pairs > 0 THEN CAST(tp_pairs AS DOUBLE) / gold_pairs ELSE 0.0 END AS pairs_completeness,
+       CASE WHEN cand_pairs > 0 THEN CAST(tp_pairs AS DOUBLE) / cand_pairs ELSE 0.0 END AS pair_quality,
+       CASE WHEN n * (n - 1) // 2 > 0 THEN 1.0 - CAST(cand_pairs AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE) ELSE 0.0 END AS reduction_ratio
+FROM counts
 """,
         "position_filter_doc": f"""
 WITH {_TOK_DOC},
@@ -1288,6 +1411,84 @@ SELECT sz.component, sz.n_records,
        es.min_sim, es.avg_sim
 FROM sz LEFT JOIN es ON sz.component = es.component
 WHERE sz.n_records > 1
+""",
+        "cluster_rep_doc": f"""
+WITH RECURSIVE {_TOK_DOC},
+edges AS (
+  SELECT l_id AS src, r_id AS dst, CAST(o AS DOUBLE)/(s1+s2-o) AS s
+  FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.7
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+),
+lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+intra AS (
+  SELECT e.src, e.dst, e.s
+  FROM edges e JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id
+  WHERE la.component = lb.component
+),
+sym AS (SELECT src AS id, s FROM intra UNION ALL SELECT dst AS id, s FROM intra),
+sup AS (
+  SELECT l.component, l.id,
+         round(coalesce(p.sup, 0.0), 6) AS support
+  FROM lab l LEFT JOIN (SELECT id, sum(s) AS sup FROM sym GROUP BY id) p
+  ON l.id = p.id
+),
+rn AS (
+  SELECT component, id, support,
+         row_number() OVER (PARTITION BY component ORDER BY support DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_records
+  FROM sup
+)
+SELECT component, id AS rep_id, n_records, support AS rep_support
+FROM rn WHERE rn = 1
+""",
+        "golden_records_doc": f"""
+WITH RECURSIVE {_TOK_DOC},
+edges AS (
+  SELECT l_id AS src, r_id AS dst
+  FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.7
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+),
+lab AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+sz AS (SELECT component, count(*) AS n_records FROM lab GROUP BY component),
+lc AS (
+  SELECT l.component, d.lang, count(*) AS c
+  FROM lab l JOIN documents d ON d.doc_id = l.id
+  WHERE d.lang IS NOT NULL GROUP BY 1, 2
+),
+lpick AS (
+  SELECT component, lang FROM (
+    SELECT component, lang,
+           row_number() OVER (PARTITION BY component ORDER BY c DESC, lang ASC) AS rn
+    FROM lc
+  ) WHERE rn = 1
+),
+sc AS (
+  SELECT l.component, d.source, count(*) AS c
+  FROM lab l JOIN documents d ON d.doc_id = l.id
+  WHERE d.source IS NOT NULL GROUP BY 1, 2
+),
+spick AS (
+  SELECT component, source FROM (
+    SELECT component, source,
+           row_number() OVER (PARTITION BY component ORDER BY c DESC, source ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+)
+SELECT sz.component AS comp, sz.n_records, lpick.lang, spick.source
+FROM sz LEFT JOIN lpick ON sz.component = lpick.component
+        LEFT JOIN spick ON sz.component = spick.component
 """,
         # full-recompute oracle for the INCREMENTAL run: incremental
         # clusters are exactly equivalent to one full run over the

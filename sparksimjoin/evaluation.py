@@ -263,6 +263,59 @@ def threshold_sweep(
     return _finish(rows)
 
 
+def blocking_metrics(
+    candidates: DataFrame,
+    gold: DataFrame,
+    total_pairs: int,
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    gold_l_col: str | None = None,
+    gold_r_col: str | None = None,
+) -> DataFrame:
+    """Blocking-quality metrics: one row with ``cand_pairs``,
+    ``gold_pairs``, ``tp_pairs``, ``total_pairs``,
+    ``pairs_completeness`` (share of gold pairs the blocker kept — the
+    blocking-recall number that gates the whole pipeline's recall),
+    ``pair_quality`` (share of candidates that are true matches) and
+    ``reduction_ratio`` (1 - |C|/total — how much of the quadratic
+    comparison space the blocker eliminated).
+
+    ``total_pairs`` is the comparison-space size: ``n_l * n_r`` for a
+    two-table blocker, ``C(n, 2)`` for a self-join (callers know their
+    record counts; pass exact BIGINT math, e.g.
+    ``n * (n - 1) // 2``). Both pair sets are canonicalized (least,
+    greatest) and deduplicated; the metric floats are single IEEE
+    divisions on exact bigint counts (bit-reproducible cross-engine).
+    Cost: one shuffle on the canonical pair key — the same full-outer
+    join ``pair_metrics`` does."""
+    if total_pairs < 0:
+        raise ValueError(f"total_pairs must be >= 0, got {total_pairs}")
+    gl = gold_l_col if gold_l_col is not None else l_col
+    gr = gold_r_col if gold_r_col is not None else r_col
+    c = _canon_pairs(candidates, l_col, r_col).withColumn("__p", F.lit(1))
+    g = _canon_pairs(gold, gl, gr).withColumn("__g", F.lit(1))
+    joined = c.join(g, ["__a", "__b"], "full_outer")
+    counts = joined.agg(
+        F.count("__p").cast("long").alias("cand_pairs"),
+        F.count("__g").cast("long").alias("gold_pairs"),
+        F.count(F.when(F.col("__p").isNotNull() & F.col("__g").isNotNull(), 1))
+        .cast("long").alias("tp_pairs"),
+    )
+    tp = F.col("tp_pairs").cast("double")
+    return counts.select(
+        "cand_pairs", "gold_pairs", "tp_pairs",
+        F.lit(int(total_pairs)).cast("long").alias("total_pairs"),
+        F.when(F.col("gold_pairs") > 0, tp / F.col("gold_pairs"))
+        .otherwise(F.lit(0.0)).alias("pairs_completeness"),
+        F.when(F.col("cand_pairs") > 0, tp / F.col("cand_pairs"))
+        .otherwise(F.lit(0.0)).alias("pair_quality"),
+        F.when(
+            F.lit(int(total_pairs)) > 0,
+            F.lit(1.0) - F.col("cand_pairs").cast("double") / F.lit(float(total_pairs)),
+        ).otherwise(F.lit(0.0)).alias("reduction_ratio"),
+    )
+
+
 def best_threshold(sweep: DataFrame) -> float:
     """Pick the F1-maximizing threshold from a ``threshold_sweep``
     result (ties -> smallest threshold). The sweep

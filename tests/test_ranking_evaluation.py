@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sparksimjoin.evaluation import (
@@ -241,3 +243,60 @@ def test_clustering_metrics_id_universe_is_intersection(spark):
     # only ids 1,2 are in both; they share a cluster in both
     assert row.n_ids == 2 and row.tp_pairs == 1
     assert row.precision == 1.0 and row.recall == 1.0
+
+
+# ---------------------------------------------------------- blocking eval
+def test_blocking_metrics_brute(spark):
+    from sparksimjoin.evaluation import blocking_metrics
+
+    cand = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("d", "d")],
+        "l_id string, r_id string",
+    )  # canonical distinct: {ab, ac, cd}
+    gold = spark.createDataFrame(
+        [("a", "b"), ("b", "d")], "l_id string, r_id string"
+    )
+    # 5 records -> C(5,2) = 10 comparisons
+    row = blocking_metrics(cand, gold, total_pairs=10).collect()[0]
+    assert (row["cand_pairs"], row["gold_pairs"], row["tp_pairs"]) == (3, 2, 1)
+    assert row["total_pairs"] == 10
+    assert row["pairs_completeness"] == 0.5
+    assert row["pair_quality"] == pytest.approx(1 / 3)
+    assert row["reduction_ratio"] == pytest.approx(0.7)
+
+
+def test_blocking_metrics_empty_gold(spark):
+    from sparksimjoin.evaluation import blocking_metrics
+
+    cand = spark.createDataFrame([("a", "b")], "l_id string, r_id string")
+    gold = spark.createDataFrame([], "l_id string, r_id string")
+    row = blocking_metrics(cand, gold, total_pairs=1).collect()[0]
+    assert row["pairs_completeness"] == 0.0
+    assert row["pair_quality"] == 0.0
+    assert row["reduction_ratio"] == 0.0
+
+
+def test_blocking_metrics_losslessness_on_fixture(spark):
+    """The engine's own PrefixFilter candidates must have blocking
+    recall exactly 1.0 vs the true join — the filter-losslessness
+    property expressed through the metric."""
+    from sparksimjoin import WhitespaceTokenizer, jaccard_join
+    from sparksimjoin.evaluation import blocking_metrics
+    from sparksimjoin.filters import PrefixFilter
+    from sparksimjoin.fixtures import make_person_tables
+
+    a_pdf, _ = make_person_tables(50, 10, seed=3)
+    a = spark.createDataFrame(a_pdf)
+    ws = WhitespaceTokenizer()
+    cand = PrefixFilter(ws, "JACCARD", 0.6, allow_empty=False).filter_tables(
+        a, a, "id", "id", "name", "name", self_join=True
+    ).select(F.col("l_id").cast("long"), F.col("r_id").cast("long"))
+    gold = jaccard_join(a, a, "id", "id", "name", "name", ws, 0.6,
+                        allow_empty=False, self_join=True).select(
+        F.col("l_id").alias("l_id"), F.col("r_id").alias("r_id")
+    )
+    n = a.where(F.col("name").isNotNull()).count()
+    row = blocking_metrics(cand, gold, total_pairs=n * (n - 1) // 2).collect()[0]
+    assert row["pairs_completeness"] == 1.0
+    assert 0.0 <= row["pair_quality"] <= 1.0
+    assert row["cand_pairs"] <= n * (n - 1) // 2
