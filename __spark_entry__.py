@@ -23,6 +23,7 @@ from sparksimjoin import (
     cosine_join,
     dice_join,
     edit_distance_join,
+    hamming_join,
     jaccard_join,
     jaro_join,
     jaro_winkler_join,
@@ -115,6 +116,16 @@ def q_edit_part(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     out = edit_distance_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name", 2,
                              self_join=True)
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey", score_name="distance")
+
+
+def q_hamming_part(spark, sf_dir):
+    """Pigeonhole-chunk-blocked Hamming join (joins/hamming.py):
+    equal-length pairs within distance 3, verification a pure
+    zip_with/aggregate Column expression — no UDF anywhere."""
+    p = _t(spark, sf_dir, "part")
+    out = hamming_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name", 3,
+                       self_join=True)
     return _pair_cols(out, "l_p_partkey", "r_p_partkey", score_name="distance")
 
 
@@ -644,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_coeff_doc": q_overlap_coeff_doc,
         "jaccard_qgram_part": q_jaccard_qgram_part,
         "edit_part": q_edit_part,
+        "hamming_part": q_hamming_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
         "overlap_filter_part": q_overlap_filter_part,
@@ -1019,6 +1031,13 @@ SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
        CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) AS distance
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+        "hamming_part": """
+SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+       CAST(hamming(a.p_name, b.p_name) AS DOUBLE) AS distance
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey AND length(a.p_name) = length(b.p_name)
+WHERE hamming(a.p_name, b.p_name) <= 3
 """,
         "jaro_part": """
 SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,

@@ -103,6 +103,18 @@ def _q_overlap_coeff_zipf(s, d, salt_cap=None):
     )
 
 
+def _q_jaro_winkler(s, d):
+    """Blocked Jaro-Winkler self-join on part names (joins/jaro.py):
+    exercises the char-multiset JARO_CHAR blocking + the Arrow-batched
+    Python verify kernel — the one candidate-bound Python stage in
+    the join inventory."""
+    from sparksimjoin import jaro_winkler_join
+
+    part = _part(s, d)
+    return jaro_winkler_join(part, part, "p_partkey", "p_partkey",
+                             "p_name", "p_name", 0.9, self_join=True)
+
+
 def _q_weighted(s, d):
     from sparksimjoin.joins.weighted import weighted_jaccard_join
 
@@ -132,6 +144,7 @@ def bench_queries():
         # weighted-prefix blocking + bigint verify path; t=0.8 keeps
         # the output selective on the 31-word bench vocabulary
         "weighted_jaccard_doc_t8": _q_weighted,
+        "jaro_winkler_part_t9": _q_jaro_winkler,
         "overlap_coeff_zipf_skew": _q_overlap_coeff_zipf,
     }
 

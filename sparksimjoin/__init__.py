@@ -18,6 +18,7 @@ from .joins.set_sim import (
     set_sim_join,
 )
 from .joins.edit_distance import edit_distance_join
+from .joins.hamming import hamming_join
 from .joins.jaro import jaro_join, jaro_winkler_join
 from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
 from .ranking import topk_pairs
@@ -54,6 +55,7 @@ __all__ = [
     "estimate_join_cost",
     "get_pairs_with_missing_value",
     "get_spark",
+    "hamming_join",
     "jaccard_join",
     "jaro_join",
     "jaro_winkler_join",

@@ -74,6 +74,40 @@ def naive_set_sim_join(
     return out
 
 
+def naive_hamming_join(
+    l_pdf: pd.DataFrame,
+    r_pdf: pd.DataFrame,
+    l_key: str,
+    r_key: str,
+    l_attr: str,
+    r_attr: str,
+    threshold: float,
+    comp_op: str = "<=",
+    allow_missing: bool = False,
+    self_join: bool = False,
+) -> list[tuple]:
+    """Brute-force Hamming oracle: equal-length pairs only (the
+    join-predicate reading of the equal-length precondition)."""
+    cmp = COMP_OP_PY[comp_op]
+    out = []
+    for lid, ls in zip(l_pdf[l_key], l_pdf[l_attr]):
+        l_missing = ls is None or (isinstance(ls, float) and math.isnan(ls))
+        for rid, rs in zip(r_pdf[r_key], r_pdf[r_attr]):
+            if self_join and not (lid < rid):
+                continue
+            r_missing = rs is None or (isinstance(rs, float) and math.isnan(rs))
+            if l_missing or r_missing:
+                if allow_missing:
+                    out.append((lid, rid, None))
+                continue
+            if len(ls) != len(rs):
+                continue
+            d = sum(a != b for a, b in zip(ls, rs))
+            if cmp(d, threshold):
+                out.append((lid, rid, float(d)))
+    return out
+
+
 def naive_jaro_join(
     l_pdf: pd.DataFrame,
     r_pdf: pd.DataFrame,
