@@ -119,6 +119,17 @@ def q_edit_part(spark, sf_dir):
     return _pair_cols(out, "l_p_partkey", "r_p_partkey", score_name="distance")
 
 
+def q_snm_part(spark, sf_dir):
+    """Sorted-neighborhood blocking (sparksimjoin/blocking.py):
+    distributed SNM — deterministic global rank via order-consistent
+    prefix buckets + histogram offsets (no single-partition sort of
+    row volume), window pairs via an adjacent-block equi-join."""
+    from sparksimjoin.blocking import sorted_neighborhood_candidates
+
+    p = _t(spark, sf_dir, "part")
+    return sorted_neighborhood_candidates(p, "p_partkey", "p_name", 10)
+
+
 def q_hamming_part(spark, sf_dir):
     """Pigeonhole-chunk-blocked Hamming join (joins/hamming.py):
     equal-length pairs within distance 3, verification a pure
@@ -656,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_qgram_part": q_jaccard_qgram_part,
         "edit_part": q_edit_part,
         "hamming_part": q_hamming_part,
+        "snm_part": q_snm_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
         "overlap_filter_part": q_overlap_filter_part,
@@ -1031,6 +1043,15 @@ SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
        CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) AS distance
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+        "snm_part": """
+WITH ranked AS (
+  SELECT p_partkey AS id,
+         row_number() OVER (ORDER BY p_name ASC NULLS FIRST, p_partkey) - 1 AS r
+  FROM part
+)
+SELECT a.id AS l_id, b.id AS r_id, a.r AS l_rank, b.r AS r_rank
+FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 9
 """,
         "hamming_part": """
 SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,

@@ -1,0 +1,150 @@
+"""Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995).
+
+The third classic blocking family next to token blocking (joins/core)
+and hash/LSH buckets (dedup.py): sort all records by a domain sort key
+and emit every pair within a sliding window of ``w`` consecutive
+records — candidate volume is EXACTLY ``n*(w-1) - C(w,2)`` -ish
+(linear in n), independent of key-frequency skew, which makes SNM the
+standard fallback for attributes whose token distributions defeat
+prefix filtering. Recall depends on the sort key design; run several
+passes with different keys and union (multi-pass SNM) for robustness.
+
+Distributed design — the textbook algorithm is a GLOBAL SORT plus a
+sequential window scan, both hostile at 10^12 rows. Here:
+
+- the global rank is computed with the same order-consistent
+  prefix-bucket + histogram-offset scheme as the token rank
+  (joins/core.dense_rank_tids and its determinism/skew rationale):
+  rows are bucketed by a character prefix of the sort key (any prefix
+  is order-consistent), ranked within (bucket) by (key, id) via a
+  bounded window, and offset by the cumulated bucket histogram — the
+  only global step is a cumulative sum over the tiny histogram, and
+  the rank is a DETERMINISTIC function of the data;
+- the sequential window scan becomes an equi-join: with
+  ``b = w - 1``, a row at rank r lives in block ``g = r div b``; any
+  pair within rank distance <= b spans at most adjacent blocks, so the
+  left side exploded to blocks {g, g+1} equi-joined against the right
+  side's block, with the exact ``1 <= r_r - r_l <= b`` residual,
+  reproduces the window pairs with no global scan. Each qualifying
+  pair meets exactly once (the left row's two exploded blocks are
+  distinct, the right row has one block).
+
+Pairs are oriented by rank (l = lower rank); callers score them with
+``apply_matcher``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# prefix length for the order-consistent rank buckets (see
+# joins/core.RANK_PREFIX_LEN for the identical trade-off)
+SNM_PREFIX_LEN = 3
+
+
+def global_rank(df: DataFrame, sort_attr: str, id_attr: str) -> DataFrame:
+    """Attach ``_rank``: the deterministic 0-based global dense rank in
+    (sort_attr, id_attr) order. ``sort_attr`` must be a STRING column —
+    the bucketing uses a character prefix, which is order-consistent
+    for strings but NOT for stringified numbers ('10' < '9'); cast
+    numeric keys to fixed-width (lpad) upstream. Null sort keys rank
+    first (Spark and the SQL oracle both sort nulls first ascending).
+    """
+    if not isinstance(df.schema[sort_attr].dataType, T.StringType):
+        raise ValueError(
+            f"sort_attr {sort_attr!r} must be string-typed (prefix bucketing is "
+            "only order-consistent for strings; lpad numeric keys upstream)"
+        )
+    from pyspark.sql import Window
+
+    # null-safe bucket: a bare null prefix would fall out of the
+    # histogram equi-join (null != null); the struct's leading 0/1
+    # flag keeps the null bucket joinable AND sorted first
+    pb = F.struct(
+        F.when(F.col(sort_attr).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("nn"),
+        F.coalesce(
+            F.substring(F.col(sort_attr), 1, SNM_PREFIX_LEN), F.lit("")
+        ).alias("p"),
+    )
+    src = df.withColumn("_pb", pb)
+    hist = src.groupBy("_pb").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "_pb", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rn = Window.partitionBy("_pb").orderBy(sort_attr, id_attr)
+    return (
+        src.join(offsets, "_pb")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(w_rn) - 1)
+        .drop("_pb", "_off")
+    )
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    key_attr: str,
+    sort_attr: str,
+    window: int,
+) -> DataFrame:
+    """Single-pass SNM candidates -> (l_id, r_id, l_rank, r_rank), one
+    row per pair of records within ``window`` consecutive positions of
+    the sort order (rank distance <= window - 1), oriented by rank.
+    Null sort keys participate (they sort together at the front) —
+    pre-filter if that is not wanted."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    b = window - 1
+    ranked = global_rank(
+        df.select(F.col(key_attr).alias("__id"), F.col(sort_attr).alias("__sk")),
+        "__sk", "__id",
+    ).select("__id", "_rank")
+    left = ranked.select(
+        F.col("__id").alias("l_id"),
+        F.col("_rank").alias("l_rank"),
+        F.explode(
+            F.array(
+                (F.col("_rank") / b).cast("long"),
+                (F.col("_rank") / b).cast("long") + 1,
+            )
+        ).alias("__g"),
+    )
+    right = ranked.select(
+        F.col("__id").alias("r_id"),
+        F.col("_rank").alias("r_rank"),
+        (F.col("_rank") / b).cast("long").alias("__g"),
+    )
+    return (
+        left.join(right, "__g")
+        .where(
+            (F.col("r_rank") - F.col("l_rank") >= 1)
+            & (F.col("r_rank") - F.col("l_rank") <= b)
+        )
+        .select("l_id", "r_id", "l_rank", "r_rank")
+    )
+
+
+def multi_pass_snm(
+    df: DataFrame,
+    key_attr: str,
+    sort_attrs: list[str],
+    window: int,
+) -> DataFrame:
+    """Multi-pass SNM: union of single-pass candidates over several
+    sort keys, deduplicated on the CANONICAL pair (classic recall
+    booster — each pass covers the misses of the others). ->
+    (l_id, r_id), least/greatest-oriented (per-pass ranks are
+    incomparable across passes, so they are dropped)."""
+    from functools import reduce
+
+    if not sort_attrs:
+        raise ValueError("sort_attrs must be non-empty")
+    passes = [
+        sorted_neighborhood_candidates(df, key_attr, sk, window).select(
+            F.least("l_id", "r_id").alias("l_id"),
+            F.greatest("l_id", "r_id").alias("r_id"),
+        )
+        for sk in sort_attrs
+    ]
+    return reduce(DataFrame.unionAll, passes).distinct()

@@ -1,0 +1,77 @@
+"""Sorted-neighborhood blocking: brute-force parity, count identity,
+multi-pass union, validation."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from sparksimjoin.blocking import (
+    global_rank,
+    multi_pass_snm,
+    sorted_neighborhood_candidates,
+)
+from sparksimjoin.fixtures import make_person_tables
+
+A_PDF, _ = make_person_tables(80, 10, seed=21)
+
+
+def _brute_snm(pdf: pd.DataFrame, key: str, sk: str, w: int) -> set[tuple]:
+    # nulls first, then (sort key, id) — the engine's total order
+    rows = sorted(
+        zip(pdf[key], pdf[sk]),
+        key=lambda t: (t[1] is not None, t[1] if t[1] is not None else "", t[0]),
+    )
+    ids = [r[0] for r in rows]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, min(i + w, len(ids))):
+            out.add((ids[i], ids[j]))
+    return out
+
+
+@pytest.mark.parametrize("w", [2, 5, 10])
+def test_snm_parity(spark, w):
+    df = spark.createDataFrame(A_PDF)
+    got = {(r["l_id"], r["r_id"])
+           for r in sorted_neighborhood_candidates(df, "id", "name", w).collect()}
+    exp = _brute_snm(A_PDF, "id", "name", w)
+    assert got == exp
+    # count identity: n*b - b(b+1)/2 pairs for n >= b
+    n, b = len(A_PDF), w - 1
+    assert len(got) == n * b - b * (b + 1) // 2
+
+
+def test_snm_each_pair_once(spark):
+    df = spark.createDataFrame(A_PDF)
+    out = sorted_neighborhood_candidates(df, "id", "name", 6)
+    assert out.count() == out.select("l_id", "r_id").distinct().count()
+
+
+def test_snm_rank_is_deterministic_total_order(spark):
+    df = spark.createDataFrame(A_PDF)
+    ranked = global_rank(df.selectExpr("name as __sk", "id as __id"), "__sk", "__id")
+    rows = ranked.select("__sk", "__id", "_rank").collect()
+    n = len(rows)
+    assert sorted(r["_rank"] for r in rows) == list(range(n))
+    ordered = sorted(
+        rows, key=lambda r: (r["__sk"] is not None, r["__sk"] or "", r["__id"])
+    )
+    assert [r["_rank"] for r in ordered] == list(range(n))
+
+
+def test_multi_pass_union(spark):
+    df = spark.createDataFrame(A_PDF)
+    both = {(r["l_id"], r["r_id"])
+            for r in multi_pass_snm(df, "id", ["name", "address"], 4).collect()}
+    one = {tuple(sorted(p)) for p in _brute_snm(A_PDF, "id", "name", 4)}
+    two = {tuple(sorted(p)) for p in _brute_snm(A_PDF, "id", "address", 4)}
+    assert both == one | two
+
+
+def test_snm_validation(spark):
+    df = spark.createDataFrame(A_PDF)
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_candidates(df, "id", "name", 1)
+    with pytest.raises(ValueError, match="string-typed"):
+        sorted_neighborhood_candidates(df, "id", "birth_year", 3)
