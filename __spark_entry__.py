@@ -119,6 +119,17 @@ def q_edit_part(spark, sf_dir):
     return _pair_cols(out, "l_p_partkey", "r_p_partkey", score_name="distance")
 
 
+def q_soundex_part(spark, sf_dir):
+    """Phonetic (Soundex) blocking (sparksimjoin/blocking.py): pairs
+    sharing the American-Soundex code of p_name. The encoding is
+    spelled only in portable primitives (translate + per-digit regexp
+    runs), so the oracle replicates the identical steps."""
+    from sparksimjoin.blocking import phonetic_candidates
+
+    p = _t(spark, sf_dir, "part")
+    return phonetic_candidates(p, "p_partkey", "p_name")
+
+
 def q_snm_part(spark, sf_dir):
     """Sorted-neighborhood blocking (sparksimjoin/blocking.py):
     distributed SNM — deterministic global rank via order-consistent
@@ -668,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_part": q_edit_part,
         "hamming_part": q_hamming_part,
         "snm_part": q_snm_part,
+        "soundex_part": q_soundex_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
         "overlap_filter_part": q_overlap_filter_part,
@@ -1043,6 +1055,25 @@ SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
        CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) AS distance
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+        "soundex_part": """
+WITH st AS (
+  SELECT p_partkey AS id,
+         upper(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS u
+  FROM part WHERE p_name IS NOT NULL
+),
+st2 AS (
+  SELECT id, u, substring(u, 1, 1) AS f,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(u, 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556000000'), '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g') AS d
+  FROM st
+),
+coded AS (
+  SELECT id,
+         substring(f || replace(CASE WHEN f IN ('H','W') THEN d ELSE substring(d, 2) END, '0', '') || '000', 1, 4) AS sx
+  FROM st2 WHERE u <> ''
+)
+SELECT a.id AS l_id, b.id AS r_id, a.sx AS soundex
+FROM coded a JOIN coded b ON a.sx = b.sx AND a.id < b.id
 """,
         "snm_part": """
 WITH ranked AS (

@@ -35,7 +35,7 @@ Pairs are oriented by rank (l = lower rank); callers score them with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -122,6 +122,71 @@ def sorted_neighborhood_candidates(
             & (F.col("r_rank") - F.col("l_rank") <= b)
         )
         .select("l_id", "r_id", "l_rank", "r_rank")
+    )
+
+
+# American Soundex (NARA variant, incl. the H/W rule), spelled ONLY in
+# portable primitives (translate / per-digit regexp runs / substring)
+# so the DuckDB oracle replicates the identical steps — DuckDB's RE2
+# has no backreferences, hence per-digit run collapsing instead of
+# ([0-6])\1+. H and W sit at the END of the translate source with no
+# replacement, which DELETES them (Postgres translate semantics, same
+# in Spark and DuckDB) BEFORE collapsing — that is exactly the H/W
+# rule: same-digit consonants separated by h/w code once, separated by
+# vowels (-> '0', removed only AFTER collapsing) code twice.
+SOUNDEX_TR_FROM = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+SOUNDEX_TR_TO = "111122222222334556000000"
+
+
+def soundex_expr(col: Column) -> Column:
+    """American Soundex code (4 chars, e.g. 'R163'; '' for inputs with
+    no letters, null for null). Verified against the NARA reference
+    values (Robert/Rupert R163, Ashcraft A261, Tymczak T522, Pfister
+    P236, Honeyman H555) and a randomized Python twin
+    (tests/test_blocking.py)."""
+    u = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    d = F.translate(u, SOUNDEX_TR_FROM, SOUNDEX_TR_TO)
+    for dgt in "123456":
+        d = F.regexp_replace(d, f"{dgt}+", dgt)
+    body = F.when(first.isin("H", "W"), d).otherwise(d.substr(F.lit(2), F.length(d)))
+    body = F.translate(body, "0", "")
+    return F.when(u == "", F.lit("")).otherwise(
+        F.substring(F.concat(first, body, F.lit("000")), 1, 4)
+    )
+
+
+def phonetic_candidates(
+    df: DataFrame,
+    key_attr: str,
+    attr: str,
+    salt_cap: int | None = None,
+) -> DataFrame:
+    """Phonetic (Soundex) blocking: candidates = all pairs sharing the
+    Soundex code of ``attr`` -> (l_id, r_id, soundex), l_id < r_id.
+    Null/letterless values never block (their code is null/'').
+
+    Soundex buckets are COARSE by construction (≤ 26*7^3 codes), so
+    per-bucket pair volume is quadratic in bucket size — that is the
+    scheme's semantics (the bucket pairs ARE the candidates); the
+    mandatory hot-code salt splits big buckets across tasks for
+    parallelism. Score the output with ``apply_matcher``."""
+    from .joins.core import apply_salt, build_salt_map, resolve_salt_cap
+
+    coded = df.where(F.col(attr).isNotNull()).select(
+        F.col(key_attr).alias("__id"), soundex_expr(F.col(attr)).alias("token")
+    ).where(F.col("token") != "")
+    freq = coded.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    salt_map = build_salt_map(freq, resolve_salt_cap(salt_cap), key_col="token")
+    ex_l = coded.select(F.col("__id").alias("l_id"), "token")
+    ex_r = coded.select(F.col("__id").alias("r_id"), "token")
+    ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        ex_l.repartition(n_part, *join_keys)
+        .join(ex_r.repartition(n_part, *join_keys), join_keys)
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id", F.col("token").alias("soundex"))
     )
 
 

@@ -75,3 +75,75 @@ def test_snm_validation(spark):
         sorted_neighborhood_candidates(df, "id", "name", 1)
     with pytest.raises(ValueError, match="string-typed"):
         sorted_neighborhood_candidates(df, "id", "birth_year", 3)
+
+
+# ------------------------------------------------------------- soundex
+import re
+
+
+def _soundex_py(s):
+    letters = re.sub(r"[^A-Za-z]", "", s or "").upper()
+    if not letters:
+        return ""
+    first = letters[0]
+    m = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+         **{c: "3" for c in "DT"}, "L": "4", **{c: "5" for c in "MN"},
+         "R": "6", **{c: "0" for c in "AEIOUY"}}
+    d = "".join(m[c] for c in letters if c not in "HW")
+    d = re.sub(r"([0-6])\1+", r"\1", d)
+    if first not in "HW":
+        d = d[1:]
+    d = d.replace("0", "")
+    return (first + d + "000")[:4]
+
+
+def test_soundex_reference_values(spark):
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.blocking import soundex_expr
+
+    known = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+             "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+             "Honeyman": "H555", "Wu": "W000", "": "", "42": ""}
+    df = spark.createDataFrame([(k,) for k in known], "s string")
+    got = {r["s"]: r["sx"] for r in df.select("s", soundex_expr(F.col("s")).alias("sx")).collect()}
+    assert got == known
+
+
+def test_soundex_randomized_python_parity(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.blocking import soundex_expr
+
+    rng = random.Random(17)
+    words = ["".join(rng.choices("abcdefghijklmnopqrstuvwxyz HW'", k=rng.randint(0, 14)))
+             for _ in range(800)]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r["s"]: r["sx"] for r in df.select("s", soundex_expr(F.col("s")).alias("sx")).collect()}
+    for w in words:
+        assert got[w] == _soundex_py(w), (w, got[w], _soundex_py(w))
+
+
+def test_phonetic_candidates_brute(spark):
+    from collections import defaultdict
+
+    from sparksimjoin.blocking import phonetic_candidates
+
+    names = A_PDF[["id", "name"]]
+    df = spark.createDataFrame(names)
+    got = {(r["l_id"], r["r_id"]): r["soundex"]
+           for r in phonetic_candidates(df, "id", "name").collect()}
+    buckets = defaultdict(list)
+    for i, nm in zip(names["id"], names["name"]):
+        code = _soundex_py(nm) if nm is not None else None
+        if code:
+            buckets[code].append(i)
+    exp = {}
+    for code, ids in buckets.items():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                exp[(ids[x], ids[y])] = code
+    assert got == exp
