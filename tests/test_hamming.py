@@ -99,3 +99,19 @@ def test_comp_op_strict(tables):
         A_PDF, A_PDF, "id", "id", "name", "name", 2, comp_op="<", self_join=True
     )}
     _assert_match(lt, exp, "comp_op <")
+
+
+def test_plan_is_equi_join_not_cartesian(spark):
+    """The hamming candidate stage is the (length, idx, chunk)
+    equi-join — never a cartesian enumeration."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"id": range(40), "s": [f"name{i % 7}x{i % 3}" for i in range(40)]})
+    d = spark.createDataFrame(pdf)
+    out = hamming_join(d, d, "id", "id", "s", "s", 2,
+                       self_join=True, dedup_strings=False)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)

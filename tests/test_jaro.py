@@ -167,3 +167,20 @@ def test_apply_matcher_measure_path(tables, spark):
     got = {(r["l_id"], r["r_id"]): r["_sim_score"] for r in rescored.collect()}
     exp = {(r["l_id"], r["r_id"]): r["_sim_score"] for r in joined.collect()}
     assert got == exp
+
+
+def test_plan_is_equi_join_not_cartesian(spark):
+    """The jaro candidate stage must be the salted char equi-join —
+    never a cartesian enumeration. (allow_empty=False keeps the
+    statically-planned empty-empty cross join out of the plan.)"""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"id": range(40), "s": [f"name{i % 7}x{i % 3}" for i in range(40)]})
+    d = spark.createDataFrame(pdf)
+    out = jaro_winkler_join(d, d, "id", "id", "s", "s", 0.9,
+                            self_join=True, allow_empty=False, dedup_strings=False)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
