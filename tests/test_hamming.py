@@ -115,3 +115,21 @@ def test_plan_is_equi_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_unicode_parity(spark):
+    """Code-point semantics: Spark split('')/length vs Python len/zip
+    must agree on multibyte strings."""
+    import pandas as pd
+
+    vals = ["héllo", "hèllo", "hello", "日本語", "日本誤", "日本語々",
+            "καλημέρα", "καλημερα"]
+    pdf = pd.DataFrame({"id": range(len(vals)), "s": vals})
+    df = spark.createDataFrame(pdf)
+    got = _collect(hamming_join(df, df, "id", "id", "s", "s", 2,
+                                self_join=True, dedup_strings=False))
+    exp = {(l, r): s for l, r, s in naive_hamming_join(
+        pdf, pdf, "id", "id", "s", "s", 2, self_join=True
+    )}
+    _assert_match(got, exp, "unicode hamming")
+    assert exp, "fixture must produce at least one qualifying pair"

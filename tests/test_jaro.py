@@ -184,3 +184,21 @@ def test_plan_is_equi_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_join_unicode_parity(spark):
+    """Non-ASCII strings: Spark length/substr and the Python kernel
+    must agree on CODE POINTS (not bytes) end-to-end."""
+    import pandas as pd
+
+    vals = ["héllo wörld", "héllo wörld!", "ｈｅｌｌｏ", "ｈｅｌｌｏｗ",
+            "καλημέρα", "καλημερα", "日本語テキスト", "日本語テキスト行",
+            "naïve", "naive"]
+    pdf = pd.DataFrame({"id": range(len(vals)), "s": vals})
+    df = spark.createDataFrame(pdf)
+    got = _collect(jaro_winkler_join(df, df, "id", "id", "s", "s", 0.85,
+                                     self_join=True, dedup_strings=False))
+    exp = _expected(naive_jaro_join(pdf, pdf, "id", "id", "s", "s", 0.85,
+                                    winkler=True, self_join=True))
+    _assert_match(got, exp, "unicode jw")
+    assert exp, "fixture must produce at least one qualifying pair"
