@@ -119,6 +119,33 @@ def q_edit_part(spark, sf_dir):
     return _pair_cols(out, "l_p_partkey", "r_p_partkey", score_name="distance")
 
 
+def q_monge_elkan_part(spark, sf_dir):
+    """Monge-Elkan hybrid measure (simfunctions.py; Jaro-Winkler
+    inner) over an overlap>=1 candset: mean-of-best-match with EXACT
+    summation (math.fsum / DuckDB fsum), so the asymmetric mean is
+    bit-reproducible cross-engine with no rounding tolerance."""
+    p = _t(spark, sf_dir, "part")
+    f = OverlapFilter(WS, overlap_size=1)
+    cand = f.filter_tables(p, p, "p_partkey", "p_partkey", "p_name", "p_name",
+                           self_join=True)
+    # threshold 0.0 inside the matcher, then round-before-filter in
+    # the wrapper: DuckDB's fsum is Kahan-compensated (not exactly
+    # rounded like math.fsum), so raw scores can differ by 1 ulp —
+    # and this corpus has scores exactly AT the 0.9 cut. Rounding to
+    # 6 decimals first is ulp-safe here: the nearest score to any
+    # 0.5e-6 rounding boundary is 1.67e-7 away (measured), 9 orders
+    # above the ulp noise.
+    out = apply_matcher(
+        cand, "l_p_partkey", "r_p_partkey", p, p, "p_partkey", "p_partkey",
+        "p_name", "p_name", tokenizer=WS.with_return_set(True),
+        sim_function="MONGE_ELKAN", threshold=0.0,
+    )
+    sel = _pair_cols(out, "l_p_partkey", "r_p_partkey")
+    return sel.withColumn("sim_score", F.round("sim_score", 6)).where(
+        F.col("sim_score") >= 0.9
+    )
+
+
 def q_soundex_part(spark, sf_dir):
     """Phonetic (Soundex) blocking (sparksimjoin/blocking.py): pairs
     sharing the American-Soundex code of p_name. The encoding is
@@ -679,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_part": q_edit_part,
         "hamming_part": q_hamming_part,
         "snm_part": q_snm_part,
+        "monge_elkan_part": q_monge_elkan_part,
         "soundex_part": q_soundex_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
@@ -1055,6 +1083,28 @@ SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
        CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) AS distance
 FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+        "monge_elkan_part": f"""
+WITH tok AS (
+  SELECT p_partkey AS id,
+         list_distinct(list_filter(string_split_regex(p_name, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM part WHERE p_name IS NOT NULL
+),
+ex AS (SELECT id, unnest(toks) AS token FROM tok),
+cand AS (
+  SELECT a.id AS l, b.id AS r
+  FROM ex a JOIN ex b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= 1
+),
+lt AS (SELECT id, unnest(toks) AS a FROM tok),
+rt AS (SELECT id, unnest(toks) AS b FROM tok),
+mx AS (
+  SELECT c.l, c.r, lt.a, max(jaro_winkler_similarity(lt.a, rt.b)) AS m
+  FROM cand c JOIN lt ON lt.id = c.l JOIN rt ON rt.id = c.r
+  GROUP BY c.l, c.r, lt.a
+),
+sc AS (SELECT l, r, fsum(m) / count(*) AS s FROM mx GROUP BY l, r)
+SELECT l AS l_id, r AS r_id, round(s, 6) AS sim_score FROM sc WHERE round(s, 6) >= 0.9
 """,
         "soundex_part": """
 WITH st AS (

@@ -77,6 +77,29 @@ def apply_matcher(
 
             expr = jaro_winkler_expr if measure == "JARO_WINKLER" else jaro_expr
             score = expr(F.col("__ls"), F.col("__rs"))
+        elif measure == "MONGE_ELKAN":
+            # hybrid measure (Jaro-Winkler inner): tokens are taken
+            # EXACTLY as the tokenizer produces them (bag or set — no
+            # coercion; the mean weights duplicate tokens when a bag
+            # tokenizer is passed). Asymmetric: left -> right.
+            assert tokenizer is not None, "tokenizer required for MONGE_ELKAN"
+            from .simfunctions import monge_elkan_sim
+
+            me_tok = tokenizer
+
+            @F.pandas_udf(T.DoubleType())
+            def me_udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [
+                        None
+                        if a is None or b is None
+                        else monge_elkan_sim(me_tok.tokenize(a), me_tok.tokenize(b))
+                        for a, b in zip(ls, rs)
+                    ],
+                    dtype="float64",
+                )
+
+            score = me_udf(F.col("__ls"), F.col("__rs"))
         else:
             assert measure in SET_SIM_MEASURES, measure
             assert tokenizer is not None, "tokenizer required for set measures"

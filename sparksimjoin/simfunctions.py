@@ -100,6 +100,28 @@ def jaro_winkler_sim(s1: str, s2: str) -> float:
     return j
 
 
+def monge_elkan_sim(l_tokens, r_tokens, inner=jaro_winkler_sim) -> float:
+    """Monge-Elkan hybrid similarity: mean over the LEFT tokens of the
+    best inner-measure match on the right —
+    ``fsum_a max_b inner(a, b) / |A|`` (asymmetric by definition;
+    py_stringmatching's MongeElkan with its default Jaro-Winkler
+    inner). Both sides empty -> 1.0; one side empty -> 0.0.
+
+    The mean uses ``math.fsum`` (exact summation), so the result is
+    independent of token order and reproduces BIT-IDENTICALLY in any
+    engine with exact summation — DuckDB's ``fsum`` in the oracle —
+    with no rounding tolerance games."""
+    import math
+
+    if not l_tokens and not r_tokens:
+        return 1.0
+    if not l_tokens or not r_tokens:
+        return 0.0
+    return math.fsum(
+        max(inner(a, b) for b in r_tokens) for a in l_tokens
+    ) / len(l_tokens)
+
+
 def _batched(kernel):
     @F.pandas_udf(T.DoubleType())
     def udf(ls: pd.Series, rs: pd.Series) -> pd.Series:

@@ -202,3 +202,72 @@ def test_join_unicode_parity(spark):
                                     winkler=True, self_join=True))
     _assert_match(got, exp, "unicode jw")
     assert exp, "fixture must produce at least one qualifying pair"
+
+
+# ------------------------------------------------------------ monge-elkan
+def test_monge_elkan_kernel():
+    import math
+
+    from sparksimjoin.simfunctions import monge_elkan_sim
+
+    assert monge_elkan_sim([], []) == 1.0
+    assert monge_elkan_sim(["a"], []) == 0.0
+    assert monge_elkan_sim([], ["a"]) == 0.0
+    assert monge_elkan_sim(["ab"], ["ab"]) == 1.0
+    # asymmetric: every left token perfectly matched vs not
+    assert monge_elkan_sim(["ab"], ["ab", "zz"]) == 1.0
+    assert monge_elkan_sim(["ab", "zz"], ["ab"]) < 1.0
+    # mean-of-max definition, exact summation
+    exp = math.fsum([jaro_winkler_sim("aa", "aa"), jaro_winkler_sim("bc", "aa")]) / 2
+    assert monge_elkan_sim(["aa", "bc"], ["aa"]) == exp
+
+
+def test_monge_elkan_matcher_vs_duckdb(spark):
+    """apply_matcher(MONGE_ELKAN) is bit-identical to the DuckDB
+    fsum-replication on a random candset — the exact-summation
+    contract the oracle relies on."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from sparksimjoin.matcher import apply_matcher
+    from sparksimjoin.tokenizers import WhitespaceTokenizer
+
+    rng = random.Random(7)
+    words = ["rod", "rad", "blue", "blues", "widget", "wedge", "small", "smell"]
+    pdf = pd.DataFrame({
+        "id": range(30),
+        "s": [" ".join(rng.choices(words, k=rng.randint(1, 5))) for _ in range(30)],
+    })
+    cand_pdf = pd.DataFrame(
+        [(i, j) for i in range(30) for j in range(i + 1, 30) if rng.random() < 0.3],
+        columns=["l_id", "r_id"],
+    )
+    df = spark.createDataFrame(pdf)
+    cand = spark.createDataFrame(cand_pdf)
+    out = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id", "s", "s",
+                        tokenizer=WhitespaceTokenizer(return_set=True),
+                        sim_function="MONGE_ELKAN", threshold=0.0)
+    got = {(r["l_id"], r["r_id"]): r["_sim_score"] for r in out.collect()}
+    con = duckdb.connect()
+    con.register("recs", pdf)
+    con.register("cand", cand_pdf)
+    sql = """
+WITH tok AS (SELECT id, list_distinct(string_split(s, ' ')) AS toks FROM recs),
+lt AS (SELECT id, unnest(toks) AS a FROM tok),
+rt AS (SELECT id, unnest(toks) AS b FROM tok),
+mx AS (
+  SELECT c.l_id, c.r_id, lt.a, max(jaro_winkler_similarity(lt.a, rt.b)) AS m
+  FROM cand c JOIN lt ON lt.id = c.l_id JOIN rt ON rt.id = c.r_id
+  GROUP BY 1, 2, 3
+)
+SELECT l_id, r_id, fsum(m) / count(*) AS s FROM mx GROUP BY 1, 2
+"""
+    exp = {(l, r): s for l, r, s in con.execute(sql).fetchall()}
+    # DuckDB's fsum is Kahan-compensated, math.fsum exactly rounded:
+    # agreement is to within ~1 ulp, which 6-decimal rounding absorbs
+    # (the registered oracle rounds before thresholding for exactly
+    # this reason)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert abs(got[k] - v) < 5e-15, (k, got[k], v)
+        assert round(got[k], 6) == round(v, 6), (k, got[k], v)
