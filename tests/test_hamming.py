@@ -133,3 +133,22 @@ def test_unicode_parity(spark):
     )}
     _assert_match(got, exp, "unicode hamming")
     assert exp, "fixture must produce at least one qualifying pair"
+
+
+def test_adversarial_tiny_alphabet_fuzz(spark):
+    """Pigeonhole losslessness under a 2-char alphabet with heavy
+    equal-length collisions and duplicate strings."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(31)
+    vals = ["".join(rng.choices("ab", k=rng.choice([0, 1, 2, 5, 6]))) for _ in range(150)]
+    pdf = pd.DataFrame({"id": range(len(vals)), "s": vals})
+    df = spark.createDataFrame(pdf)
+    got = _collect(hamming_join(df, df, "id", "id", "s", "s", 2, self_join=True))
+    exp = {(l, r): s for l, r, s in naive_hamming_join(
+        pdf, pdf, "id", "id", "s", "s", 2, self_join=True
+    )}
+    _assert_match(got, exp, "hamming fuzz")
+    assert len(exp) > 500

@@ -271,3 +271,23 @@ SELECT l_id, r_id, fsum(m) / count(*) AS s FROM mx GROUP BY 1, 2
     for k, v in exp.items():
         assert abs(got[k] - v) < 5e-15, (k, got[k], v)
         assert round(got[k], 6) == round(v, 6), (k, got[k], v)
+
+
+@pytest.mark.parametrize("winkler,threshold", [(True, 0.82), (False, 0.7)])
+def test_adversarial_duplicate_char_fuzz(spark, winkler, threshold):
+    """Losslessness of the char-BAG blocking under heavy duplicate
+    characters (tiny 'aab' alphabet, lengths 0-9, repeated strings) —
+    the regime where a multiset-overlap bound or the occurrence
+    position filter would first go wrong if unsound."""
+    import pandas as pd
+
+    rng = random.Random(123)
+    vals = ["".join(rng.choices("aab", k=rng.randint(0, 9))) for _ in range(120)]
+    pdf = pd.DataFrame({"id": range(len(vals)), "s": vals})
+    df = spark.createDataFrame(pdf)
+    fn = jaro_winkler_join if winkler else jaro_join
+    got = _collect(fn(df, df, "id", "id", "s", "s", threshold, self_join=True))
+    exp = _expected(naive_jaro_join(pdf, pdf, "id", "id", "s", "s", threshold,
+                                    winkler=winkler, self_join=True))
+    _assert_match(got, exp, f"fuzz winkler={winkler} t={threshold}")
+    assert len(exp) > 100  # the corpus must actually exercise the funnel
