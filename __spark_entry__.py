@@ -32,7 +32,14 @@ from sparksimjoin import (
 )
 from sparksimjoin.ann import brute_force_topk, embedding_neardup, lsh_topk
 from sparksimjoin.clustering import connected_components
-from sparksimjoin.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_dedup, simhash
+from sparksimjoin.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    segment_dedup,
+    segment_stats,
+    simhash,
+)
 from sparksimjoin.converter import column_to_str
 from sparksimjoin.filters import (
     OverlapFilter,
@@ -444,6 +451,49 @@ def q_exact_dedup_doc(spark, sf_dir):
     return exact_dedup(d, "doc_id", "text")
 
 
+def _chunked_docs(spark, sf_dir, k: int = 3):
+    """documents re-chunked into k-token lines. The synthetic corpus is
+    single-line; grouping every k tokens into a line (deterministically,
+    replicated verbatim in the DuckDB oracle) yields a multi-line corpus
+    with a non-degenerate cross-document duplicate-line distribution for
+    the segment-dedup oracles."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_lines = F.ceil(F.size(toks) / k).cast("int")
+    chunked = F.when(
+        F.col("text").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.when(F.size(toks) == 0, F.lit("")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+                ),
+                "\n",
+            )
+        )
+    )
+    return d.select("doc_id", chunked.alias("text"))
+
+
+def q_segment_stats_doc(spark, sf_dir):
+    """Per-doc duplicate-line profile over the 3-token-chunked corpus.
+    Integer columns only (the ratio column is pytest-covered) so the
+    value hash is float-rounding-proof."""
+    d = _chunked_docs(spark, sf_dir)
+    return segment_stats(d, "doc_id", "text").select(
+        "id", "n_segments", "n_unique", "n_cross_dup"
+    )
+
+
+def q_segment_dedup_doc(spark, sf_dir):
+    """Cross-document line dedup (Lee et al. 2022 segment-level
+    counterpart): duplicated lines survive only in their canonical
+    (min-id) document."""
+    d = _chunked_docs(spark, sf_dir)
+    return segment_dedup(d, "doc_id", "text")
+
+
 def q_ngram_dedup_part(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return ngram_jaccard_dedup(p, "p_partkey", "p_name", threshold=0.6, qval=3)
@@ -735,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records_doc": q_golden_records_doc,
         "incremental_cc_doc": q_incremental_cc_doc,
         "exact_dedup_doc": q_exact_dedup_doc,
+        "segment_stats_doc": q_segment_stats_doc,
+        "segment_dedup_doc": q_segment_dedup_doc,
         "ngram_dedup_part": q_ngram_dedup_part,
         "text_stats_doc": q_text_stats_doc,
         "events_by_type": q_events_by_type,
@@ -773,6 +825,44 @@ ov AS (
   SELECT a.id AS l_id, b.id AS r_id, a.sz AS s1, b.sz AS s2, count(*) AS o
   FROM ex a JOIN ex b ON a.token = b.token AND a.id < b.id
   GROUP BY 1, 2, 3, 4
+)
+"""
+
+# chunked corpus + per-(doc, line) aggregation shared by the two
+# segment-dedup oracles. Replicates _chunked_docs (3-token lines) and
+# sparksimjoin.dedup._segments' normalization (collapse [ \t\r]+ ->
+# one space, trim spaces, drop empties) verbatim.
+_SEG_CTE = """
+chunked AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(string_split(text, ' ')) = 0 THEN ''
+              ELSE array_to_string(
+                list_transform(
+                  range(CAST(ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT)),
+                  i -> array_to_string(
+                         list_slice(string_split(text, ' '),
+                                    CAST(i * 3 + 1 AS BIGINT),
+                                    CAST(i * 3 + 3 AS BIGINT)), ' ')),
+                chr(10))
+         END AS text
+  FROM documents
+),
+occ AS (
+  SELECT doc_id AS id, seg_idx, seg FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, chr(10)), 1) AS seg_idx,
+           trim(regexp_replace(unnest(string_split(text, chr(10))),
+                               '[ \t\r]+', ' ', 'g'), ' ') AS seg
+    FROM chunked WHERE text IS NOT NULL
+  ) WHERE length(seg) >= 1
+),
+per_doc AS (
+  SELECT id, seg, count(*) AS n_occ FROM occ GROUP BY id, seg
+),
+verdict AS (
+  SELECT seg, count(*) AS n_docs, min(id) AS canon_id
+  FROM per_doc GROUP BY seg
 )
 """
 
@@ -1638,6 +1728,42 @@ SELECT doc_id AS id,
        CASE WHEN text IS NULL THEN doc_id
             ELSE min(doc_id) OVER (PARTITION BY text) END AS group_id
 FROM documents
+""",
+        "segment_stats_doc": f"""
+WITH {_SEG_CTE},
+stats AS (
+  SELECT id, CAST(sum(n_occ) AS INT) AS n_segments,
+         CAST(count(*) AS INT) AS n_unique,
+         CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS INT) AS n_cross_dup
+  FROM per_doc JOIN verdict USING (seg) GROUP BY id
+)
+SELECT d.doc_id AS id,
+       coalesce(n_segments, 0) AS n_segments,
+       coalesce(n_unique, 0) AS n_unique,
+       coalesce(n_cross_dup, 0) AS n_cross_dup
+FROM documents d LEFT JOIN stats ON d.doc_id = stats.id
+""",
+        "segment_dedup_doc": f"""
+WITH {_SEG_CTE},
+kept AS (
+  SELECT o.id, o.seg_idx, o.seg,
+         (v.n_docs < 2 OR o.id = v.canon_id) AS keep
+  FROM occ o JOIN verdict v USING (seg)
+),
+rebuilt AS (
+  SELECT id,
+         coalesce(string_agg(CASE WHEN keep THEN seg END, chr(10)
+                             ORDER BY seg_idx), '') AS clean_text,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_dropped
+  FROM kept GROUP BY id
+)
+SELECT c.doc_id AS id,
+       CASE WHEN c.text IS NULL THEN NULL
+            ELSE coalesce(clean_text, '') END AS clean_text,
+       coalesce(n_kept, 0) AS n_kept,
+       coalesce(n_dropped, 0) AS n_dropped
+FROM chunked c LEFT JOIN rebuilt ON c.doc_id = rebuilt.id
 """,
         "ngram_dedup_part": f"""
 WITH {_TOK_PART_Q3}

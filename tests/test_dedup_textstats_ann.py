@@ -241,3 +241,102 @@ def test_embedding_neardup_no_window(spark):
     # all pairs are near-identical (cosine ~0.999+) and share buckets
     assert len(got) == 80 * 79 // 2
     assert all(l < r for l, r in got)
+
+
+# ---------------------------------------------------------------------------
+# segment-level dedup (dedup.py segment_stats / segment_dedup)
+# ---------------------------------------------------------------------------
+
+_BOILER = "SPDX-License: MIT"
+_NAV = "home | about | contact"
+
+
+def _seg_docs(spark):
+    rows = [
+        # doc 0: canonical holder of both boilerplate lines
+        (0, f"{_BOILER}\nalpha unique zero\n{_NAV}\nalpha unique zero"),
+        # doc 1: boilerplate + own content; note doubled spaces + tab
+        # normalize to the same boilerplate line
+        (1, f"SPDX-License:  MIT\nbravo unique one\n{_NAV}"),
+        # doc 2: boilerplate with trailing spaces, unique rest
+        (2, f"{_BOILER}   \ncharlie unique two"),
+        # doc 3: all-unique
+        (3, "delta unique three\necho unique three"),
+        # doc 4: null text
+        (4, None),
+        # doc 5: only empty/whitespace lines
+        (5, " \n\t\n  "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segment_stats_semantics(spark):
+    from sparksimjoin.dedup import segment_stats
+
+    got = {r["id"]: r.asDict() for r in
+           segment_stats(_seg_docs(spark), "doc_id", "text").collect()}
+    assert len(got) == 6
+    # doc 0: 4 lines, 3 unique ("alpha unique zero" twice), 2 cross-dup
+    assert got[0]["n_segments"] == 4 and got[0]["n_unique"] == 3
+    assert got[0]["n_cross_dup"] == 2
+    assert round(got[0]["intra_dup_ratio"], 6) == 0.25
+    # doc 1: whitespace-normalized boilerplate counts as the same line
+    assert got[1]["n_segments"] == 3 and got[1]["n_cross_dup"] == 2
+    # doc 2: trailing spaces trimmed -> boilerplate matches
+    assert got[2]["n_cross_dup"] == 1
+    # doc 3: no cross-corpus duplicates
+    assert got[3]["n_cross_dup"] == 0 and got[3]["intra_dup_ratio"] == 0.0
+    # docs 4/5: null text / only-empty lines -> zero counts, not dropped
+    for i in (4, 5):
+        assert got[i]["n_segments"] == 0 and got[i]["n_cross_dup"] == 0
+
+
+def test_segment_dedup_semantics(spark):
+    from sparksimjoin.dedup import segment_dedup
+
+    got = {r["id"]: r.asDict() for r in
+           segment_dedup(_seg_docs(spark), "doc_id", "text").collect()}
+    # canonical doc keeps everything (including its intra-doc repeat)
+    assert got[0]["clean_text"].count(_BOILER) == 1
+    assert got[0]["n_dropped"] == 0 and got[0]["n_kept"] == 4
+    # non-canonical docs lose the duplicated lines, keep their own, in
+    # original order
+    assert got[1]["clean_text"] == "bravo unique one"
+    assert got[1]["n_kept"] == 1 and got[1]["n_dropped"] == 2
+    assert got[2]["clean_text"] == "charlie unique two"
+    assert got[3]["clean_text"] == "delta unique three\necho unique three"
+    assert got[3]["n_dropped"] == 0
+    # null stays null; all-empty doc rebuilds to ''
+    assert got[4]["clean_text"] is None
+    assert got[5]["clean_text"] == "" and got[5]["n_kept"] == 0
+
+
+def test_segment_dedup_min_docs_and_paragraphs(spark):
+    from sparksimjoin.dedup import segment_dedup
+
+    rows = [
+        (0, "shared para one\n\nunique a"),
+        (1, "shared para one\n\nunique b"),
+        (2, "shared para one\n\nunique c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=4: nothing reaches the bar, everything kept
+    all_kept = segment_dedup(df, "doc_id", "text", granularity="paragraph",
+                             min_docs=4)
+    assert all_kept.agg({"n_dropped": "sum"}).collect()[0][0] == 0
+    # default bar: the shared paragraph survives only in doc 0
+    got = {r["id"]: r["clean_text"] for r in
+           segment_dedup(df, "doc_id", "text",
+                         granularity="paragraph").collect()}
+    assert got[0] == "shared para one\n\nunique a"
+    assert got[1] == "unique b" and got[2] == "unique c"
+
+
+def test_segment_granularity_validation(spark):
+    import pytest as _pytest
+
+    from sparksimjoin.dedup import segment_stats
+
+    with _pytest.raises(ValueError, match="granularity"):
+        segment_stats(_seg_docs(spark), "doc_id", "text",
+                      granularity="sentence").collect()
