@@ -29,6 +29,7 @@ from sparksimjoin import (
     jaro_winkler_join,
     overlap_coefficient_join,
     overlap_join,
+    tversky_index_join,
 )
 from sparksimjoin.ann import brute_force_topk, embedding_neardup, lsh_topk
 from sparksimjoin.clustering import connected_components
@@ -110,6 +111,43 @@ def q_overlap_coeff_doc(spark, sf_dir):
     out = overlap_coefficient_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.8,
                                    allow_empty=False, self_join=True)
     return _pair_cols(out, "l_doc_id", "r_doc_id")
+
+
+def q_tversky_doc(spark, sf_dir):
+    # asymmetric weights (alpha != beta) on a self-join: exercises the
+    # canonical-orientation verify path (lesser doc_id is the left
+    # argument, matching the oracle's a.id < b.id orientation)
+    d = _t(spark, sf_dir, "documents")
+    out = tversky_index_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.6,
+                             alpha=0.7, beta=0.3, allow_empty=False, self_join=True)
+    return _pair_cols(out, "l_doc_id", "r_doc_id")
+
+
+def q_rule_match_part(spark, sf_dir):
+    """Blocking -> featurization -> rule matching, end to end: candset
+    = attr-equivalence blocks on (p_brand, p_size) UNIONed with the
+    overlap>=2 name candset (two blockers composed, Magellan-style),
+    then the full 17-feature vector and a 2-rule boolean matcher.
+    Output = pair ids + every feature + the firing rule index, so the
+    oracle hash checks the entire feature vector per pair."""
+    from sparksimjoin import attr_equivalence_block, union_candsets
+    from sparksimjoin import featurize_pairs, match_by_rules
+
+    p = _t(spark, sf_dir, "part")
+    c1 = attr_equivalence_block(p, p, "p_partkey", "p_partkey",
+                                ["p_brand", "p_size"], self_join=True)
+    f2 = OverlapFilter(WS, overlap_size=2)
+    c2 = f2.filter_tables(p, p, "p_partkey", "p_partkey", "p_name", "p_name",
+                          self_join=True)
+    cand = union_candsets(c1, c2).select(
+        F.col("l_p_partkey").alias("l_id"), F.col("r_p_partkey").alias("r_id")
+    )
+    feats = featurize_pairs(cand, "l_id", "r_id", p, p,
+                            "p_partkey", "p_partkey", "p_name", "p_name")
+    return match_by_rules(feats, [
+        "jaccard_ws >= 0.4 AND lev_dist <= 24",
+        "jaro_winkler >= 0.82",
+    ])
 
 
 def q_jaccard_qgram_part(spark, sf_dir):
@@ -752,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dice_doc": q_dice_doc,
         "overlap_doc": q_overlap_doc,
         "overlap_coeff_doc": q_overlap_coeff_doc,
+        "tversky_doc": q_tversky_doc,
+        "rule_match_part": q_rule_match_part,
         "jaccard_qgram_part": q_jaccard_qgram_part,
         "edit_part": q_edit_part,
         "hamming_part": q_hamming_part,
@@ -1162,6 +1202,77 @@ SELECT l_id, r_id, CAST(o AS DOUBLE) AS sim_score FROM ov WHERE o >= 8
 WITH {_TOK_DOC}
 SELECT l_id, r_id, CAST(o AS DOUBLE)/least(s1, s2) AS sim_score
 FROM ov WHERE CAST(o AS DOUBLE)/least(s1, s2) >= 0.8
+""",
+        "rule_match_part": f"""
+WITH ws_tok AS (
+  SELECT p_partkey AS id, p_name AS s,
+         list_distinct(list_filter(string_split_regex(p_name, '{_WS_RE}'), x -> x <> '')) AS wt
+  FROM part WHERE p_name IS NOT NULL
+),
+qg_tok AS (
+  SELECT p_partkey AS id,
+         list_distinct(list_transform(range(1, CAST(length(padded) - 1 AS BIGINT)),
+                                      i -> substring(padded, CAST(i AS INT), 3))) AS qt
+  FROM (SELECT p_partkey, '##' || p_name || '$$' AS padded FROM part WHERE p_name IS NOT NULL)
+),
+ex AS (SELECT id, unnest(wt) AS token FROM ws_tok),
+c1 AS (
+  SELECT a.p_partkey AS l_id, b.p_partkey AS r_id
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+),
+c2 AS (
+  SELECT a.id AS l_id, b.id AS r_id
+  FROM ex a JOIN ex b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+cand AS (SELECT * FROM c1 UNION SELECT * FROM c2),
+pre AS (
+  SELECT c.l_id, c.r_id, lw.s AS ls, rw.s AS rs,
+         CAST(len(list_intersect(lw.wt, rw.wt)) AS DOUBLE) AS o,
+         CAST(len(lw.wt) AS DOUBLE) AS s1, CAST(len(rw.wt) AS DOUBLE) AS s2,
+         CAST(len(list_intersect(lq.qt, rq.qt)) AS DOUBLE) AS qo,
+         CAST(len(lq.qt) AS DOUBLE) AS q1, CAST(len(rq.qt) AS DOUBLE) AS q2
+  FROM cand c
+  JOIN ws_tok lw ON lw.id = c.l_id JOIN ws_tok rw ON rw.id = c.r_id
+  JOIN qg_tok lq ON lq.id = c.l_id JOIN qg_tok rq ON rq.id = c.r_id
+),
+f AS (
+  SELECT l_id, r_id,
+         CAST(ls = rs AS INT) AS exact_match,
+         length(ls) AS len_l, length(rs) AS len_r,
+         abs(length(ls) - length(rs)) AS len_diff,
+         CASE WHEN greatest(length(ls), length(rs)) = 0 THEN 0.0
+              ELSE CAST(abs(length(ls) - length(rs)) AS DOUBLE)
+                   / greatest(length(ls), length(rs)) END AS rel_len_diff,
+         CAST(s1 AS INT) AS n_tok_l, CAST(s2 AS INT) AS n_tok_r,
+         o AS overlap_ws,
+         o / (s1 + s2 - o) AS jaccard_ws,
+         2.0 * o / (s1 + s2) AS dice_ws,
+         o / sqrt(s1 * s2) AS cosine_ws,
+         o / least(s1, s2) AS overlap_coeff_ws,
+         qo / (q1 + q2 - qo) AS jaccard_qg3,
+         levenshtein(ls, rs) AS lev_dist,
+         CASE WHEN greatest(length(ls), length(rs)) = 0 THEN 1.0
+              ELSE 1.0 - CAST(levenshtein(ls, rs) AS DOUBLE)
+                         / greatest(length(ls), length(rs)) END AS lev_sim,
+         jaro_similarity(ls, rs) AS jaro,
+         jaro_winkler_similarity(ls, rs) AS jaro_winkler
+  FROM pre
+)
+SELECT *, CASE WHEN jaccard_ws >= 0.4 AND lev_dist <= 24 THEN 1
+               WHEN jaro_winkler >= 0.82 THEN 2 END AS matched_rule
+FROM f
+WHERE (jaccard_ws >= 0.4 AND lev_dist <= 24) OR (jaro_winkler >= 0.82)
+""",
+        "tversky_doc": f"""
+WITH {_TOK_DOC}
+SELECT l_id, r_id,
+       CAST(o AS DOUBLE)/(CAST(o AS DOUBLE) + CAST(0.7 AS DOUBLE)*(CAST(s1 AS DOUBLE)-o)
+                          + CAST(0.3 AS DOUBLE)*(CAST(s2 AS DOUBLE)-o)) AS sim_score
+FROM ov
+WHERE CAST(o AS DOUBLE)/(CAST(o AS DOUBLE) + CAST(0.7 AS DOUBLE)*(CAST(s1 AS DOUBLE)-o)
+                         + CAST(0.3 AS DOUBLE)*(CAST(s2 AS DOUBLE)-o)) >= 0.6
 """,
         "jaccard_qgram_part": f"""
 WITH {_TOK_PART_Q3}

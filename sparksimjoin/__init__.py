@@ -20,6 +20,9 @@ from .joins.set_sim import (
 from .joins.edit_distance import edit_distance_join
 from .joins.hamming import hamming_join
 from .joins.jaro import jaro_join, jaro_winkler_join
+from .joins.tversky import tversky_index_join
+from .features import (DEFAULT_FEATURES, attr_equivalence_block,
+                       featurize_pairs, match_by_rules, union_candsets)
 from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
 from .ranking import topk_pairs
 from .evaluation import (best_threshold, clustering_pairwise_metrics,
@@ -63,6 +66,12 @@ __all__ = [
     "overlap_join",
     "pair_metrics",
     "threshold_sweep",
+    "tversky_index_join",
+    "DEFAULT_FEATURES",
+    "attr_equivalence_block",
+    "featurize_pairs",
+    "match_by_rules",
+    "union_candsets",
     "pairwise_f1",
     "prepare_records",
     "profile_table_for_join",

@@ -274,6 +274,61 @@ def sim_expr(l_tokens: Column, r_tokens: Column, measure: str) -> Column:
     return F.when(both_empty, F.lit(1.0)).when(either_empty, F.lit(0.0)).otherwise(core)
 
 
+def tversky_py(tokens1: list[str], tokens2: list[str], alpha: float, beta: float) -> float:
+    """Tversky index on token *sets* (python oracle path):
+    ``o / (o + alpha*(s1-o) + beta*(s2-o))``. alpha=beta=0.5 is Dice,
+    alpha=beta=1 is Jaccard (py_stringmatching's TverskyIndex
+    parameterization). Both empty -> 1.0; one empty -> 0.0."""
+    a, b = set(tokens1), set(tokens2)
+    o = len(a & b)
+    s1, s2 = len(a), len(b)
+    if s1 == 0 and s2 == 0:
+        return 1.0
+    if s1 == 0 or s2 == 0:
+        return 0.0
+    return o / (o + alpha * (s1 - o) + beta * (s2 - o))
+
+
+def tversky_expr(l_tokens: Column, r_tokens: Column, alpha: float, beta: float) -> Column:
+    """Tversky index as a pure Column expression over two
+    duplicate-free token arrays (tversky_py's Spark twin — identical
+    operation order so doubles reproduce bit-exactly)."""
+    o = F.size(F.array_intersect(l_tokens, r_tokens)).cast("double")
+    s1 = F.size(l_tokens).cast("double")
+    s2 = F.size(r_tokens).cast("double")
+    both_empty = (s1 == 0) & (s2 == 0)
+    either_empty = (s1 == 0) | (s2 == 0)
+    core = o / (o + F.lit(float(alpha)) * (s1 - o) + F.lit(float(beta)) * (s2 - o))
+    return F.when(both_empty, F.lit(1.0)).when(either_empty, F.lit(0.0)).otherwise(core)
+
+
+def tversky_dice_block_threshold(threshold: float, alpha: float, beta: float) -> float:
+    """The DICE blocking threshold t' that is SOUND for a Tversky
+    join at ``threshold``: with c = min(alpha, beta),
+
+        tversky_{a,b}(x,y) <= o / (o + c*(s1+s2-2o))   (residuals
+        weighted by the smaller coefficient can only raise the score)
+
+    and the right side >= t iff dice(x,y) >= t' with
+
+        t' = 2tc / (1 - t + 2tc),
+
+    so every pair with tversky >= t also has dice >= t' and the whole
+    DICE prefix/size/position filter stack applies unchanged. TIGHT
+    when alpha == beta (alpha=beta=1 reproduces the classic
+    jaccard->dice threshold map 2t/(1+t)). The float rounding of t'
+    itself (<= 1 ulp) is absorbed by filter_math's GUARD_EPS=1e-12
+    relative guards on every derived bound."""
+    assert alpha > 0 and beta > 0, (
+        f"tversky blocking requires alpha > 0 and beta > 0 (got {alpha}, {beta}): "
+        "with a zero coefficient one side's residual is free and no "
+        "record-local prefix bound exists (use apply_matcher over a "
+        "custom candset instead)"
+    )
+    c = min(alpha, beta)
+    return (2.0 * threshold * c) / (1.0 - threshold + 2.0 * threshold * c)
+
+
 COMP_OP_MAP = {
     ">=": lambda c, t: c >= t,
     ">": lambda c, t: c > t,

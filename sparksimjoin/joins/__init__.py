@@ -9,6 +9,7 @@ from .set_sim import (
 from .edit_distance import edit_distance_join
 from .hamming import hamming_join
 from .jaro import jaro_join, jaro_winkler_join
+from .tversky import tversky_index_join
 
 __all__ = [
     "cosine_join",
@@ -21,4 +22,5 @@ __all__ = [
     "overlap_coefficient_join",
     "overlap_join",
     "set_sim_join",
+    "tversky_index_join",
 ]

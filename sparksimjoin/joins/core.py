@@ -832,11 +832,29 @@ def verify_pairs(
     self_join: bool = False,
     id_space: str = "iid",
     keep_iids: bool = False,
+    score_fn=None,
+    orient_score: bool = False,
 ) -> DataFrame:
     """Exact similarity on the full token sets; JVM-side
     ``array_intersect`` (ordered, duplicate-free int arrays — the
     primitive codegen fast path). -> (l_id, r_id, _sim_score) in
     ORIGINAL-id space, filtered by comp_op/threshold.
+
+    ``score_fn`` overrides the verification expression: a callable
+    ``(l_tokens: Column, r_tokens: Column) -> Column`` scoring the
+    pair (still pure Column — stays JVM-side). Used by measures whose
+    BLOCKING reduces to a standard measure's bounds but whose score
+    formula is parameterized (joins/tversky.py); ``measure`` then
+    names only the blocking-side mathematics.
+
+    ``orient_score=True`` (meaningful with score_fn + self_join): the
+    score is evaluated on the CANONICAL (least-original-id left)
+    orientation of the pair, not the arbitrary candidate-stage
+    orientation. Required for ASYMMETRIC measures (Tversky with
+    alpha != beta), whose two orientations score differently —
+    self-join semantics fix the lesser id as the left argument (the
+    brute-force oracle's convention). Symmetric measures skip the
+    extra conditional.
 
     ``keep_iids=True`` (iid space only) appends ``l_iid``/``r_iid`` —
     the dense-long surrogates, oriented to MATCH the emitted original
@@ -885,7 +903,19 @@ def verify_pairs(
         cand.repartition(n_part, "l_id", "r_id")
         .join(l_tok, "l_id")
         .join(r_tok, "r_id")
-        .withColumn("_sim_score", sim_expr(F.col("_lt"), F.col("_rt"), measure))
+        .withColumn(
+            "_sim_score",
+            (
+                F.when(
+                    F.col("_lo") <= F.col("_ro"),
+                    score_fn(F.col("_lt"), F.col("_rt")),
+                ).otherwise(score_fn(F.col("_rt"), F.col("_lt")))
+                if (orient_score and self_join)
+                else score_fn(F.col("_lt"), F.col("_rt"))
+            )
+            if score_fn is not None
+            else sim_expr(F.col("_lt"), F.col("_rt"), measure),
+        )
         .where(COMP_OP_MAP[comp_op](F.col("_sim_score"), F.lit(float(threshold))))
     )
     if self_join:

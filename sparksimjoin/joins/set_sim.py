@@ -78,6 +78,9 @@ def set_sim_join(
     dedup_strings: bool | str = "auto",
     stop_token_cap: int | None = None,
     metrics_out: dict | None = None,
+    _verify_score_fn=None,
+    _verify_threshold: float | None = None,
+    _verify_orient: bool = False,
 ) -> DataFrame:
     """``stop_token_cap``: tokens whose document frequency exceeds the
     cap are excluded from the BLOCKING keys (never from verification).
@@ -88,7 +91,16 @@ def set_sim_join(
     OVERLAP_COEFFICIENT, whose prefix is the FULL token set (no sound
     record-local prefix exists for that measure), so one hot token in
     every record makes candidate volume quadratic; a cap restores
-    sub-quadratic blocking at a bounded, observable recall cost."""
+    sub-quadratic blocking at a bounded, observable recall cost.
+
+    ``_verify_score_fn`` / ``_verify_threshold`` (internal, used by
+    joins/tversky.py): when set, ``measure``/``threshold`` drive ONLY
+    the blocking-side bounds (prefix/size/position/suffix — which must
+    be SOUND for the real predicate, the caller's responsibility) while
+    verification scores with ``_verify_score_fn(l_tokens, r_tokens)``
+    against ``_verify_threshold``; the empty-pair and identical-string
+    diagonal branches also test against ``_verify_threshold`` (their
+    scores, 1.0, are measure-independent for normalized set sims)."""
     # n_jobs / show_progress are accepted for drop-in compatibility
     # with the reference signature and ignored: Spark's partitioning
     # subsumes the joblib split (SURVEY.md §2.2 #29) and progress is
@@ -157,11 +169,13 @@ def set_sim_join(
     # the candidate funnel above ran on dense-long iids (with_iid);
     # verify decodes back to original ids through its prep joins and
     # restores the canonical self-join pair orientation
-    pairs = verify_pairs(cand, prep_l, prep_r, measure, threshold, comp_op,
-                         self_join=self_join)
+    v_threshold = threshold if _verify_threshold is None else _verify_threshold
+    pairs = verify_pairs(cand, prep_l, prep_r, measure, v_threshold, comp_op,
+                         self_join=self_join, score_fn=_verify_score_fn,
+                         orient_score=_verify_orient)
 
     if allow_empty and measure != fm.OVERLAP:
-        ep = empty_pairs(prep_l, prep_r, threshold, comp_op, self_join=self_join,
+        ep = empty_pairs(prep_l, prep_r, v_threshold, comp_op, self_join=self_join,
                          metrics_out=metrics_out)
         if ep is not None:
             pairs = pairs.unionByName(ep)
@@ -169,7 +183,7 @@ def set_sim_join(
         pairs = expand_gid_pairs(pairs, l_map, r_map, self_join)
         if self_join:
             pairs = pairs.unionByName(
-                diagonal_pairs(l_map, prep_l, measure, threshold, comp_op, allow_empty)
+                diagonal_pairs(l_map, prep_l, measure, v_threshold, comp_op, allow_empty)
             )
     if allow_missing:
         pairs = pairs.unionByName(

@@ -74,6 +74,52 @@ def naive_set_sim_join(
     return out
 
 
+def naive_tversky_join(
+    l_pdf: pd.DataFrame,
+    r_pdf: pd.DataFrame,
+    l_key: str,
+    r_key: str,
+    l_attr: str,
+    r_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    alpha: float,
+    beta: float,
+    comp_op: str = ">=",
+    allow_empty: bool = True,
+    allow_missing: bool = False,
+    self_join: bool = False,
+) -> list[tuple]:
+    """Brute-force Tversky oracle (filter_math.tversky_py kernel;
+    same empty/missing conventions as naive_set_sim_join)."""
+    from .filter_math import tversky_py
+
+    tok = tokenizer.with_return_set(True)
+    cmp = COMP_OP_PY[comp_op]
+    out = []
+    for lid, ls in zip(l_pdf[l_key], l_pdf[l_attr]):
+        l_missing = ls is None or (isinstance(ls, float) and math.isnan(ls))
+        for rid, rs in zip(r_pdf[r_key], r_pdf[r_attr]):
+            if self_join and not (lid < rid):
+                continue
+            r_missing = rs is None or (isinstance(rs, float) and math.isnan(rs))
+            if l_missing or r_missing:
+                if allow_missing:
+                    out.append((lid, rid, None))
+                continue
+            lt, rt = tok.tokenize(ls), tok.tokenize(rs)
+            if len(lt) == 0 and len(rt) == 0:
+                if allow_empty and cmp(1.0, threshold):
+                    out.append((lid, rid, 1.0))
+                continue
+            if len(lt) == 0 or len(rt) == 0:
+                continue
+            score = tversky_py(lt, rt, alpha, beta)
+            if cmp(score, threshold):
+                out.append((lid, rid, score))
+    return out
+
+
 def naive_hamming_join(
     l_pdf: pd.DataFrame,
     r_pdf: pd.DataFrame,
