@@ -150,6 +150,64 @@ def q_rule_match_part(spark, sf_dir):
     ])
 
 
+def q_nw_part(spark, sf_dir):
+    """Needleman-Wunsch global alignment (alignment.py) through the
+    matcher's raw-string callable path (tokenizer=None): candset =
+    attr-equivalence blocks on p_size, scored with the
+    levenshtein-equivalent parameterization sim(a,b) = 0 if a==b else
+    -1, gap_cost = 1 — exactly -levenshtein, so the oracle checks the
+    real DP kernel's values with DuckDB's levenshtein. General
+    parameters are brute-force-tested in tests/test_alignment.py."""
+    from sparksimjoin import NeedlemanWunsch, attr_equivalence_block
+
+    p = _t(spark, sf_dir, "part")
+    cand = attr_equivalence_block(p, p, "p_partkey", "p_partkey", "p_size",
+                                  self_join=True)
+    nw = NeedlemanWunsch(gap_cost=1.0,
+                         sim_func=lambda a, b: 0.0 if a == b else -1.0)
+    out = apply_matcher(cand, "l_p_partkey", "r_p_partkey", p, p,
+                        "p_partkey", "p_partkey", "p_name", "p_name",
+                        None, nw, -7.0)
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey")
+
+
+def q_sw_part(spark, sf_dir):
+    """Smith-Waterman local alignment via the same raw-string callable
+    path: prohibitive mismatch/gap costs make the best local alignment
+    exactly the longest common substring, which the oracle enumerates
+    in SQL (names are <= 12 chars in this corpus; the oracle's
+    substring bound is 16)."""
+    from sparksimjoin import SmithWaterman, attr_equivalence_block
+
+    p = _t(spark, sf_dir, "part")
+    cand = attr_equivalence_block(p, p, "p_partkey", "p_partkey", "p_size",
+                                  self_join=True)
+    sw = SmithWaterman(gap_cost=1000.0,
+                       sim_func=lambda a, b: 1.0 if a == b else -1000.0)
+    out = apply_matcher(cand, "l_p_partkey", "r_p_partkey", p, p,
+                        "p_partkey", "p_partkey", "p_name", "p_name",
+                        None, sw, 3.0)
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey")
+
+
+def q_affine_part(spark, sf_dir):
+    """Affine-gap (Gotoh) global alignment: blocking on (p_size,
+    length(p_name)) guarantees equal-length pairs, and prohibitive gap
+    costs force the all-diagonal alignment, so the score is exactly
+    matches = len - hamming — the oracle checks the three-state DP's
+    values with DuckDB's hamming."""
+    from sparksimjoin import Affine, attr_equivalence_block
+
+    p = _t(spark, sf_dir, "part").withColumn("name_len", F.length("p_name"))
+    cand = attr_equivalence_block(p, p, "p_partkey", "p_partkey",
+                                  ["p_size", "name_len"], self_join=True)
+    af = Affine(gap_start=1000.0, gap_continuation=1000.0)
+    out = apply_matcher(cand, "l_p_partkey", "r_p_partkey", p, p,
+                        "p_partkey", "p_partkey", "p_name", "p_name",
+                        None, af, 2.0)
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey")
+
+
 def q_jaccard_qgram_part(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     out = jaccard_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name", QG3, 0.6,
@@ -792,6 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_coeff_doc": q_overlap_coeff_doc,
         "tversky_doc": q_tversky_doc,
         "rule_match_part": q_rule_match_part,
+        "nw_part": q_nw_part,
+        "sw_part": q_sw_part,
+        "affine_part": q_affine_part,
         "jaccard_qgram_part": q_jaccard_qgram_part,
         "edit_part": q_edit_part,
         "hamming_part": q_hamming_part,
@@ -1273,6 +1334,50 @@ SELECT l_id, r_id,
 FROM ov
 WHERE CAST(o AS DOUBLE)/(CAST(o AS DOUBLE) + CAST(0.7 AS DOUBLE)*(CAST(s1 AS DOUBLE)-o)
                          + CAST(0.3 AS DOUBLE)*(CAST(s2 AS DOUBLE)-o)) >= 0.6
+""",
+        # NW at the levenshtein-equivalent parameterization (sim 0/-1,
+        # gap 1): the DP's global maximum is exactly -levenshtein
+        "nw_part": """
+SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+       CAST(-levenshtein(a.p_name, b.p_name) AS DOUBLE) AS sim_score
+FROM part a JOIN part b
+  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE a.p_name IS NOT NULL AND b.p_name IS NOT NULL
+  AND -levenshtein(a.p_name, b.p_name) >= -7
+""",
+        # SW with prohibitive mismatch/gap costs == longest common
+        # substring length, enumerated over (start, length) up to 16
+        # (corpus names are <= 12 chars; bound asserted by hash parity)
+        "sw_part": """
+WITH pairs AS (
+  SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+         a.p_name AS ln, b.p_name AS rn
+  FROM part a JOIN part b
+    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+  WHERE a.p_name IS NOT NULL AND b.p_name IS NOT NULL
+),
+gi AS (SELECT CAST(unnest(range(1, 17)) AS INT) AS i),
+gl AS (SELECT CAST(unnest(range(1, 17)) AS INT) AS L),
+scored AS (
+  SELECT l_id, r_id,
+         coalesce(max(CASE WHEN i + L - 1 <= length(ln)
+                            AND contains(rn, substring(ln, i, L))
+                      THEN L END), 0) AS s
+  FROM pairs CROSS JOIN gi CROSS JOIN gl
+  GROUP BY l_id, r_id
+)
+SELECT l_id, r_id, CAST(s AS DOUBLE) AS sim_score FROM scored WHERE s >= 3
+""",
+        # affine-gap with prohibitive gap costs on equal-length pairs
+        # == all-diagonal alignment == matches = len - hamming
+        "affine_part": """
+SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+       CAST(length(a.p_name) - hamming(a.p_name, b.p_name) AS DOUBLE) AS sim_score
+FROM part a JOIN part b
+  ON a.p_size = b.p_size AND length(a.p_name) = length(b.p_name)
+ AND a.p_partkey < b.p_partkey
+WHERE a.p_name IS NOT NULL AND b.p_name IS NOT NULL
+  AND length(a.p_name) - hamming(a.p_name, b.p_name) >= 2
 """,
         "jaccard_qgram_part": f"""
 WITH {_TOK_PART_Q3}

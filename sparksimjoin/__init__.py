@@ -21,6 +21,7 @@ from .joins.edit_distance import edit_distance_join
 from .joins.hamming import hamming_join
 from .joins.jaro import jaro_join, jaro_winkler_join
 from .joins.tversky import tversky_index_join
+from .alignment import Affine, NeedlemanWunsch, SmithWaterman
 from .features import (DEFAULT_FEATURES, attr_equivalence_block,
                        featurize_pairs, match_by_rules, union_candsets)
 from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
@@ -39,7 +40,10 @@ from .pipeline import PipelineConfig, pairwise_f1, prepare_records, run_pipeline
 from .audit import cluster_audit, cluster_audit_chain
 
 __all__ = [
+    "Affine",
     "AlphanumericTokenizer",
+    "NeedlemanWunsch",
+    "SmithWaterman",
     "DelimiterTokenizer",
     "PipelineConfig",
     "QgramTokenizer",

@@ -1,11 +1,15 @@
 """apply_matcher (``[R] py_stringsimjoin/matcher/apply_matcher.py``;
 SURVEY.md §2.1 #12): generic verify stage over a pre-built candset.
 
-``sim_function`` is either a measure name ('JACCARD', 'COSINE',
-'DICE', 'OVERLAP', 'OVERLAP_COEFFICIENT', 'EDIT_DISTANCE') — scored
-with pure Column expressions (JVM, no Python) — or an arbitrary
-Python callable ``(l_tokens, r_tokens) -> float`` (the reference's
-extension point), scored through an Arrow-batched pandas UDF."""
+``sim_function`` is either a measure name — set measures ('JACCARD',
+'COSINE', 'DICE', 'OVERLAP', 'OVERLAP_COEFFICIENT') and
+'EDIT_DISTANCE' scored with pure Column expressions (JVM, no Python);
+character/hybrid measures ('JARO', 'JARO_WINKLER', 'MONGE_ELKAN',
+'NEEDLEMAN_WUNSCH', 'SMITH_WATERMAN', 'AFFINE') through exact
+Arrow-batched kernels — or an arbitrary Python callable (the
+reference's extension point), scored through an Arrow-batched pandas
+UDF: ``(l_tokens, r_tokens) -> float`` when a tokenizer is given,
+``(l_str, r_str) -> float`` with ``tokenizer=None``."""
 
 from __future__ import annotations
 
@@ -77,6 +81,18 @@ def apply_matcher(
 
             expr = jaro_winkler_expr if measure == "JARO_WINKLER" else jaro_expr
             score = expr(F.col("__ls"), F.col("__rs"))
+        elif measure in ("NEEDLEMAN_WUNSCH", "SMITH_WATERMAN", "AFFINE"):
+            # sequence-alignment measures at the conventional defaults
+            # (alignment.py): raw-string Arrow-batched kernels, no
+            # tokenizer involved; parameterized variants go through the
+            # callable path (NeedlemanWunsch(...) instances ARE
+            # callables) with tokenizer=None
+            from .alignment import ALIGNMENT_MEASURES
+            from .simfunctions import _batched
+
+            score = _batched(ALIGNMENT_MEASURES[measure])(
+                F.col("__ls"), F.col("__rs")
+            )
         elif measure == "MONGE_ELKAN":
             # hybrid measure (Jaro-Winkler inner): tokens are taken
             # EXACTLY as the tokenizer produces them (bag or set — no
@@ -105,20 +121,29 @@ def apply_matcher(
             assert tokenizer is not None, "tokenizer required for set measures"
             score = sim_expr(F.col("__lt"), F.col("__rt"), measure)
     else:
-        assert tokenizer is not None, "tokenizer required for callable sim_function"
+        # callable sim_function (the reference's extension point). With a
+        # tokenizer the callable receives token lists; with
+        # tokenizer=None it receives the RAW strings — the upstream
+        # convention for character-level sim functions (jaro, the
+        # alignment measures) passed straight through.
         tok = tokenizer
         fn = sim_function
 
         @F.pandas_udf(T.DoubleType())
         def score_udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
+            if tok is None:
+                vals = [
+                    None if a is None or b is None else float(fn(a, b))
+                    for a, b in zip(ls, rs)
+                ]
+            else:
+                vals = [
                     None
                     if a is None or b is None
                     else float(fn(tok.tokenize(a), tok.tokenize(b)))
                     for a, b in zip(ls, rs)
                 ]
-            )
+            return pd.Series(vals, dtype="float64")
 
         score = score_udf(F.col("__ls"), F.col("__rs"))
 
