@@ -208,6 +208,42 @@ def q_affine_part(spark, sf_dir):
     return _pair_cols(out, "l_p_partkey", "r_p_partkey")
 
 
+def q_bag_distance_part(spark, sf_dir):
+    """Bag (char-multiset) distance as a named matcher measure: a PURE
+    Column expression (simfunctions.bag_distance_expr — higher-order
+    array functions, whole-stage codegen, zero UDF). Distance
+    semantics, so comp_op '<=' like EDIT_DISTANCE; the oracle
+    replicates the per-char count difference in SQL."""
+    from sparksimjoin import attr_equivalence_block
+
+    p = _t(spark, sf_dir, "part")
+    cand = attr_equivalence_block(p, p, "p_partkey", "p_partkey", "p_size",
+                                  self_join=True)
+    out = apply_matcher(cand, "l_p_partkey", "r_p_partkey", p, p,
+                        "p_partkey", "p_partkey", "p_name", "p_name",
+                        None, "BAG_DISTANCE", 3.0, comp_op="<=")
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey", score_name="distance")
+
+
+def q_gen_jaccard_part(spark, sf_dir):
+    """Generalized Jaccard hybrid measure through the matcher's
+    callable path at the jaccard-equivalent parameterization
+    (sim_threshold=1.0: only identical tokens match, so the greedy
+    matching collapses to exact set Jaccard — the closed form the
+    oracle checks; general inner/threshold combos are brute-force
+    tested in tests/test_alignment.py)."""
+    from sparksimjoin import GeneralizedJaccard, attr_equivalence_block
+
+    p = _t(spark, sf_dir, "part")
+    cand = attr_equivalence_block(p, p, "p_partkey", "p_partkey", "p_size",
+                                  self_join=True)
+    gj = GeneralizedJaccard(sim_threshold=1.0)
+    out = apply_matcher(cand, "l_p_partkey", "r_p_partkey", p, p,
+                        "p_partkey", "p_partkey", "p_name", "p_name",
+                        WS, gj, 0.3)
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey")
+
+
 def q_jaccard_qgram_part(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     out = jaccard_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name", QG3, 0.6,
@@ -853,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nw_part": q_nw_part,
         "sw_part": q_sw_part,
         "affine_part": q_affine_part,
+        "bag_distance_part": q_bag_distance_part,
+        "gen_jaccard_part": q_gen_jaccard_part,
         "jaccard_qgram_part": q_jaccard_qgram_part,
         "edit_part": q_edit_part,
         "hamming_part": q_hamming_part,
@@ -1378,6 +1416,59 @@ FROM part a JOIN part b
  AND a.p_partkey < b.p_partkey
 WHERE a.p_name IS NOT NULL AND b.p_name IS NOT NULL
   AND length(a.p_name) - hamming(a.p_name, b.p_name) >= 2
+""",
+        # per-char multiset counts; distance = max of the two one-sided
+        # count surpluses (char positions enumerated to 16, names <= 12)
+        "bag_distance_part": """
+WITH chars AS (
+  SELECT p_partkey AS id, substring(p_name, i, 1) AS ch
+  FROM part CROSS JOIN (SELECT CAST(unnest(range(1, 17)) AS INT) AS i) g
+  WHERE p_name IS NOT NULL AND i <= length(p_name)
+),
+cnt AS (SELECT id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+pairs AS (
+  SELECT a.p_partkey AS l_id, b.p_partkey AS r_id
+  FROM part a JOIN part b ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+  WHERE a.p_name IS NOT NULL AND b.p_name IS NOT NULL
+),
+d1 AS (
+  SELECT p.l_id, p.r_id, sum(greatest(ca.c - coalesce(cb.c, 0), 0)) AS d
+  FROM pairs p JOIN cnt ca ON ca.id = p.l_id
+  LEFT JOIN cnt cb ON cb.id = p.r_id AND cb.ch = ca.ch
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT p.l_id, p.r_id, sum(greatest(cb.c - coalesce(ca.c, 0), 0)) AS d
+  FROM pairs p JOIN cnt cb ON cb.id = p.r_id
+  LEFT JOIN cnt ca ON ca.id = p.l_id AND ca.ch = cb.ch
+  GROUP BY 1, 2
+)
+SELECT d1.l_id, d1.r_id, CAST(greatest(d1.d, d2.d) AS DOUBLE) AS distance
+FROM d1 JOIN d2 ON d1.l_id = d2.l_id AND d1.r_id = d2.r_id
+WHERE greatest(d1.d, d2.d) <= 3
+""",
+        # GeneralizedJaccard at sim_threshold=1.0 == exact set Jaccard
+        # on whitespace tokens
+        "gen_jaccard_part": f"""
+WITH tok AS (
+  SELECT p_partkey AS id, p_size,
+         list_distinct(list_filter(string_split_regex(p_name, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM part WHERE p_name IS NOT NULL
+),
+pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id, a.toks AS lt, b.toks AS rt
+  FROM tok a JOIN tok b ON a.p_size = b.p_size AND a.id < b.id
+),
+scored AS (
+  SELECT l_id, r_id,
+         CASE WHEN len(lt) = 0 AND len(rt) = 0 THEN 1.0
+              WHEN len(lt) = 0 OR len(rt) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(lt, rt)) AS DOUBLE)
+                   / (len(lt) + len(rt) - len(list_intersect(lt, rt)))
+         END AS sim_score
+  FROM pairs
+)
+SELECT l_id, r_id, sim_score FROM scored WHERE sim_score >= 0.3
 """,
         "jaccard_qgram_part": f"""
 WITH {_TOK_PART_Q3}

@@ -123,6 +123,15 @@ def _q_weighted(s, d):
                                  WS, 0.8, self_join=True)
 
 
+def _q_tversky(s, d):
+    from sparksimjoin import tversky_index_join
+
+    docs = _docs(s, d)
+    return tversky_index_join(docs, docs, "doc_id", "doc_id", "text", "text",
+                              WS, 0.6, alpha=0.7, beta=0.3,
+                              allow_empty=False, self_join=True)
+
+
 def bench_queries():
     return {
         "jaccard_doc_t95": _q_jaccard,
@@ -144,6 +153,9 @@ def bench_queries():
         # weighted-prefix blocking + bigint verify path; t=0.8 keeps
         # the output selective on the 31-word bench vocabulary
         "weighted_jaccard_doc_t8": _q_weighted,
+        # asymmetric Tversky (0.7/0.3) rides the Dice-stack blocking at
+        # t' = 2tc/(1-t+2tc) with the canonical-orientation verify
+        "tversky_doc_t6": _q_tversky,
         "jaro_winkler_part_t9": _q_jaro_winkler,
         "overlap_coeff_zipf_skew": _q_overlap_coeff_zipf,
     }

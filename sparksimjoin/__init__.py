@@ -22,6 +22,7 @@ from .joins.hamming import hamming_join
 from .joins.jaro import jaro_join, jaro_winkler_join
 from .joins.tversky import tversky_index_join
 from .alignment import Affine, NeedlemanWunsch, SmithWaterman
+from .simfunctions import GeneralizedJaccard
 from .features import (DEFAULT_FEATURES, attr_equivalence_block,
                        featurize_pairs, match_by_rules, union_candsets)
 from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
@@ -42,6 +43,7 @@ from .audit import cluster_audit, cluster_audit_chain
 __all__ = [
     "Affine",
     "AlphanumericTokenizer",
+    "GeneralizedJaccard",
     "NeedlemanWunsch",
     "SmithWaterman",
     "DelimiterTokenizer",

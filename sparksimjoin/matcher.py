@@ -74,6 +74,13 @@ def apply_matcher(
         measure = sim_function.upper()
         if measure == EDIT_DISTANCE:
             score = F.levenshtein(F.col("__ls"), F.col("__rs")).cast("double")
+        elif measure == "BAG_DISTANCE":
+            # char-multiset distance as a pure Column expression (JVM,
+            # no UDF) — distance semantics like EDIT_DISTANCE, so pair
+            # it with comp_op '<='
+            from .simfunctions import bag_distance_expr
+
+            score = bag_distance_expr(F.col("__ls"), F.col("__rs"))
         elif measure in ("JARO", "JARO_WINKLER"):
             # character-level measures: Arrow-batched exact kernels on
             # the raw strings (simfunctions.py); no tokenizer involved
@@ -93,6 +100,29 @@ def apply_matcher(
             score = _batched(ALIGNMENT_MEASURES[measure])(
                 F.col("__ls"), F.col("__rs")
             )
+        elif measure == "GENERALIZED_JACCARD":
+            # hybrid token measure at the conventional defaults (Jaro
+            # inner, sim_threshold 0.5); parameterized variants via the
+            # callable path with GeneralizedJaccard(...) instances
+            assert tokenizer is not None, "tokenizer required for GENERALIZED_JACCARD"
+            from .simfunctions import generalized_jaccard_sim
+
+            gj_tok = tokenizer
+
+            @F.pandas_udf(T.DoubleType())
+            def gj_udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [
+                        None
+                        if a is None or b is None
+                        else generalized_jaccard_sim(gj_tok.tokenize(a),
+                                                     gj_tok.tokenize(b))
+                        for a, b in zip(ls, rs)
+                    ],
+                    dtype="float64",
+                )
+
+            score = gj_udf(F.col("__ls"), F.col("__rs"))
         elif measure == "MONGE_ELKAN":
             # hybrid measure (Jaro-Winkler inner): tokens are taken
             # EXACTLY as the tokenizer produces them (bag or set — no

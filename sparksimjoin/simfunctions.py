@@ -122,6 +122,93 @@ def monge_elkan_sim(l_tokens, r_tokens, inner=jaro_winkler_sim) -> float:
     ) / len(l_tokens)
 
 
+def generalized_jaccard_sim(l_tokens, r_tokens, inner=jaro_sim,
+                            sim_threshold: float = 0.5) -> float:
+    """Generalized Jaccard hybrid similarity: greedy maximal one-to-one
+    matching of token pairs with ``inner(a, b) >= sim_threshold``,
+    taken in (sim desc, left-token asc, right-token asc) order — the
+    deterministic tie-break IS part of this contract — scored as
+    ``fsum(matched sims) / (|A| + |B| - #matched)``.
+
+    At ``sim_threshold=1.0`` only identical tokens match (any inner
+    measure that is 1.0 iff equal, as Jaro is), so the score collapses
+    to exact set Jaccard — the closed form the DuckDB oracle checks;
+    general parameters are brute-force-tested. Both sides empty ->
+    1.0; one side empty -> 0.0. Exact summation (``math.fsum``) keeps
+    the result independent of match enumeration order."""
+    import math
+
+    if not l_tokens and not r_tokens:
+        return 1.0
+    if not l_tokens or not r_tokens:
+        return 0.0
+    A = sorted(set(l_tokens))
+    B = sorted(set(r_tokens))
+    cands = []
+    for a in A:
+        for b in B:
+            s = inner(a, b)
+            if s >= sim_threshold:
+                cands.append((-s, a, b))
+    cands.sort()
+    used_a: set = set()
+    used_b: set = set()
+    matched = []
+    for negs, a, b in cands:
+        if a not in used_a and b not in used_b:
+            used_a.add(a)
+            used_b.add(b)
+            matched.append(-negs)
+    m = len(matched)
+    return math.fsum(matched) / (len(A) + len(B) - m)
+
+
+class GeneralizedJaccard:
+    """Parameterizable callable form (``apply_matcher`` extension
+    point: receives token lists when a tokenizer is given)."""
+
+    def __init__(self, inner=jaro_sim, sim_threshold: float = 0.5):
+        self.inner = inner
+        self.sim_threshold = float(sim_threshold)
+
+    def get_raw_score(self, l_tokens, r_tokens) -> float:
+        return generalized_jaccard_sim(l_tokens, r_tokens, self.inner,
+                                       self.sim_threshold)
+
+    __call__ = get_raw_score
+
+
+def bag_distance_expr(l_col: Column, r_col: Column) -> Column:
+    """Bag (multiset) distance between two strings as a PURE Column
+    expression (JVM, whole-stage codegen — no UDF):
+    ``max(|bag(s1) - bag(s2)|, |bag(s2) - bag(s1)|)`` on characters,
+    the classic cheap lower bound of edit distance (Bartolini, Ciaccia
+    & Patella 2002). O(distinct_chars * (l1 + l2)) per pair via
+    higher-order array functions — strings are exploded with
+    ``sequence/substring`` (not split-on-empty, whose boundary tokens
+    are version-dependent)."""
+
+    def chars(c: Column) -> Column:
+        return F.transform(F.sequence(F.lit(1), F.length(c)),
+                           lambda i: F.substring(c, i, 1))
+
+    lc, rc = chars(l_col), chars(r_col)
+
+    def one_sided(a: Column, b: Column) -> Column:
+        # sum over distinct chars of max(0, count_a - count_b)
+        return F.aggregate(
+            F.array_distinct(a),
+            F.lit(0),
+            lambda acc, ch: acc + F.greatest(
+                F.size(F.filter(a, lambda x: x == ch))
+                - F.size(F.filter(b, lambda x: x == ch)),
+                F.lit(0),
+            ),
+        )
+
+    return F.greatest(one_sided(lc, rc), one_sided(rc, lc)).cast("double")
+
+
 def _batched(kernel):
     @F.pandas_udf(T.DoubleType())
     def udf(ls: pd.Series, rs: pd.Series) -> pd.Series:

@@ -1,0 +1,139 @@
+"""Bag distance (pure Column expression) and Generalized Jaccard
+(hybrid greedy-matching measure): kernel/expr parity against
+independent Python twins + matcher integration."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksimjoin import GeneralizedJaccard, WhitespaceTokenizer, apply_matcher
+from sparksimjoin.simfunctions import (bag_distance_expr,
+                                       generalized_jaccard_sim, jaro_sim)
+
+
+def _bag_distance_py(a: str, b: str) -> int:
+    ca, cb = Counter(a), Counter(b)
+    return max(sum((ca - cb).values()), sum((cb - ca).values()))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def _rand_strings(n, alphabet="abcx", maxlen=10, seed=23):
+    rng = random.Random(seed)
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randrange(maxlen + 1)))
+            for _ in range(n)]
+
+
+def test_bag_distance_expr_matches_python_twin(spark):
+    ss = _rand_strings(40)
+    rows = [(i, ss[i], ss[(i * 7 + 3) % len(ss)]) for i in range(len(ss))]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    got = {r.id: r.d for r in
+           df.select("id", bag_distance_expr(F.col("a"), F.col("b")).alias("d")).collect()}
+    for i, a, b in rows:
+        assert got[i] == float(_bag_distance_py(a, b)), (a, b)
+
+
+def test_bag_distance_lower_bounds_levenshtein():
+    ss = _rand_strings(30, seed=9)
+    for a in ss[:15]:
+        for b in ss[15:]:
+            assert _bag_distance_py(a, b) <= _levenshtein(a, b)
+
+
+def test_generalized_jaccard_threshold_one_is_set_jaccard():
+    rng = random.Random(5)
+    vocab = ["ring", "rung", "bolt", "nut", "cog", "axle"]
+    for _ in range(100):
+        A = rng.sample(vocab, rng.randrange(0, 5))
+        B = rng.sample(vocab, rng.randrange(0, 5))
+        got = generalized_jaccard_sim(A, B, sim_threshold=1.0)
+        sa, sb = set(A), set(B)
+        if not sa and not sb:
+            exp = 1.0
+        elif not sa or not sb:
+            exp = 0.0
+        else:
+            exp = len(sa & sb) / len(sa | sb)
+        assert got == pytest.approx(exp), (A, B)
+
+
+def test_generalized_jaccard_hand_value():
+    # A={'nite','day'}, B={'night','data'}: jaro(nite,night)~0.9056,
+    # jaro(day,data)~0.7833, cross sims below 0.5 -> two matches,
+    # score = (s1+s2) / (2+2-2)
+    A, B = ["nite", "day"], ["night", "data"]
+    s = generalized_jaccard_sim(A, B)
+    exp = (jaro_sim("nite", "night") + jaro_sim("day", "data")) / 2.0
+    assert s == pytest.approx(exp)
+    # greedy matching is one-to-one: duplicates on one side can't all
+    # match the single best partner
+    s2 = generalized_jaccard_sim(["aa", "ab"], ["aa"])
+    assert s2 == pytest.approx(jaro_sim("aa", "aa") / 2.0)
+
+
+def test_generalized_jaccard_order_invariance():
+    A, B = ["kitten", "sitting", "kit"], ["mitten", "sit", "bitten"]
+    base = generalized_jaccard_sim(A, B)
+    rng = random.Random(1)
+    for _ in range(5):
+        a2, b2 = A[:], B[:]
+        rng.shuffle(a2)
+        rng.shuffle(b2)
+        assert generalized_jaccard_sim(a2, b2) == base
+
+
+def test_matcher_bag_and_gj(spark):
+    rows = [(1, "small ring"), (2, "small ring"), (3, "red widget"),
+            (4, "red widgets"), (5, "blue bolt")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    cand = df.alias("a").crossJoin(df.alias("b")).selectExpr(
+        "a.id AS l_id", "b.id AS r_id").where("l_id < r_id")
+
+    out = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id",
+                        "name", "name", None, "BAG_DISTANCE", 2.0,
+                        comp_op="<=").collect()
+    got = {(r.l_id, r.r_id): r._sim_score for r in out}
+    names = dict(rows)
+    exp = {(i, j): float(_bag_distance_py(names[i], names[j]))
+           for i in names for j in names if i < j
+           if _bag_distance_py(names[i], names[j]) <= 2}
+    assert got == exp
+
+    out2 = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id",
+                         "name", "name", WhitespaceTokenizer(),
+                         "GENERALIZED_JACCARD", 0.4).collect()
+    got2 = {(r.l_id, r.r_id): r._sim_score for r in out2}
+    tok = WhitespaceTokenizer()
+    exp2 = {}
+    for i in names:
+        for j in names:
+            if i < j:
+                s = generalized_jaccard_sim(tok.tokenize(names[i]),
+                                            tok.tokenize(names[j]))
+                if s >= 0.4:
+                    exp2[(i, j)] = pytest.approx(s)
+    assert got2 == exp2
+
+    # parameterized instance through the callable path
+    gj = GeneralizedJaccard(sim_threshold=1.0)
+    out3 = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id",
+                         "name", "name", WhitespaceTokenizer(), gj, 0.3).collect()
+    for r in out3:
+        sa = set(tok.tokenize(names[r.l_id]))
+        sb = set(tok.tokenize(names[r.r_id]))
+        assert r._sim_score == pytest.approx(len(sa & sb) / len(sa | sb))
