@@ -285,6 +285,25 @@ def q_monge_elkan_part(spark, sf_dir):
     )
 
 
+def q_monge_elkan_join_part(spark, sf_dir):
+    """First-class blocked Monge-Elkan JOIN (joins/monge_elkan.py):
+    the token-vocabulary Jaro-Winkler join generates candidates via
+    the lossless bound ME >= t => exists token pair with jw >= t, so
+    the oracle can brute-force ALL pairs in SQL. The join runs at the
+    sound floor-side threshold 0.81 and the wrapper applies the same
+    round-before-filter 0.9 cut as monge_elkan_part (fsum-vs-Kahan
+    1-ulp absorption; this corpus has scores exactly AT 0.9)."""
+    from sparksimjoin import monge_elkan_join
+
+    p = _t(spark, sf_dir, "part")
+    out = monge_elkan_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name",
+                           WS, 0.81, self_join=True)
+    sel = _pair_cols(out, "l_p_partkey", "r_p_partkey")
+    return sel.withColumn("sim_score", F.round("sim_score", 6)).where(
+        F.col("sim_score") >= 0.9
+    )
+
+
 def q_soundex_part(spark, sf_dir):
     """Phonetic (Soundex) blocking (sparksimjoin/blocking.py): pairs
     sharing the American-Soundex code of p_name. The encoding is
@@ -896,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_part": q_hamming_part,
         "snm_part": q_snm_part,
         "monge_elkan_part": q_monge_elkan_part,
+        "monge_elkan_join_part": q_monge_elkan_join_part,
         "soundex_part": q_soundex_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
@@ -1499,6 +1519,27 @@ mx AS (
   SELECT c.l, c.r, lt.a, max(jaro_winkler_similarity(lt.a, rt.b)) AS m
   FROM cand c JOIN lt ON lt.id = c.l JOIN rt ON rt.id = c.r
   GROUP BY c.l, c.r, lt.a
+),
+sc AS (SELECT l, r, fsum(m) / count(*) AS s FROM mx GROUP BY l, r)
+SELECT l AS l_id, r AS r_id, round(s, 6) AS sim_score FROM sc WHERE round(s, 6) >= 0.9
+""",
+        # brute force over ALL pairs — valid because the join's
+        # token-level JW blocking bound is lossless (mean <= max)
+        "monge_elkan_join_part": f"""
+WITH tok AS (
+  SELECT p_partkey AS id,
+         list_distinct(list_filter(string_split_regex(p_name, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM part WHERE p_name IS NOT NULL
+),
+pairs AS (
+  SELECT a.id AS l, b.id AS r FROM tok a JOIN tok b ON a.id < b.id
+),
+lt AS (SELECT id, unnest(toks) AS a FROM tok),
+rt AS (SELECT id, unnest(toks) AS b FROM tok),
+mx AS (
+  SELECT p.l, p.r, lt.a, max(jaro_winkler_similarity(lt.a, rt.b)) AS m
+  FROM pairs p JOIN lt ON lt.id = p.l JOIN rt ON rt.id = p.r
+  GROUP BY p.l, p.r, lt.a
 ),
 sc AS (SELECT l, r, fsum(m) / count(*) AS s FROM mx GROUP BY l, r)
 SELECT l AS l_id, r AS r_id, round(s, 6) AS sim_score FROM sc WHERE round(s, 6) >= 0.9

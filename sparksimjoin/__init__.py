@@ -20,6 +20,7 @@ from .joins.set_sim import (
 from .joins.edit_distance import edit_distance_join
 from .joins.hamming import hamming_join
 from .joins.jaro import jaro_join, jaro_winkler_join
+from .joins.monge_elkan import monge_elkan_join
 from .joins.tversky import tversky_index_join
 from .alignment import Affine, NeedlemanWunsch, SmithWaterman
 from .simfunctions import GeneralizedJaccard
@@ -67,6 +68,7 @@ __all__ = [
     "hamming_join",
     "jaccard_join",
     "jaro_join",
+    "monge_elkan_join",
     "jaro_winkler_join",
     "overlap_coefficient_join",
     "overlap_join",

@@ -1,0 +1,99 @@
+"""monge_elkan_join: brute-force parity (the token-level JW bound is
+lossless), self-join orientation, empty handling, threshold floor."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sparksimjoin import WhitespaceTokenizer, monge_elkan_join
+from sparksimjoin.simfunctions import monge_elkan_sim
+
+WS = WhitespaceTokenizer()
+
+
+def _brute(l_rows, r_rows, t, self_join=False):
+    out = {}
+    for li, ls in l_rows:
+        for ri, rs in r_rows:
+            if self_join and not (li < ri):
+                continue
+            lt = sorted(set(ls.split()))
+            rt = sorted(set(rs.split()))
+            s = monge_elkan_sim(lt, rt)
+            if s >= t:
+                out[(li, ri)] = s
+    return out
+
+
+def _corpus(seed, n):
+    """Names with typo'd shared tokens so near-identical (not only
+    identical) token pairs drive candidates."""
+    rng = random.Random(seed)
+    words = ["johnson", "jonhson", "johnsen", "smith", "smyth", "walker",
+             "walkar", "industries", "industreis", "ltd"]
+    rows = []
+    for i in range(n):
+        k = rng.randrange(1, 4)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(k))))
+    return rows
+
+
+def test_self_join_brute_force_parity(spark):
+    rows = _corpus(3, 40)
+    df = spark.createDataFrame(rows, ["id", "name"])
+    for t in (0.9, 0.95):
+        out = monge_elkan_join(df, df, "id", "id", "name", "name", WS, t,
+                               self_join=True)
+        got = {(r.l_id, r.r_id): r._sim_score for r in out.collect()}
+        exp = _brute(rows, rows, t, self_join=True)
+        assert got.keys() == exp.keys()
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=1e-12), k
+
+
+def test_two_table_brute_force_parity(spark):
+    l_rows = _corpus(5, 25)
+    r_rows = [(100 + i, s) for i, s in _corpus(7, 25)]
+    ldf = spark.createDataFrame(l_rows, ["id", "name"])
+    rdf = spark.createDataFrame(r_rows, ["id", "name"])
+    out = monge_elkan_join(ldf, rdf, "id", "id", "name", "name", WS, 0.85)
+    got = {(r.l_id, r.r_id): r._sim_score for r in out.collect()}
+    exp = _brute(l_rows, r_rows, 0.85)
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12), k
+
+
+def test_asymmetry_is_left_to_right(spark):
+    # ME({a}, {a, b}) = 1.0 but ME({a, b}, {a}) < 1: the join scores
+    # left -> right (canonical lesser-key-left on self-joins)
+    rows = [(1, "johnson"), (2, "johnson walker")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = monge_elkan_join(df, df, "id", "id", "name", "name", WS, 0.9,
+                           self_join=True).collect()
+    assert len(out) == 1 and out[0].l_id == 1 and out[0]._sim_score == 1.0
+    # two-table, reversed orientation: mean over BOTH left tokens
+    ldf = spark.createDataFrame([rows[1]], ["id", "name"])
+    rdf = spark.createDataFrame([rows[0]], ["id", "name"])
+    rev = monge_elkan_join(ldf, rdf, "id", "id", "name", "name", WS, 0.9)
+    exp = monge_elkan_sim(["johnson", "walker"], ["johnson"])
+    assert exp < 0.9 and rev.count() == 0
+
+
+def test_allow_empty(spark):
+    rows = [(1, ""), (2, ""), (3, "smith")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = monge_elkan_join(df, df, "id", "id", "name", "name", WS, 0.9,
+                           self_join=True, allow_empty=True).collect()
+    assert {(r.l_id, r.r_id, r._sim_score) for r in out} == {(1, 2, 1.0)}
+    assert monge_elkan_join(df, df, "id", "id", "name", "name", WS, 0.9,
+                            self_join=True).count() == 0
+
+
+def test_threshold_floor_raises(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(ValueError, match="threshold > 0.8"):
+        monge_elkan_join(df, df, "id", "id", "name", "name", WS, 0.7,
+                         self_join=True)
