@@ -92,6 +92,21 @@ def test_allow_empty(spark):
                             self_join=True).count() == 0
 
 
+def test_plan_has_no_cartesian(spark):
+    """Every stage — the vocabulary JW join, the token->record
+    expansion joins, and the matcher's prep joins — must be an
+    equi-join; a cartesian/BNL node means the blocking fell off."""
+    rows = _corpus(11, 60)
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = monge_elkan_join(df, df, "id", "id", "name", "name", WS, 0.9,
+                           self_join=True)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
 def test_threshold_floor_raises(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "name"])
     with pytest.raises(ValueError, match="threshold > 0.8"):
