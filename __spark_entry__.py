@@ -304,6 +304,22 @@ def q_monge_elkan_join_part(spark, sf_dir):
     )
 
 
+def q_gen_jaccard_join_part(spark, sf_dir):
+    """First-class blocked Generalized Jaccard JOIN at the
+    jaccard-equivalent parameterization (sim_threshold=1.0: score ==
+    exact set Jaccard), so the brute-force SQL oracle checks the whole
+    funnel — vocabulary jaro blocking, token->record expansion, greedy
+    matching verify. General sim_threshold/inner combos are
+    brute-force tested in tests/test_monge_elkan_join.py."""
+    from sparksimjoin import generalized_jaccard_join
+
+    p = _t(spark, sf_dir, "part")
+    out = generalized_jaccard_join(p, p, "p_partkey", "p_partkey",
+                                   "p_name", "p_name", WS, 0.7,
+                                   sim_threshold=1.0, self_join=True)
+    return _pair_cols(out, "l_p_partkey", "r_p_partkey")
+
+
 def q_soundex_part(spark, sf_dir):
     """Phonetic (Soundex) blocking (sparksimjoin/blocking.py): pairs
     sharing the American-Soundex code of p_name. The encoding is
@@ -916,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_part": q_snm_part,
         "monge_elkan_part": q_monge_elkan_part,
         "monge_elkan_join_part": q_monge_elkan_join_part,
+        "gen_jaccard_join_part": q_gen_jaccard_join_part,
         "soundex_part": q_soundex_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
@@ -1522,6 +1539,23 @@ mx AS (
 ),
 sc AS (SELECT l, r, fsum(m) / count(*) AS s FROM mx GROUP BY l, r)
 SELECT l AS l_id, r AS r_id, round(s, 6) AS sim_score FROM sc WHERE round(s, 6) >= 0.9
+""",
+        # GJ join at sim_threshold=1.0 == exact set Jaccard; brute
+        # force over ALL pairs is valid because the blocking is lossless
+        "gen_jaccard_join_part": f"""
+WITH tok AS (
+  SELECT p_partkey AS id,
+         list_distinct(list_filter(string_split_regex(p_name, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM part WHERE p_name IS NOT NULL
+),
+pairs AS (
+  SELECT a.id AS l_id, b.id AS r_id,
+         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS sim_score
+  FROM tok a JOIN tok b ON a.id < b.id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+)
+SELECT l_id, r_id, sim_score FROM pairs WHERE sim_score >= 0.7
 """,
         # brute force over ALL pairs — valid because the join's
         # token-level JW blocking bound is lossless (mean <= max)

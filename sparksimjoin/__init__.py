@@ -20,7 +20,7 @@ from .joins.set_sim import (
 from .joins.edit_distance import edit_distance_join
 from .joins.hamming import hamming_join
 from .joins.jaro import jaro_join, jaro_winkler_join
-from .joins.monge_elkan import monge_elkan_join
+from .joins.monge_elkan import generalized_jaccard_join, monge_elkan_join
 from .joins.tversky import tversky_index_join
 from .alignment import Affine, NeedlemanWunsch, SmithWaterman
 from .simfunctions import GeneralizedJaccard
@@ -67,6 +67,7 @@ __all__ = [
     "get_spark",
     "hamming_join",
     "jaccard_join",
+    "generalized_jaccard_join",
     "jaro_join",
     "monge_elkan_join",
     "jaro_winkler_join",

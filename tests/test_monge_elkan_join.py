@@ -1,5 +1,6 @@
-"""monge_elkan_join: brute-force parity (the token-level JW bound is
-lossless), self-join orientation, empty handling, threshold floor."""
+"""monge_elkan_join / generalized_jaccard_join: brute-force parity
+(the token-level inner-measure bounds are lossless), self-join
+orientation, empty handling, threshold floors."""
 
 from __future__ import annotations
 
@@ -7,8 +8,9 @@ import random
 
 import pytest
 
-from sparksimjoin import WhitespaceTokenizer, monge_elkan_join
-from sparksimjoin.simfunctions import monge_elkan_sim
+from sparksimjoin import (WhitespaceTokenizer, generalized_jaccard_join,
+                          monge_elkan_join)
+from sparksimjoin.simfunctions import generalized_jaccard_sim, monge_elkan_sim
 
 WS = WhitespaceTokenizer()
 
@@ -112,3 +114,47 @@ def test_threshold_floor_raises(spark):
     with pytest.raises(ValueError, match="threshold > 0.8"):
         monge_elkan_join(df, df, "id", "id", "name", "name", WS, 0.7,
                          self_join=True)
+    with pytest.raises(ValueError, match="threshold > 2/3"):
+        generalized_jaccard_join(df, df, "id", "id", "name", "name", WS, 0.6,
+                                 self_join=True)
+
+
+def _brute_gj(l_rows, r_rows, t, sim_threshold=0.5, self_join=False):
+    out = {}
+    for li, ls in l_rows:
+        for ri, rs in r_rows:
+            if self_join and not (li < ri):
+                continue
+            s = generalized_jaccard_sim(ls.split(), rs.split(),
+                                        sim_threshold=sim_threshold)
+            if s >= t:
+                out[(li, ri)] = s
+    return out
+
+
+def test_gj_join_brute_force_parity(spark):
+    rows = _corpus(17, 40)
+    df = spark.createDataFrame(rows, ["id", "name"])
+    for t in (0.7, 0.85):
+        out = generalized_jaccard_join(df, df, "id", "id", "name", "name",
+                                       WS, t, self_join=True)
+        got = {(r.l_id, r.r_id): r._sim_score for r in out.collect()}
+        exp = _brute_gj(rows, rows, t, self_join=True)
+        assert got.keys() == exp.keys(), t
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=1e-12), (t, k)
+
+
+def test_gj_join_sim_threshold_one_is_set_jaccard(spark):
+    rows = _corpus(19, 30)
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = generalized_jaccard_join(df, df, "id", "id", "name", "name",
+                                   WS, 0.7, sim_threshold=1.0, self_join=True)
+    for r in out.collect():
+        sa = set(dict(rows)[r.l_id].split())
+        sb = set(dict(rows)[r.r_id].split())
+        assert r._sim_score == pytest.approx(len(sa & sb) / len(sa | sb))
+    got = {(r.l_id, r.r_id) for r in out.collect()}
+    exp = {k for k, _ in _brute_gj(rows, rows, 0.7, sim_threshold=1.0,
+                                   self_join=True).items()}
+    assert got == exp
