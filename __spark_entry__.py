@@ -304,6 +304,28 @@ def q_monge_elkan_join_part(spark, sf_dir):
     )
 
 
+def q_soft_tfidf_part(spark, sf_dir):
+    """Soft TF-IDF join (joins/soft_tfidf.py; Cohen-Ravikumar-Fienberg
+    2003): integer IDF weights, BIGINT norms, closest-b terms with the
+    max(struct) tie-break, exact-summation score. The join runs with a
+    below-cut threshold and the wrapper applies the round-before-filter
+    0.5 cut (fsum-vs-Kahan 1-ulp absorption, the monge_elkan_part
+    convention; boundary safety measured at sf0.01: the nearest of
+    517,401 raw scores to any 0.5e-6 rounding boundary is 2.37e-10
+    away — six orders above ulp noise); the oracle replicates every
+    stage — weights, norms, close set, tie-break, fsum — in SQL over
+    ALL pairs (valid: the theta-blocking is lossless)."""
+    from sparksimjoin import soft_tfidf_join
+
+    p = _t(spark, sf_dir, "part")
+    out = soft_tfidf_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name",
+                          WS, 0.45, theta=0.9, self_join=True)
+    sel = _pair_cols(out, "l_p_partkey", "r_p_partkey")
+    return sel.withColumn("sim_score", F.round("sim_score", 6)).where(
+        F.col("sim_score") >= 0.5
+    )
+
+
 def q_gen_jaccard_join_part(spark, sf_dir):
     """First-class blocked Generalized Jaccard JOIN at the
     jaccard-equivalent parameterization (sim_threshold=1.0: score ==
@@ -933,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monge_elkan_part": q_monge_elkan_part,
         "monge_elkan_join_part": q_monge_elkan_join_part,
         "gen_jaccard_join_part": q_gen_jaccard_join_part,
+        "soft_tfidf_part": q_soft_tfidf_part,
         "soundex_part": q_soundex_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
@@ -1539,6 +1562,50 @@ mx AS (
 ),
 sc AS (SELECT l, r, fsum(m) / count(*) AS s FROM mx GROUP BY l, r)
 SELECT l AS l_id, r AS r_id, round(s, 6) AS sim_score FROM sc WHERE round(s, 6) >= 0.9
+""",
+        # soft TF-IDF replicated stage-by-stage: integer weights, BIGINT
+        # norms, theta-close set, closest-b (ties by weight), fsum
+        "soft_tfidf_part": f"""
+WITH tok0 AS (
+  SELECT p_partkey AS id,
+         list_distinct(list_filter(string_split_regex(p_name, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM part WHERE p_name IS NOT NULL
+),
+tok AS (SELECT * FROM tok0 WHERE len(toks) > 0),
+nn AS (SELECT count(*) AS n FROM tok),
+ex AS (SELECT id, unnest(toks) AS token FROM tok),
+w AS (
+  SELECT token, CAST(((SELECT n FROM nn) * 1000) // count(*) AS BIGINT) AS w
+  FROM ex GROUP BY token
+),
+nrm AS (
+  SELECT id, sqrt(CAST(sum(w.w * w.w) AS DOUBLE)) AS nr
+  FROM ex JOIN w USING (token) GROUP BY id
+),
+pairs AS (SELECT a.id AS l, b.id AS r FROM tok a JOIN tok b ON a.id < b.id),
+t0 AS (
+  SELECT p.l, p.r, la.token AS a, wa.w AS w1,
+         jaro_winkler_similarity(la.token, rb.token) AS jw, wb.w AS w2
+  FROM pairs p
+  JOIN ex la ON la.id = p.l JOIN w wa ON wa.token = la.token
+  JOIN ex rb ON rb.id = p.r JOIN w wb ON wb.token = rb.token
+  WHERE jaro_winkler_similarity(la.token, rb.token) >= 0.9
+),
+mx AS (SELECT l, r, a, w1, max(jw) AS m FROM t0 GROUP BY 1, 2, 3, 4),
+bw AS (
+  SELECT t0.l, t0.r, t0.a, max(t0.w2) AS w2
+  FROM t0 JOIN mx ON t0.l = mx.l AND t0.r = mx.r AND t0.a = mx.a AND t0.jw = mx.m
+  GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT mx.l, mx.r, CAST(mx.w1 * bw.w2 AS DOUBLE) * mx.m AS term
+  FROM mx JOIN bw ON mx.l = bw.l AND mx.r = bw.r AND mx.a = bw.a
+),
+sc AS (SELECT l, r, fsum(term) AS s FROM terms GROUP BY 1, 2)
+SELECT sc.l AS l_id, sc.r AS r_id,
+       round(sc.s / (na.nr * nb.nr), 6) AS sim_score
+FROM sc JOIN nrm na ON na.id = sc.l JOIN nrm nb ON nb.id = sc.r
+WHERE round(sc.s / (na.nr * nb.nr), 6) >= 0.5
 """,
         # GJ join at sim_threshold=1.0 == exact set Jaccard; brute
         # force over ALL pairs is valid because the blocking is lossless

@@ -21,6 +21,7 @@ from .joins.edit_distance import edit_distance_join
 from .joins.hamming import hamming_join
 from .joins.jaro import jaro_join, jaro_winkler_join
 from .joins.monge_elkan import generalized_jaccard_join, monge_elkan_join
+from .joins.soft_tfidf import soft_tfidf_join
 from .joins.tversky import tversky_index_join
 from .alignment import Affine, NeedlemanWunsch, SmithWaterman
 from .simfunctions import GeneralizedJaccard
@@ -70,6 +71,7 @@ __all__ = [
     "generalized_jaccard_join",
     "jaro_join",
     "monge_elkan_join",
+    "soft_tfidf_join",
     "jaro_winkler_join",
     "overlap_coefficient_join",
     "overlap_join",
