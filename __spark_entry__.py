@@ -231,7 +231,7 @@ def q_gen_jaccard_part(spark, sf_dir):
     (sim_threshold=1.0: only identical tokens match, so the greedy
     matching collapses to exact set Jaccard — the closed form the
     oracle checks; general inner/threshold combos are brute-force
-    tested in tests/test_alignment.py)."""
+    tested in tests/test_measures_misc.py)."""
     from sparksimjoin import GeneralizedJaccard, attr_equivalence_block
 
     p = _t(spark, sf_dir, "part")
@@ -1579,7 +1579,7 @@ w AS (
   FROM ex GROUP BY token
 ),
 nrm AS (
-  SELECT id, sqrt(CAST(sum(w.w * w.w) AS DOUBLE)) AS nr
+  SELECT id, sqrt(CAST(sum(CAST(w.w AS HUGEINT) * w.w) AS DOUBLE)) AS nr
   FROM ex JOIN w USING (token) GROUP BY id
 ),
 pairs AS (SELECT a.id AS l, b.id AS r FROM tok a JOIN tok b ON a.id < b.id),
@@ -1598,7 +1598,7 @@ bw AS (
   GROUP BY 1, 2, 3
 ),
 terms AS (
-  SELECT mx.l, mx.r, CAST(mx.w1 * bw.w2 AS DOUBLE) * mx.m AS term
+  SELECT mx.l, mx.r, CAST(CAST(mx.w1 AS HUGEINT) * bw.w2 AS DOUBLE) * mx.m AS term
   FROM mx JOIN bw ON mx.l = bw.l AND mx.r = bw.r AND mx.a = bw.a
 ),
 sc AS (SELECT l, r, fsum(term) AS s FROM terms GROUP BY 1, 2)

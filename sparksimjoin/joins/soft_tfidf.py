@@ -45,9 +45,10 @@ looser settings).
 100 TB notes: the vocabulary join scales with distinct tokens; the
 token->record expansions are equi-joins on token (AQE skew split);
 term aggregation keys are candidate pairs (no window over records).
-``SOFT_SCALE = 1000`` keeps ``Σ w²`` inside BIGINT for corpora up to
-~10^7 records with 10^2 tokens each; past that switch the norm
-accumulation to DOUBLE (documented accuracy trade) or DECIMAL.
+``Σ w²`` and the ``w1·w2`` term products run in DECIMAL(38,0) —
+BIGINT would wrap silently (ANSI off) once ``w = N·SOFT_SCALE``
+passes ~3·10^9, i.e. a df=1 token in a ~3M-record corpus; DECIMAL
+stays exact to ~10^16 records (the oracle mirrors with HUGEINT).
 The one Python stage is the Arrow-batched exact-summation of
 per-pair term lists — candidate-bound, like every verify kernel here.
 """
@@ -136,27 +137,27 @@ def soft_tfidf_join(
                     F.expr(f"CAST({int(n_records) * SOFT_SCALE} DIV __df "
                            "AS BIGINT)").alias("__w")))
 
-    # per-record L2 norms: Σ w² exact in BIGINT, one IEEE sqrt
+    # per-record L2 norms: Σ w² exact in DECIMAL(38,0) (w² alone
+    # overflows BIGINT once w = N*SOFT_SCALE passes ~3e9, i.e. ~3M
+    # records with a df=1 token — and this session runs ANSI-off, so
+    # BIGINT would WRAP silently), then one IEEE sqrt of the
+    # round-to-nearest double (the oracle mirrors with HUGEINT)
     def norms(ex, kname):
+        w_dec = F.col("__w").cast("decimal(38,0)")
         return (ex.join(wtab, "__tok")
                   .groupBy(kname)
-                  .agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))
+                  .agg(F.sqrt(F.sum(w_dec * F.col("__w"))
                               .cast("double")).alias("__n")))
 
     l_norm = norms(l_ex, "__lk")
     r_norm = norms(r_ex, "__rk")
 
     # lossless blocking: token pairs with jw >= theta over the
-    # vocabularies (allow_empty=False — tokenizers never emit '')
-    l_vocab = l_ex.select(F.col("__tok").alias("__t")).distinct()
-    r_vocab = r_ex.select(F.col("__tok").alias("__t")).distinct()
-    tp = jaro_winkler_join(
-        l_vocab.withColumn("__vid", F.col("__t")),
-        r_vocab.withColumn("__vid", F.col("__t")),
-        "__vid", "__vid", "__t", "__t", theta,
-        allow_empty=False, out_sim_score=True,
-    ).select(F.col("l___vid").alias("__lt"), F.col("r___vid").alias("__rt"),
-             F.col("_sim_score").alias("__jw"))
+    # vocabularies (the one shared blocking stage — monge_elkan.py)
+    from .monge_elkan import token_pair_candidates
+
+    tp = token_pair_candidates(l_ex, r_ex, jaro_winkler_join, theta,
+                               want_score=True)
 
     # close-pair terms: per (pair, left token a) keep the closest b
     # (ties by largest weight) — ONE max(struct(jw, w)) aggregate
@@ -170,10 +171,11 @@ def soft_tfidf_join(
         rows = rows.where(F.col("__lk") < F.col("__rk"))
     best = rows.groupBy("__lk", "__rk", "__a", "__w1").agg(
         F.max(F.struct(F.col("__jw"), F.col("__w2"))).alias("__m"))
+    # w1*w2 in DECIMAL for the same BIGINT-wrap reason as the norms
     terms = best.select(
         "__lk", "__rk",
-        ((F.col("__w1") * F.col("__m.__w2")).cast("double")
-         * F.col("__m.__jw")).alias("__term"))
+        ((F.col("__w1").cast("decimal(38,0)") * F.col("__m.__w2"))
+         .cast("double") * F.col("__m.__jw")).alias("__term"))
 
     @F.pandas_udf(T.DoubleType())
     def _fsum(ts: pd.Series) -> pd.Series:

@@ -189,8 +189,15 @@ def bag_distance_expr(l_col: Column, r_col: Column) -> Column:
     are version-dependent)."""
 
     def chars(c: Column) -> Column:
-        return F.transform(F.sequence(F.lit(1), F.length(c)),
-                           lambda i: F.substring(c, i, 1))
+        # sequence(1, 0) REVERSES to [1, 0] (Spark counts down when
+        # start > stop), which would fabricate two phantom '' chars
+        # for an empty string — guard with an explicit empty array
+        return F.when(
+            F.length(c) == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(c)),
+                        lambda i: F.substring(c, i, 1))
+        )
 
     lc, rc = chars(l_col), chars(r_col)
 

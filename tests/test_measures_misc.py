@@ -48,6 +48,17 @@ def test_bag_distance_expr_matches_python_twin(spark):
         assert got[i] == float(_bag_distance_py(a, b)), (a, b)
 
 
+def test_bag_distance_empty_string_edges(spark):
+    """Regression: sequence(1, 0) reverses to [1, 0] in Spark, which
+    once fabricated two phantom '' chars for empty strings —
+    bag_distance('', 'a') must be 1 (= levenshtein), not 2."""
+    rows = [(1, "", "a"), (2, "", ""), (3, "ab", ""), (4, "", "xyz")]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    got = {r.id: r.d for r in
+           df.select("id", bag_distance_expr(F.col("a"), F.col("b")).alias("d")).collect()}
+    assert got == {1: 1.0, 2: 0.0, 3: 2.0, 4: 3.0}
+
+
 def test_bag_distance_lower_bounds_levenshtein():
     ss = _rand_strings(30, seed=9)
     for a in ss[:15]:
