@@ -529,6 +529,22 @@ def q_candidate_estimate_doc(spark, sf_dir):
     )
 
 
+def q_hybrid_estimate_part(spark, sf_dir):
+    """Pre-flight predictors for the hybrid joins (estimate.py
+    estimate_hybrid_join_cost): vocabulary sizes, JW-survivor token
+    pairs, exact expansion meetings + the hottest pair — the capacity
+    plan for monge_elkan/soft_tfidf joins BEFORE paying them. The
+    oracle replicates the vocabulary cross with DuckDB's jw builtin
+    (bit-identical to the join's kernel) and the df products."""
+    from sparksimjoin import estimate_hybrid_join_cost
+
+    p = _t(spark, sf_dir, "part")
+    return estimate_hybrid_join_cost(
+        p, p, "p_partkey", "p_partkey", "p_name", "p_name", WS, 0.9,
+        inner="JARO_WINKLER", self_join=True,
+    )
+
+
 def q_cc_clusters_doc(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     edges = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.7,
@@ -978,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_callable_doc": q_matcher_callable_doc,
         "profile_documents": q_profile_documents,
         "candidate_estimate_doc": q_candidate_estimate_doc,
+        "hybrid_estimate_part": q_hybrid_estimate_part,
         "cc_clusters_doc": q_cc_clusters_doc,
         "cluster_audit_doc": q_cluster_audit_doc,
         "cluster_rep_doc": q_cluster_rep_doc,
@@ -1993,6 +2010,33 @@ SELECT 'lang', CAST(count(DISTINCT lang) AS BIGINT),
 UNION ALL
 SELECT 'source', CAST(count(DISTINCT source) AS BIGINT),
        CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+""",
+        # vocabulary cross with the jw builtin + df products — the
+        # exact numbers estimate_hybrid_join_cost computes
+        "hybrid_estimate_part": f"""
+WITH tok AS (
+  SELECT p_partkey AS id,
+         list_distinct(list_filter(string_split_regex(p_name, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM part WHERE p_name IS NOT NULL
+),
+ex AS (SELECT id, unnest(toks) AS token FROM tok),
+dft AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+tp AS (
+  SELECT a.token AS ta, b.token AS tb
+  FROM dft a, dft b
+  WHERE jaro_winkler_similarity(a.token, b.token) >= 0.9
+),
+per AS (
+  SELECT CAST(ca.c AS BIGINT) * cb.c AS meet
+  FROM tp JOIN dft ca ON ca.token = tp.ta JOIN dft cb ON cb.token = tp.tb
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM dft) AS vocab_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM dft) AS vocab_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM per) AS token_pairs,
+       (SELECT CAST(coalesce(sum(meet), 0) AS BIGINT) FROM per) AS est_candidates,
+       (SELECT CAST(coalesce(max(meet), 0) AS BIGINT) FROM per) AS max_pair_candidates
 """,
         "candidate_estimate_doc": f"""
 WITH tok AS (

@@ -35,7 +35,7 @@ from .cache import release_all, scoped_caches
 from .session import get_spark
 from .matcher import apply_matcher
 from .missing import get_pairs_with_missing_value
-from .estimate import estimate_join_cost
+from .estimate import estimate_hybrid_join_cost, estimate_join_cost
 from .profiler import profile_table_for_join
 from .converter import column_to_str
 from .clustering import connected_components

@@ -135,3 +135,85 @@ def estimate_join_cost(
             "est_candidates", "max_token_candidates", "hot_tokens",
         )
     )
+
+
+def estimate_hybrid_join_cost(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    inner: str = "JARO_WINKLER",
+    self_join: bool = False,
+) -> DataFrame:
+    """Pre-flight predictors for the hybrid joins (monge_elkan_join /
+    generalized_jaccard_join / soft_tfidf_join — ``inner`` =
+    'JARO_WINKLER' for ME/soft-TF-IDF at their threshold/theta,
+    'JARO' for GJ): one row of
+
+    - ``n_left`` / ``n_right``: joinable (non-null attr) records,
+    - ``vocab_left`` / ``vocab_right``: distinct-token vocabulary
+      sizes (what the inner-measure join actually scales with),
+    - ``token_pairs``: inner-measure survivor token pairs — the
+      vocabulary join's output (ordered pairs, diagonal included:
+      exactly the frame the expansion joins consume),
+    - ``est_candidates``: exact candidate MEETINGS the expansion
+      emits, Σ over surviving (a, b) of df(a)·df(b) — the shuffle
+      volume BEFORE the distinct/canonical-orientation filter (what
+      capacity planning needs; dedup only shrinks it),
+    - ``max_pair_candidates``: the largest single token pair's
+      meetings — the expansion's serialization risk (AQE skew-split
+      territory).
+
+    Cost: the vocabulary join (corpus-sublinear) plus linear token
+    aggregation — no record pair is ever materialized. The same
+    soundness floors as the joins apply (raised by the inner join)."""
+    from .joins.jaro import jaro_join, jaro_winkler_join
+    from .joins.monge_elkan import token_pair_candidates
+
+    inner = inner.upper()
+    if inner not in ("JARO", "JARO_WINKLER"):
+        raise ValueError(f"inner must be 'JARO' or 'JARO_WINKLER', got {inner!r}")
+    vocab_join = jaro_winkler_join if inner == "JARO_WINKLER" else jaro_join
+    validate_join_inputs(l_df, r_df, l_key_attr, r_key_attr,
+                         l_join_attr, r_join_attr)
+    tok = tokenizer.with_return_set(True)
+
+    def side(df, key, attr):
+        return (df.where(F.col(attr).isNotNull())
+                  .select(F.col(key).alias("__k"),
+                          tok.spark_expr(F.col(attr)).alias("__toks")))
+
+    l_side = side(l_df, l_key_attr, l_join_attr)
+    l_ex = l_side.select("__k", F.explode("__toks").alias("__tok"))
+    if self_join:
+        r_side, r_ex = l_side, l_ex
+    else:
+        r_side = side(r_df, r_key_attr, r_join_attr)
+        r_ex = r_side.select("__k", F.explode("__toks").alias("__tok"))
+
+    df_l = l_ex.groupBy("__tok").agg(F.count("*").alias("c_l"))
+    df_r = (df_l.select("__tok", F.col("c_l").alias("c_r")) if self_join
+            else r_ex.groupBy("__tok").agg(F.count("*").alias("c_r")))
+    tp = token_pair_candidates(l_ex, r_ex, vocab_join, threshold)
+    per_pair = (tp.join(df_l.withColumnRenamed("__tok", "__lt"), "__lt")
+                  .join(df_r.withColumnRenamed("__tok", "__rt"), "__rt")
+                  .select((F.col("c_l").cast("bigint") * F.col("c_r"))
+                          .alias("meet")))
+    agg = per_pair.agg(
+        F.count("*").alias("token_pairs"),
+        F.coalesce(F.sum("meet"), F.lit(0)).alias("est_candidates"),
+        F.coalesce(F.max("meet"), F.lit(0)).alias("max_pair_candidates"),
+    )
+    n_l = l_side.select(F.count("*").alias("n_left"))
+    n_r = (n_l.select(F.col("n_left").alias("n_right")) if self_join
+           else r_side.select(F.count("*").alias("n_right")))
+    v_l = df_l.select(F.count("*").alias("vocab_left"))
+    v_r = (v_l.select(F.col("vocab_left").alias("vocab_right")) if self_join
+           else df_r.select(F.count("*").alias("vocab_right")))
+    return (n_l.crossJoin(n_r).crossJoin(v_l).crossJoin(v_r).crossJoin(agg)
+            .select("n_left", "n_right", "vocab_left", "vocab_right",
+                    "token_pairs", "est_candidates", "max_pair_candidates"))

@@ -114,3 +114,60 @@ def test_edit_distance_rejected(spark):
         estimate_join_cost(df, df, "id", "id", "t", "t",
                            WhitespaceTokenizer(), "EDIT_DISTANCE", 2,
                            self_join=True)
+
+
+# ---------------------------------------------------- hybrid estimator
+def _typo_corpus(n=30):
+    words = ["johnson", "jonhson", "smith", "smyth", "walker", "ltd"]
+    rows = []
+    for i in range(n):
+        ws = sorted({words[(i * 5 + k) % len(words)] for k in range(1 + i % 3)})
+        rows.append((i, " ".join(ws)))
+    rows.append((n, None))
+    return rows
+
+
+def _hybrid_reference(rows, t):
+    from sparksimjoin.simfunctions import jaro_winkler_sim
+
+    recs = [sorted(set(s.split())) for _, s in rows if s is not None]
+    df = Counter(tok for r in recs for tok in r)
+    vocab = sorted(df)
+    tp = [(a, b) for a in vocab for b in vocab if jaro_winkler_sim(a, b) >= t]
+    meets = [df[a] * df[b] for a, b in tp]
+    return {
+        "n_left": len(recs), "n_right": len(recs),
+        "vocab_left": len(vocab), "vocab_right": len(vocab),
+        "token_pairs": len(tp),
+        "est_candidates": sum(meets),
+        "max_pair_candidates": max(meets) if meets else 0,
+    }
+
+
+def test_hybrid_estimate_matches_python_reference(spark):
+    from sparksimjoin import estimate_hybrid_join_cost
+
+    rows = _typo_corpus()
+    d = spark.createDataFrame(rows, ["id", "name"])
+    got = estimate_hybrid_join_cost(
+        d, d, "id", "id", "name", "name", WhitespaceTokenizer(), 0.9,
+        self_join=True,
+    ).collect()[0].asDict()
+    assert got == _hybrid_reference(rows, 0.9)
+
+
+def test_hybrid_estimate_upper_bounds_real_join(spark):
+    """est_candidates counts expansion meetings (ordered, pre-filter),
+    so it must upper-bound the real join's distinct canonical pairs."""
+    from sparksimjoin import estimate_hybrid_join_cost, monge_elkan_join
+
+    rows = _typo_corpus()
+    d = spark.createDataFrame(rows, ["id", "name"])
+    est = estimate_hybrid_join_cost(
+        d, d, "id", "id", "name", "name", WhitespaceTokenizer(), 0.9,
+        self_join=True,
+    ).collect()[0]
+    real = monge_elkan_join(d, d, "id", "id", "name", "name",
+                            WhitespaceTokenizer(), 0.9, self_join=True).count()
+    assert est.est_candidates >= 2 * real  # ordered meetings vs canonical pairs
+    assert est.token_pairs >= est.vocab_left  # diagonal always survives
