@@ -24,7 +24,9 @@ from .joins.monge_elkan import generalized_jaccard_join, monge_elkan_join
 from .joins.soft_tfidf import soft_tfidf_join
 from .joins.tversky import tversky_index_join
 from .alignment import Affine, NeedlemanWunsch, SmithWaterman
-from .simfunctions import GeneralizedJaccard
+from .simfunctions import (BagDistance, GeneralizedJaccard, HammingDistance,
+                           TverskyIndex)
+from .fuzz import partial_ratio, ratio, token_set_ratio, token_sort_ratio
 from .features import (DEFAULT_FEATURES, attr_equivalence_block,
                        featurize_pairs, match_by_rules, union_candsets)
 from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
@@ -45,7 +47,14 @@ from .audit import cluster_audit, cluster_audit_chain
 __all__ = [
     "Affine",
     "AlphanumericTokenizer",
+    "BagDistance",
     "GeneralizedJaccard",
+    "HammingDistance",
+    "TverskyIndex",
+    "partial_ratio",
+    "ratio",
+    "token_set_ratio",
+    "token_sort_ratio",
     "NeedlemanWunsch",
     "SmithWaterman",
     "DelimiterTokenizer",

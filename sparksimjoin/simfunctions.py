@@ -178,6 +178,56 @@ class GeneralizedJaccard:
     __call__ = get_raw_score
 
 
+class TverskyIndex:
+    """Parameterized Tversky index as a token-list callable —
+    upstream-API parity (py_stringmatching's TverskyIndex is exactly
+    what users pass to apply_matcher; the blocked join lives in
+    joins/tversky.py). Set semantics; both empty -> 1.0."""
+
+    def __init__(self, alpha: float = 0.5, beta: float = 0.5):
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+
+    def get_raw_score(self, l_tokens, r_tokens) -> float:
+        A, B = set(l_tokens), set(r_tokens)
+        if not A and not B:
+            return 1.0
+        if not A or not B:
+            return 0.0
+        o = len(A & B)
+        d = o + self.alpha * (len(A) - o) + self.beta * (len(B) - o)
+        return o / d if d else 0.0
+
+    __call__ = get_raw_score
+
+
+class BagDistance:
+    """Raw-string callable twin of the BAG_DISTANCE Column expression
+    (bag_distance_expr below) — for apply_matcher(tokenizer=None) and
+    for porting py_stringmatching code verbatim."""
+
+    def get_raw_score(self, s1: str, s2: str) -> float:
+        from collections import Counter
+
+        c1, c2 = Counter(s1), Counter(s2)
+        return float(max(sum((c1 - c2).values()), sum((c2 - c1).values())))
+
+    __call__ = get_raw_score
+
+
+class HammingDistance:
+    """Equal-length character mismatch count (raises on length
+    mismatch, the upstream convention); the blocked join lives in
+    joins/hamming.py."""
+
+    def get_raw_score(self, s1: str, s2: str) -> float:
+        if len(s1) != len(s2):
+            raise ValueError("HammingDistance requires equal-length strings")
+        return float(sum(a != b for a, b in zip(s1, s2)))
+
+    __call__ = get_raw_score
+
+
 def bag_distance_expr(l_col: Column, r_col: Column) -> Column:
     """Bag (multiset) distance between two strings as a PURE Column
     expression (JVM, whole-stage codegen — no UDF):

@@ -148,3 +148,53 @@ def test_matcher_bag_and_gj(spark):
         sa = set(tok.tokenize(names[r.l_id]))
         sb = set(tok.tokenize(names[r.r_id]))
         assert r._sim_score == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
+# --------------------------------------------- parity callable classes
+def test_tversky_index_callable():
+    from sparksimjoin import TverskyIndex
+
+    tv = TverskyIndex(alpha=0.7, beta=0.3)
+    # o=1, |A|=2, |B|=1: 1 / (1 + 0.7*1 + 0.3*0)
+    assert tv(["a", "b"], ["a"]) == pytest.approx(1 / 1.7)
+    assert TverskyIndex(0.5, 0.5)(["a"], ["a", "b"]) == pytest.approx(2 / 3)  # Dice
+    assert TverskyIndex(1, 1)(["a"], ["a", "b"]) == pytest.approx(0.5)        # Jaccard
+    assert tv([], []) == 1.0 and tv(["a"], []) == 0.0
+
+
+def test_bag_and_hamming_callables():
+    from sparksimjoin import BagDistance, HammingDistance
+
+    assert BagDistance()("", "a") == 1.0
+    assert BagDistance()("abb", "ba") == 1.0
+    assert HammingDistance()("abcd", "abed") == 1.0
+    with pytest.raises(ValueError):
+        HammingDistance()("ab", "abc")
+
+
+def test_fuzz_ratios():
+    from sparksimjoin import (partial_ratio, ratio, token_set_ratio,
+                              token_sort_ratio)
+
+    assert ratio("abcd", "abcd") == 100.0
+    assert ratio("", "") == 100.0
+    assert ratio("abcd", "wxyz") == 0.0
+    # difflib: M=3 matched chars, 2*3/(3+5)*100
+    assert ratio("abc", "zabcz") == pytest.approx(75.0)
+    assert partial_ratio("abc", "zabcz") == 100.0
+    assert partial_ratio("", "xyz") == 0.0
+    assert token_sort_ratio("world hello", "hello world") == 100.0
+    assert token_set_ratio("fuzzy was a bear", "fuzzy fuzzy was a bear") == 100.0
+    assert token_set_ratio("a b c", "a b c") == 100.0
+
+
+def test_fuzz_through_matcher(spark):
+    from sparksimjoin import apply_matcher, token_sort_ratio
+
+    rows = [(1, "hello world"), (2, "world hello"), (3, "bye moon")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    cand = df.alias("a").crossJoin(df.alias("b")).selectExpr(
+        "a.id AS l_id", "b.id AS r_id").where("l_id < r_id")
+    out = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id",
+                        "name", "name", None, token_sort_ratio, 90.0).collect()
+    assert {(r.l_id, r.r_id) for r in out} == {(1, 2)}
