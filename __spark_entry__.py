@@ -849,6 +849,17 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_weighted_dice_doc(spark, sf_dir):
+    """IDF-weighted Dice self-join (f = t/(2-t) prefix/band bounds,
+    same exact-integer weight machinery as weighted_jaccard_doc)."""
+    from sparksimjoin import weighted_dice_join
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_dice_join(d, d, "doc_id", "doc_id", "text", "text", WS,
+                             0.6, self_join=True)
+    return out.select("l_id", "r_id", F.col("_sim_score").alias("sim_score"))
+
+
 def q_weighted_jaccard_doc(spark, sf_dir):
     """IDF-weighted jaccard self-join (sparksimjoin/joins/weighted.py):
     exact-integer inverse-df weights w = (N*1e6) DIV df, weighted
@@ -983,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_filter_doc": q_suffix_filter_doc,
         "missing_pairs_doc": q_missing_pairs_doc,
         "weighted_jaccard_doc": q_weighted_jaccard_doc,
+        "weighted_dice_doc": q_weighted_dice_doc,
         "weighted_cosine_doc": q_weighted_cosine_doc,
         "topk_match_doc": q_topk_match_doc,
         "linkage_eval_doc": q_linkage_eval_doc,
@@ -1813,6 +1825,25 @@ ovw AS (SELECT a.id AS l_id, b.id AS r_id, CAST(sum(a.w) AS BIGINT) AS o
 SELECT l_id, r_id, CAST(o AS DOUBLE)/(x.tw + y.tw - o) AS sim_score
 FROM ovw JOIN rs x ON x.id = ovw.l_id JOIN rs y ON y.id = ovw.r_id
 WHERE CAST(o AS DOUBLE)/(x.tw + y.tw - o) >= 0.45
+""",
+        "weighted_dice_doc": f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ex2 AS (SELECT id, unnest(toks) AS token FROM tok WHERE len(toks) > 0),
+nrec AS (SELECT count(*) AS n FROM tok WHERE len(toks) > 0),
+dfc AS (SELECT token, count(*) AS df FROM ex2 GROUP BY token),
+wt AS (SELECT token, CAST((n.n * 1000000) // df AS BIGINT) AS w FROM dfc, nrec n),
+rw AS (SELECT e.id, e.token, wt.w FROM ex2 e JOIN wt USING (token)),
+rs AS (SELECT id, CAST(sum(w) AS BIGINT) AS tw FROM rw GROUP BY id),
+ovw AS (SELECT a.id AS l_id, b.id AS r_id, CAST(sum(a.w) AS BIGINT) AS o
+        FROM rw a JOIN rw b ON a.token = b.token AND a.id < b.id
+        GROUP BY 1, 2)
+SELECT l_id, r_id, CAST(2 * o AS DOUBLE)/(x.tw + y.tw) AS sim_score
+FROM ovw JOIN rs x ON x.id = ovw.l_id JOIN rs y ON y.id = ovw.r_id
+WHERE CAST(2 * o AS DOUBLE)/(x.tw + y.tw) >= 0.6
 """,
         "weighted_cosine_doc": f"""
 WITH tok AS (

@@ -29,7 +29,8 @@ from .simfunctions import (BagDistance, GeneralizedJaccard, HammingDistance,
 from .fuzz import partial_ratio, ratio, token_set_ratio, token_sort_ratio
 from .features import (DEFAULT_FEATURES, attr_equivalence_block,
                        featurize_pairs, match_by_rules, union_candsets)
-from .joins.weighted import weighted_cosine_join, weighted_jaccard_join
+from .joins.weighted import (weighted_cosine_join, weighted_dice_join,
+                             weighted_jaccard_join)
 from .ranking import topk_pairs
 from .evaluation import (best_threshold, clustering_pairwise_metrics,
                          pair_metrics, threshold_sweep)
@@ -101,5 +102,6 @@ __all__ = [
     "set_sim_join",
     "topk_pairs",
     "weighted_cosine_join",
+    "weighted_dice_join",
     "weighted_jaccard_join",
 ]

@@ -128,8 +128,13 @@ def _weighted_join(
     validate_threshold(threshold, "JACCARD")
     if salt_cap is not None and salt_cap <= 0:
         raise ValueError(f"salt_cap must be positive (got {salt_cap})")
-    # f: minimum overlap-weight fraction (module docstring step 2)
-    frac = threshold if measure == "JACCARD" else threshold * threshold
+    # f: minimum overlap-weight fraction (module docstring step 2).
+    # DICE: 2O/(W1+W2) >= t with W2 >= O gives O >= t*W1/(2-t), and
+    # 2*min/(min+max) >= t bounds the band at [f*W1, W1/f] with the
+    # same f — identical structure to jaccard/cosine.
+    frac = {"JACCARD": threshold,
+            "COSINE": threshold * threshold,
+            "DICE": threshold / (2.0 - threshold)}[measure]
     tok = tokenizer.with_return_set(True)
 
     l_tok = _tok_side(l_df, l_key_attr, l_join_attr, tok)
@@ -195,6 +200,10 @@ def _weighted_join(
         sim = F.col("_ow").cast("double") / (
             F.col("l_tw") + F.col("r_tw") - F.col("_ow")
         )
+    elif measure == "DICE":
+        sim = (F.lit(2) * F.col("_ow")).cast("double") / (
+            F.col("l_tw") + F.col("r_tw")
+        )
     else:  # COSINE: double product — bigint l_tw*r_tw can overflow
         sim = F.col("_ow").cast("double") / F.sqrt(
             F.col("l_tw").cast("double") * F.col("r_tw").cast("double")
@@ -259,4 +268,25 @@ def weighted_cosine_join(
     prefix/band bounds use f = threshold² — module docstring)."""
     return _weighted_join(l_df, r_df, l_key_attr, r_key_attr, l_join_attr,
                           r_join_attr, tokenizer, threshold, "COSINE",
+                          self_join, salt_cap)
+
+
+def weighted_dice_join(
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    l_join_attr: str,
+    r_join_attr: str,
+    tokenizer: Tokenizer,
+    threshold: float,
+    *,
+    self_join: bool = False,
+    salt_cap: int | None = None,
+) -> DataFrame:
+    """Weighted Dice twin of :func:`weighted_jaccard_join`
+    (2·W(x∩y)/(W(x)+W(y)); the prefix/band bounds use
+    f = t/(2−t) — derivation at the frac table in _weighted_join)."""
+    return _weighted_join(l_df, r_df, l_key_attr, r_key_attr, l_join_attr,
+                          r_join_attr, tokenizer, threshold, "DICE",
                           self_join, salt_cap)

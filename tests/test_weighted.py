@@ -49,6 +49,8 @@ def _brute(l_docs, r_docs, t, self_join, measure="JACCARD"):
             o = sum(w[x] for x in shared)
             if measure == "JACCARD":
                 sim = o / (tw_l[a] + tw_r[b] - o)
+            elif measure == "DICE":
+                sim = 2 * o / (tw_l[a] + tw_r[b])
             else:
                 sim = o / (float(tw_l[a]) * float(tw_r[b])) ** 0.5
             if sim >= t:
@@ -183,3 +185,24 @@ def test_salt_cap_validation(spark):
         weighted_jaccard_join(
             d, d, "doc_id", "doc_id", "text", "text", WS, 0.5, salt_cap=0
         )
+
+
+def test_weighted_dice_brute_force(spark):
+    from sparksimjoin import weighted_dice_join
+
+    docs = {
+        1: "alpha beta gamma", 2: "alpha beta", 3: "zylker systems llc",
+        4: "zylker llc", 5: "beta gamma delta eps", 6: "alpha beta gamma",
+        7: None, 8: "llc",
+    }
+    d = _docs_df(spark, docs)
+    for t in (0.5, 0.8):
+        got = {
+            (r.l_id, r.r_id): r._sim_score
+            for r in weighted_dice_join(
+                d, d, "doc_id", "doc_id", "text", "text", WS, t, self_join=True
+            ).collect()
+        }
+        want = _brute(docs, docs, t, self_join=True, measure="DICE")
+        assert got.keys() == want.keys(), (t, got.keys() ^ want.keys())
+        assert all(abs(got[k] - want[k]) < 1e-12 for k in got)
