@@ -158,3 +158,20 @@ def test_gj_join_sim_threshold_one_is_set_jaccard(spark):
     exp = {k for k, _ in _brute_gj(rows, rows, 0.7, sim_threshold=1.0,
                                    self_join=True).items()}
     assert got == exp
+
+
+def test_unicode_brute_force_parity(spark):
+    """Non-ASCII tokens through the whole funnel: char-multiset
+    blocking, JW kernels, ME verify (kernels are code-point exact —
+    tests/test_jaro.py; this checks the JOIN plumbing)."""
+    rows = [(1, "müller gmbh"), (2, "muller gmbh"), (3, "mūller gmbh"),
+            (4, "日本語 テスト"), (5, "日本語 テスト"), (6, "éclair"),
+            (7, "eclair"), (8, "müller")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = monge_elkan_join(df, df, "id", "id", "name", "name", WS, 0.85,
+                           self_join=True)
+    got = {(r.l_id, r.r_id): r._sim_score for r in out.collect()}
+    exp = _brute(rows, rows, 0.85, self_join=True)
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12), k
