@@ -110,6 +110,15 @@ def soft_tfidf_join(
                           tok.spark_expr(F.col(attr)).alias("__toks"))
                   .where(F.size("__toks") > 0))
 
+    # deliberately NOT persisted despite four consuming branches (df
+    # counts, norms, vocabulary, term expansion): the subtree is a
+    # pruned linear scan + tokenize, and a same-host A/B at sf0.1
+    # measured the tracked-persist variant SLOWER (244s vs 157s —
+    # InMemoryRelation hides broadcast-size stats and adds a
+    # materialization barrier). weighted.py's persist is different:
+    # its recompute repeats a crossJoin+aggregate. At 100 TB,
+    # checkpoint the tokenized sides explicitly if the repeated scans
+    # dominate.
     l_side = side(l_df, l_key_attr, l_join_attr, "__lk")
     r_side = side(r_df, r_key_attr, r_join_attr, "__rk")
     l_ex = l_side.select("__lk", F.explode("__toks").alias("__tok"))
