@@ -177,3 +177,125 @@ def streaming_turn_counts(stream: DataFrame, window: str = "5 minutes",
             "n_turns",
         )
     )
+
+
+def build_reference_index(
+    static_df: DataFrame,
+    t_key_attr: str,
+    t_join_attr: str,
+    tokenizer,
+    measure: str,
+    threshold: float,
+) -> DataFrame:
+    """Batch-side prefix index of a STATIC reference table for
+    :func:`match_stream_against_reference`: one row per (prefix token,
+    reference record) with the record's hashed verify array riding
+    along — (token, __t_id, __t_hashed, __t_sz).
+
+    Tokens are ordered by corpus rarity (df asc, token asc — the
+    engine's global order) before taking the prefix; the ONE-SIDED
+    prefix bound is order-free for soundness (if a probe shares no
+    token with prefix(y), overlap <= |y| - p < the measure's required
+    overlap — derivations match filter_math.prefix_length), rarity
+    ordering just minimizes index selectivity."""
+    from .filter_math import EDIT_DISTANCE, prefix_length_expr
+    from .joins.core import build_token_ranks
+
+    if measure.upper() == EDIT_DISTANCE:
+        raise ValueError("reference matching covers set measures; "
+                         "EDIT_DISTANCE blocking is size-band-structured")
+    tok = tokenizer.with_return_set(True)
+    tok_df = (static_df.where(F.col(t_join_attr).isNotNull())
+              .select(F.col(t_key_attr).alias("__t_id"),
+                      tok.spark_expr(F.col(t_join_attr)).alias("__toks"))
+              .where(F.size("__toks") > 0))
+    ranks = build_token_ranks([tok_df.select(F.col("__t_id").alias("id"),
+                                             F.col("__toks").alias("toks"))])
+    ordered = (tok_df.select("__t_id", F.explode("__toks").alias("token"))
+               .join(ranks.select("token", "tid"), "token")
+               .groupBy("__t_id")
+               .agg(F.array_sort(F.collect_list(F.struct("tid", "token")))
+                    .alias("__tt")))
+    rec = ordered.select(
+        "__t_id",
+        F.expr("transform(__tt, x -> x.token)").alias("__ord"),
+    ).select(
+        "__t_id", "__ord",
+        F.size("__ord").alias("__t_sz"),
+        F.array_sort(F.transform(F.col("__ord"), lambda x: F.xxhash64(x)))
+        .alias("__t_hashed"),
+    )
+    plen = prefix_length_expr(F.col("__t_sz"), measure.upper(), threshold)
+    return rec.select(
+        "__t_id", "__t_sz", "__t_hashed",
+        F.explode(F.slice("__ord", 1, plen)).alias("token"),
+    ).select("token", "__t_id", "__t_sz", "__t_hashed")
+
+
+def match_stream_against_reference(
+    stream: DataFrame,
+    static_df: DataFrame,
+    s_key_attr: str,
+    t_key_attr: str,
+    s_join_attr: str,
+    t_join_attr: str,
+    tokenizer,
+    measure: str,
+    threshold: float,
+    event_time: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """PURE-DECLARATIVE streaming entity matching against a fixed
+    reference catalog — no foreachBatch, no streaming aggregation:
+
+    1. probe records tokenize + hash per ROW (Column exprs only);
+    2. every probe token equi-joins the reference's one-sided PREFIX
+       index (a stream-static inner join — broadcast when the index is
+       small, shuffled otherwise);
+    3. exact sim_expr verify per joined row (JVM codegen);
+    4. a pair meeting through k shared prefix tokens is collapsed by
+       ``dropDuplicatesWithinWatermark`` — state is EVICTED once the
+       watermark passes (bounded state in a long-running stream, the
+       same lever as ingest_transcripts).
+
+    Contrast with ``link_transcript_stream`` (continuous incremental
+    linkage of the stream against ITSELF via checkpointed batches):
+    this is the "match incoming records against a master catalog"
+    shape, and the whole thing is one Catalyst streaming plan.
+
+    -> streaming DataFrame(s_<key>, t_<key>, _sim_score, <event_time>).
+    """
+    from .filter_math import COMP_OP_MAP, sim_expr
+
+    measure = measure.upper()
+    index = build_reference_index(static_df, t_key_attr, t_join_attr,
+                                  tokenizer, measure, threshold)
+    tok = tokenizer.with_return_set(True)
+    toks = tok.spark_expr(F.col(s_join_attr))
+    probes = (
+        stream.withWatermark(event_time, watermark)
+        .where(F.col(s_join_attr).isNotNull())
+        .select(
+            F.col(s_key_attr).alias("__s_id"),
+            F.col(event_time).alias("__ts"),
+            toks.alias("__s_toks"),
+        )
+        .where(F.size("__s_toks") > 0)
+        .select(
+            "__s_id", "__ts",
+            F.array_sort(F.transform(F.col("__s_toks"),
+                                     lambda x: F.xxhash64(x))).alias("__s_hashed"),
+            F.explode("__s_toks").alias("token"),
+        )
+    )
+    joined = probes.join(index, "token")
+    scored = joined.withColumn(
+        "_sim_score", sim_expr(F.col("__s_hashed"), F.col("__t_hashed"), measure)
+    ).where(COMP_OP_MAP[">="](F.col("_sim_score"), F.lit(float(threshold))))
+    out = scored.select(
+        F.col("__s_id").alias(f"s_{s_key_attr}"),
+        F.col("__t_id").alias(f"t_{t_key_attr}"),
+        "_sim_score",
+        F.col("__ts").alias(event_time),
+    )
+    return out.dropDuplicatesWithinWatermark([f"s_{s_key_attr}", f"t_{t_key_attr}"])

@@ -157,3 +157,60 @@ def test_link_transcript_stream_end_to_end(spark, tmp_path):
     full = run_pipeline(spark, spark.createDataFrame(pdf), str(tmp_path / "full"), cfg)
     rows_full = sorted((r["conv_id"], r["component"]) for r in full.collect())
     assert rows_stream == rows_full
+
+
+def test_stream_reference_matching(spark, tmp_path):
+    """Pure-declarative stream-vs-static matching: brute-force parity
+    on a tiny catalog + the multi-prefix-token meet collapses to one
+    output row (dropDuplicatesWithinWatermark)."""
+    import datetime
+
+    import pandas as pd
+
+    from sparksimjoin import WhitespaceTokenizer
+    from sparksimjoin.streaming import match_stream_against_reference
+
+    static_rows = [(100, "alpha beta gamma"), (101, "delta eps"),
+                   (102, "alpha beta"), (103, None)]
+    static = spark.createDataFrame(static_rows, ["ref_id", "name"])
+    ts0 = datetime.datetime(2026, 8, 19, 12, 0, 0)
+    probe_rows = [(1, "alpha beta gamma", ts0), (2, "zeta delta eps", ts0),
+                  (3, "omega psi", ts0), (4, None, ts0)]
+    src = tmp_path / "probes"
+    src.mkdir()
+    pdf = pd.DataFrame(probe_rows, columns=["probe_id", "name", "ts"])
+    pa_t = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(pa_t, str(src / "p.parquet"), coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    probe_stream = (
+        spark.readStream.schema("probe_id bigint, name string, ts timestamp")
+        .parquet(str(src))
+    )
+    out = match_stream_against_reference(
+        probe_stream, static, "probe_id", "ref_id", "name", "name",
+        WhitespaceTokenizer(), "JACCARD", 0.5,
+    )
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ref_matches").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.s_probe_id, r.t_ref_id): r._sim_score
+           for r in spark.sql("select * from ref_matches").collect()}
+
+    # brute force
+    exp = {}
+    for pid, ptext, _ in probe_rows:
+        if ptext is None:
+            continue
+        ps = set(ptext.split())
+        for rid, rtext in static_rows:
+            if rtext is None:
+                continue
+            rs = set(rtext.split())
+            j = len(ps & rs) / len(ps | rs)
+            if j >= 0.5:
+                exp[(pid, rid)] = pytest.approx(j)
+    assert got == exp
+    # probe 1 and ref 100 share three tokens (several prefix meets):
+    # exactly one output row proves the streaming dedup collapsed them
+    assert (1, 100) in got and len(got) == len(set(got))
