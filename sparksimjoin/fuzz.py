@@ -66,8 +66,14 @@ def token_set_ratio(s1: str, s2: str) -> float:
     """The fuzzywuzzy token-set construction: with I = sorted token
     intersection, D1/D2 = sorted per-side differences, the max of
     ratio(I, I+D1), ratio(I, I+D2), ratio(I+D1, I+D2) — duplicate- and
-    subset-tolerant."""
+    subset-tolerant. An empty token set on exactly one side scores 0
+    (without this guard the empty intersection would ride ratio's
+    both-empty -> 100 convention and match EVERYTHING); both sides
+    empty -> 100 (identical), a documented deviation from fuzzywuzzy's
+    0-on-empty short-circuit."""
     t1, t2 = set(s1.split()), set(s2.split())
+    if not t1 or not t2:
+        return 100.0 if not t1 and not t2 else 0.0
     inter = " ".join(sorted(t1 & t2))
     d1 = " ".join(sorted(t1 - t2))
     d2 = " ".join(sorted(t2 - t1))

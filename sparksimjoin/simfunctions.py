@@ -32,10 +32,14 @@ kernel (e.g. rapidfuzz) at the marked site.
 
 from __future__ import annotations
 
+from collections import Counter
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .filter_math import tversky_py as _tversky_py
 
 WINKLER_PREFIX_WEIGHT = 0.1
 WINKLER_BOOST_THRESHOLD = 0.7
@@ -189,14 +193,9 @@ class TverskyIndex:
         self.beta = float(beta)
 
     def get_raw_score(self, l_tokens, r_tokens) -> float:
-        A, B = set(l_tokens), set(r_tokens)
-        if not A and not B:
-            return 1.0
-        if not A or not B:
-            return 0.0
-        o = len(A & B)
-        d = o + self.alpha * (len(A) - o) + self.beta * (len(B) - o)
-        return o / d if d else 0.0
+        # one kernel: the same function the Column twin and the DuckDB
+        # oracle are checked against
+        return _tversky_py(l_tokens, r_tokens, self.alpha, self.beta)
 
     __call__ = get_raw_score
 
@@ -207,8 +206,6 @@ class BagDistance:
     for porting py_stringmatching code verbatim."""
 
     def get_raw_score(self, s1: str, s2: str) -> float:
-        from collections import Counter
-
         c1, c2 = Counter(s1), Counter(s2)
         return float(max(sum((c1 - c2).values()), sum((c2 - c1).values())))
 

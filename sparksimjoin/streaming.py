@@ -244,6 +244,7 @@ def match_stream_against_reference(
     threshold: float,
     event_time: str = "ts",
     watermark: str = "10 minutes",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """PURE-DECLARATIVE streaming entity matching against a fixed
     reference catalog — no foreachBatch, no streaming aggregation:
@@ -263,13 +264,24 @@ def match_stream_against_reference(
     this is the "match incoming records against a master catalog"
     shape, and the whole thing is one Catalyst streaming plan.
 
+    ``index``: a prebuilt :func:`build_reference_index` frame. When
+    omitted, the index is built here and PERSISTED (cache.track) —
+    stream-static joins re-execute the static plan every trigger, and
+    the index build (token ranks + ordering) is far too heavy to pay
+    per micro-batch; release with ``sparksimjoin.release_all`` (or
+    pass your own checkpointed index) when the query stops.
+
     -> streaming DataFrame(s_<key>, t_<key>, _sim_score, <event_time>).
     """
+    from .cache import track
     from .filter_math import COMP_OP_MAP, sim_expr
+    from .validation import validate_threshold
 
     measure = measure.upper()
-    index = build_reference_index(static_df, t_key_attr, t_join_attr,
-                                  tokenizer, measure, threshold)
+    validate_threshold(threshold, measure)
+    if index is None:
+        index = track(build_reference_index(static_df, t_key_attr, t_join_attr,
+                                            tokenizer, measure, threshold))
     tok = tokenizer.with_return_set(True)
     toks = tok.spark_expr(F.col(s_join_attr))
     probes = (

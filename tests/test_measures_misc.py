@@ -184,6 +184,14 @@ def test_fuzz_ratios():
     assert partial_ratio("abc", "zabcz") == 100.0
     assert partial_ratio("", "xyz") == 0.0
     assert token_sort_ratio("world hello", "hello world") == 100.0
+    # regression: an empty token set on ONE side must score 0 — the
+    # empty intersection once rode ratio's both-empty convention to
+    # 100 and matched everything
+    assert token_set_ratio("", "hello world") == 0.0
+    assert token_set_ratio("   ", "hello world") == 0.0
+    assert token_set_ratio("", "") == 100.0
+    # disjoint token sets: no shared tokens, plain sorted-diff ratio
+    assert token_set_ratio("aa bb", "cc dd") < 50.0
     assert token_set_ratio("fuzzy was a bear", "fuzzy fuzzy was a bear") == 100.0
     assert token_set_ratio("a b c", "a b c") == 100.0
 
