@@ -11,6 +11,13 @@ strings), except scores are returned as UNROUNDED floats in [0, 100]
 (fuzzywuzzy's ``int()`` truncation discards information; round at
 the call site if porting thresholds verbatim).
 
+CAVEAT (inherited from difflib, and present in fuzzywuzzy too):
+``SequenceMatcher``'s greedy longest-block matching is ORDER-DEPENDENT,
+so every ratio here can differ under argument swap (hypothesis finds
+e.g. ``token_sort_ratio('a aa', 'aa ba')`` = 66.7 vs 44.4 swapped).
+Symmetrize at the call site (``max(f(a,b), f(b,a))``) if your matcher
+semantics require it.
+
 These are deterministic pure-Python kernels with no SQL closed form
 (SequenceMatcher's greedy longest-contiguous-block matching is not
 LCS and is not expressible in the DuckDB oracle dialect), so they are
