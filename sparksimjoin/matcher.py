@@ -105,18 +105,24 @@ def apply_matcher(
             # inner, sim_threshold 0.5); parameterized variants via the
             # callable path with GeneralizedJaccard(...) instances
             assert tokenizer is not None, "tokenizer required for GENERALIZED_JACCARD"
-            from .simfunctions import generalized_jaccard_sim
+            from .simfunctions import generalized_jaccard_sim, jaro_sim
 
             gj_tok = tokenizer
 
             @F.pandas_udf(T.DoubleType())
             def gj_udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
+                # memoized inner jaro — same rationale as MONGE_ELKAN's
+                from functools import lru_cache
+
+                inner = lru_cache(maxsize=1 << 20)(jaro_sim)
+                tokenize = lru_cache(maxsize=1 << 18)(
+                    lambda s: tuple(gj_tok.tokenize(s)))
                 return pd.Series(
                     [
                         None
                         if a is None or b is None
-                        else generalized_jaccard_sim(gj_tok.tokenize(a),
-                                                     gj_tok.tokenize(b))
+                        else generalized_jaccard_sim(tokenize(a), tokenize(b),
+                                                     inner=inner)
                         for a, b in zip(ls, rs)
                     ],
                     dtype="float64",
@@ -129,17 +135,30 @@ def apply_matcher(
             # coercion; the mean weights duplicate tokens when a bag
             # tokenizer is passed). Asymmetric: left -> right.
             assert tokenizer is not None, "tokenizer required for MONGE_ELKAN"
-            from .simfunctions import monge_elkan_sim
+            from .simfunctions import jaro_winkler_sim, monge_elkan_sim
 
             me_tok = tokenizer
 
             @F.pandas_udf(T.DoubleType())
             def me_udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
+                # memoized inner kernel: candidate pairs repeat the
+                # same TOKEN pairs massively (vocabulary << pair
+                # volume), so the per-executor cache collapses the
+                # O(pairs * |A|*|B|) jw calls to ~distinct token pairs;
+                # bounded, deterministic (pure function of the args)
+                from functools import lru_cache
+
+                inner = lru_cache(maxsize=1 << 20)(jaro_winkler_sim)
+                # records repeat across candidate pairs too: cache the
+                # tokenization (tuple-ized for hashability)
+                tokenize = lru_cache(maxsize=1 << 18)(
+                    lambda s: tuple(me_tok.tokenize(s)))
                 return pd.Series(
                     [
                         None
                         if a is None or b is None
-                        else monge_elkan_sim(me_tok.tokenize(a), me_tok.tokenize(b))
+                        else monge_elkan_sim(tokenize(a), tokenize(b),
+                                             inner=inner)
                         for a, b in zip(ls, rs)
                     ],
                     dtype="float64",
