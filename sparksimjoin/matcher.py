@@ -26,6 +26,46 @@ from .tokenizers import Tokenizer
 SimFunction = Union[str, Callable[[list, list], float]]
 
 
+def _hybrid_token_udf(tokenizer: Tokenizer, sim_fn, inner_fn):
+    """Arrow-batched scorer for the hybrid token measures (Monge-Elkan,
+    Generalized Jaccard): ``sim_fn(tokens_a, tokens_b, inner=inner_fn)``
+    with memoization. Candidate pairs repeat the same token pairs AND
+    the same records massively (vocabulary << pair volume), so
+    lru_caches on the inner character kernel and on tokenization
+    collapse the Python call volume to ~distinct-token-pair count —
+    deterministic (pure functions), bounded (maxsize). lru_cache
+    wrappers do not pickle, so the caches are created lazily on the
+    worker (first batch) and stashed in a closure-level dict — the
+    deserialized UDF's closure persists across Arrow batches within a
+    worker process, so reuse spans every batch that worker scores
+    (building them inside the body unconditionally would discard them
+    per batch)."""
+    from functools import lru_cache
+
+    tok = tokenizer
+    state: dict = {}  # empty at pickle time; populated per worker
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
+        if not state:
+            state["inner"] = lru_cache(maxsize=1 << 20)(inner_fn)
+            state["tokenize"] = lru_cache(maxsize=1 << 18)(
+                lambda s: tuple(tok.tokenize(s)))
+        inner = state["inner"]
+        tokenize = state["tokenize"]
+        return pd.Series(
+            [
+                None
+                if a is None or b is None
+                else sim_fn(tokenize(a), tokenize(b), inner=inner)
+                for a, b in zip(ls, rs)
+            ],
+            dtype="float64",
+        )
+
+    return udf
+
+
 def apply_matcher(
     candset: DataFrame,
     candset_l_key_attr: str,
@@ -107,28 +147,8 @@ def apply_matcher(
             assert tokenizer is not None, "tokenizer required for GENERALIZED_JACCARD"
             from .simfunctions import generalized_jaccard_sim, jaro_sim
 
-            gj_tok = tokenizer
-
-            @F.pandas_udf(T.DoubleType())
-            def gj_udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
-                # memoized inner jaro — same rationale as MONGE_ELKAN's
-                from functools import lru_cache
-
-                inner = lru_cache(maxsize=1 << 20)(jaro_sim)
-                tokenize = lru_cache(maxsize=1 << 18)(
-                    lambda s: tuple(gj_tok.tokenize(s)))
-                return pd.Series(
-                    [
-                        None
-                        if a is None or b is None
-                        else generalized_jaccard_sim(tokenize(a), tokenize(b),
-                                                     inner=inner)
-                        for a, b in zip(ls, rs)
-                    ],
-                    dtype="float64",
-                )
-
-            score = gj_udf(F.col("__ls"), F.col("__rs"))
+            score = _hybrid_token_udf(tokenizer, generalized_jaccard_sim,
+                                      jaro_sim)(F.col("__ls"), F.col("__rs"))
         elif measure == "MONGE_ELKAN":
             # hybrid measure (Jaro-Winkler inner): tokens are taken
             # EXACTLY as the tokenizer produces them (bag or set — no
@@ -137,34 +157,8 @@ def apply_matcher(
             assert tokenizer is not None, "tokenizer required for MONGE_ELKAN"
             from .simfunctions import jaro_winkler_sim, monge_elkan_sim
 
-            me_tok = tokenizer
-
-            @F.pandas_udf(T.DoubleType())
-            def me_udf(ls: pd.Series, rs: pd.Series) -> pd.Series:
-                # memoized inner kernel: candidate pairs repeat the
-                # same TOKEN pairs massively (vocabulary << pair
-                # volume), so the per-executor cache collapses the
-                # O(pairs * |A|*|B|) jw calls to ~distinct token pairs;
-                # bounded, deterministic (pure function of the args)
-                from functools import lru_cache
-
-                inner = lru_cache(maxsize=1 << 20)(jaro_winkler_sim)
-                # records repeat across candidate pairs too: cache the
-                # tokenization (tuple-ized for hashability)
-                tokenize = lru_cache(maxsize=1 << 18)(
-                    lambda s: tuple(me_tok.tokenize(s)))
-                return pd.Series(
-                    [
-                        None
-                        if a is None or b is None
-                        else monge_elkan_sim(tokenize(a), tokenize(b),
-                                             inner=inner)
-                        for a, b in zip(ls, rs)
-                    ],
-                    dtype="float64",
-                )
-
-            score = me_udf(F.col("__ls"), F.col("__rs"))
+            score = _hybrid_token_udf(tokenizer, monge_elkan_sim,
+                                      jaro_winkler_sim)(F.col("__ls"), F.col("__rs"))
         else:
             assert measure in SET_SIM_MEASURES, measure
             assert tokenizer is not None, "tokenizer required for set measures"
