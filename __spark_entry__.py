@@ -244,6 +244,27 @@ def q_gen_jaccard_part(spark, sf_dir):
     return _pair_cols(out, "l_p_partkey", "r_p_partkey")
 
 
+def q_numeric_features_part(spark, sf_dir):
+    """Numeric half of the Magellan feature generation
+    (features.featurize_numeric_pairs): exact/absolute/relative
+    difference per numeric attribute over a blocked candset — pure
+    Column arithmetic, fully replicated by the oracle."""
+    from sparksimjoin import attr_equivalence_block, featurize_numeric_pairs
+
+    p = _t(spark, sf_dir, "part")
+    cand = attr_equivalence_block(p, p, "p_partkey", "p_partkey", "p_brand",
+                                  self_join=True)
+    out = featurize_numeric_pairs(
+        cand, "l_p_partkey", "r_p_partkey", p, p, "p_partkey", "p_partkey",
+        ["p_size", "p_retailprice"],
+    )
+    return out.select(
+        F.col("l_p_partkey").alias("l_id"), F.col("r_p_partkey").alias("r_id"),
+        "p_size_exact", "p_size_adiff", "p_size_rdiff",
+        "p_retailprice_exact", "p_retailprice_adiff", "p_retailprice_rdiff",
+    )
+
+
 def q_jaccard_qgram_part(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     out = jaccard_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name", QG3, 0.6,
@@ -983,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monge_elkan_join_part": q_monge_elkan_join_part,
         "gen_jaccard_join_part": q_gen_jaccard_join_part,
         "soft_tfidf_part": q_soft_tfidf_part,
+        "numeric_features_part": q_numeric_features_part,
         "soundex_part": q_soundex_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
@@ -1558,6 +1580,25 @@ scored AS (
   FROM pairs
 )
 SELECT l_id, r_id, sim_score FROM scored WHERE sim_score >= 0.3
+""",
+        "numeric_features_part": """
+SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+       CAST(a.p_size = b.p_size AS INT) AS p_size_exact,
+       abs(CAST(a.p_size AS DOUBLE) - b.p_size) AS p_size_adiff,
+       CASE WHEN greatest(abs(CAST(a.p_size AS DOUBLE)), abs(CAST(b.p_size AS DOUBLE))) = 0
+            THEN 0.0
+            ELSE abs(CAST(a.p_size AS DOUBLE) - b.p_size)
+                 / greatest(abs(CAST(a.p_size AS DOUBLE)), abs(CAST(b.p_size AS DOUBLE)))
+       END AS p_size_rdiff,
+       CAST(a.p_retailprice = b.p_retailprice AS INT) AS p_retailprice_exact,
+       abs(a.p_retailprice - b.p_retailprice) AS p_retailprice_adiff,
+       CASE WHEN greatest(abs(a.p_retailprice), abs(b.p_retailprice)) = 0
+            THEN 0.0
+            ELSE abs(a.p_retailprice - b.p_retailprice)
+                 / greatest(abs(a.p_retailprice), abs(b.p_retailprice))
+       END AS p_retailprice_rdiff
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 """,
         "jaccard_qgram_part": f"""
 WITH {_TOK_PART_Q3}

@@ -28,7 +28,8 @@ from .simfunctions import (BagDistance, GeneralizedJaccard, HammingDistance,
                            TverskyIndex)
 from .fuzz import partial_ratio, ratio, token_set_ratio, token_sort_ratio
 from .features import (DEFAULT_FEATURES, attr_equivalence_block,
-                       featurize_pairs, match_by_rules, union_candsets)
+                       featurize_numeric_pairs, featurize_pairs,
+                       match_by_rules, union_candsets)
 from .joins.weighted import (weighted_cosine_join, weighted_dice_join,
                              weighted_jaccard_join)
 from .ranking import topk_pairs

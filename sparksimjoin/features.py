@@ -310,3 +310,55 @@ def union_candsets(*candsets: DataFrame) -> DataFrame:
     for c in candsets[1:]:
         out = out.unionByName(c.select(*cols))
     return out.distinct()
+
+
+def featurize_numeric_pairs(
+    candset: DataFrame,
+    candset_l_key_attr: str,
+    candset_r_key_attr: str,
+    l_df: DataFrame,
+    r_df: DataFrame,
+    l_key_attr: str,
+    r_key_attr: str,
+    attrs: list,
+) -> DataFrame:
+    """Append per-pair NUMERIC features to ``candset`` (the numeric
+    half of Magellan's feature generation, Spark-first — pure Column
+    arithmetic, no UDF). ``attrs``: attribute names present on both
+    sides, or ``(l_attr, r_attr, out_name)`` triples.
+
+    Per attribute ``a`` (null inputs propagate to null features, the
+    ML-matcher convention):
+
+    - ``{a}_exact``  int: 1 iff l = r
+    - ``{a}_adiff``  double: ``abs(l - r)``
+    - ``{a}_rdiff``  double: ``abs(l - r) / max(abs(l), abs(r))``;
+                     0.0 when both values are 0 (this module's
+                     documented convention for the relative-difference
+                     denominator)
+    """
+    specs = [(a, a, a) if isinstance(a, str) else tuple(a) for a in attrs]
+    l_cols = [F.col(l_key_attr).alias("__lk")] + [
+        F.col(la).cast("double").alias(f"__l_{name}") for la, _, name in specs
+    ]
+    r_cols = [F.col(r_key_attr).alias("__rk")] + [
+        F.col(ra).cast("double").alias(f"__r_{name}") for _, ra, name in specs
+    ]
+    joined = candset.join(
+        l_df.select(*l_cols), candset[candset_l_key_attr] == F.col("__lk"), "left"
+    ).join(
+        r_df.select(*r_cols), candset[candset_r_key_attr] == F.col("__rk"), "left"
+    )
+    out_cols = [candset[c] for c in candset.columns]
+    for _, _, name in specs:
+        lv, rv = F.col(f"__l_{name}"), F.col(f"__r_{name}")
+        denom = F.greatest(F.abs(lv), F.abs(rv))
+        out_cols.append((lv == rv).cast("int").alias(f"{name}_exact"))
+        out_cols.append(F.abs(lv - rv).alias(f"{name}_adiff"))
+        out_cols.append(
+            F.when(lv.isNull() | rv.isNull(), F.lit(None).cast("double"))
+            .when(denom == 0, F.lit(0.0))
+            .otherwise(F.abs(lv - rv) / denom)
+            .alias(f"{name}_rdiff")
+        )
+    return joined.select(*out_cols)

@@ -223,3 +223,29 @@ def test_union_candsets(spark, blocked_tables):
     c3 = c1.withColumn("sim_score", F.lit(1.0))
     u2 = union_candsets(c3, c2)
     assert set(u2.columns) == {"l_id", "r_id"}
+
+
+def test_numeric_features(spark):
+    from sparksimjoin import featurize_numeric_pairs
+
+    rows = [(1, 10, 2.5), (2, 10, 0.0), (3, None, 0.0), (4, 40, -2.5)]
+    df = spark.createDataFrame(rows, "id bigint, qty int, price double")
+    cand = df.alias("a").crossJoin(df.alias("b")).selectExpr(
+        "a.id AS l_id", "b.id AS r_id").where("l_id < r_id")
+    out = featurize_numeric_pairs(cand, "l_id", "r_id", df, df, "id", "id",
+                                  ["qty", "price"])
+    got = {(r.l_id, r.r_id): r.asDict() for r in out.collect()}
+    # exact + adiff + rdiff
+    assert got[(1, 2)]["qty_exact"] == 1 and got[(1, 2)]["qty_adiff"] == 0.0
+    assert got[(1, 2)]["qty_rdiff"] == 0.0
+    assert got[(1, 4)]["qty_adiff"] == 30.0
+    assert got[(1, 4)]["qty_rdiff"] == pytest.approx(30 / 40)
+    # null propagates
+    assert got[(1, 3)]["qty_exact"] is None
+    assert got[(1, 3)]["qty_rdiff"] is None
+    # both zero -> rdiff 0.0, not NaN
+    assert got[(2, 3)]["price_exact"] == 1
+    assert got[(2, 3)]["price_rdiff"] == 0.0
+    # signed values: |2.5 - (-2.5)| / max(2.5, 2.5)
+    assert got[(1, 4)]["price_adiff"] == 5.0
+    assert got[(1, 4)]["price_rdiff"] == 2.0
