@@ -906,6 +906,23 @@ def q_weighted_cosine_doc(spark, sf_dir):
     return out.select("l_id", "r_id", F.col("_sim_score").alias("sim_score"))
 
 
+def q_tfidf_doc(spark, sf_dir):
+    """Plain (undampened) TF-IDF cosine self-join (joins/tfidf.py —
+    the bag/term-frequency member of the weighted family): integer IDF
+    weights w = (N*1000) DIV df, BIGINT term vectors v = tf·w,
+    DECIMAL(38,0)-exact dot products and norms, exactly three float
+    steps (two correctly-rounded casts+sqrts, one divide) — so the
+    HUGEINT SQL oracle lands on bit-identical doubles. Blocking is the
+    L2 prefix filter (Bayardo et al., WWW 2007) over the global rarity
+    order, salted through the shared hot-token machinery."""
+    from sparksimjoin import tfidf_join
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.7,
+                     self_join=True)
+    return out.select("l_id", "r_id", F.col("_sim_score").alias("sim_score"))
+
+
 def q_topk_match_doc(spark, sf_dir):
     """Per-record top-k match ranking (sparksimjoin/ranking.py): the
     thresholded jaccard pair set symmetrized to undirected neighbor
@@ -1018,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_doc": q_weighted_jaccard_doc,
         "weighted_dice_doc": q_weighted_dice_doc,
         "weighted_cosine_doc": q_weighted_cosine_doc,
+        "tfidf_doc": q_tfidf_doc,
         "topk_match_doc": q_topk_match_doc,
         "linkage_eval_doc": q_linkage_eval_doc,
         "threshold_sweep_doc": q_threshold_sweep_doc,
@@ -1904,6 +1922,34 @@ ovw AS (SELECT a.id AS l_id, b.id AS r_id, CAST(sum(a.w) AS BIGINT) AS o
 SELECT l_id, r_id, CAST(o AS DOUBLE)/sqrt(CAST(x.tw AS DOUBLE) * y.tw) AS sim_score
 FROM ovw JOIN rs x ON x.id = ovw.l_id JOIN rs y ON y.id = ovw.r_id
 WHERE CAST(o AS DOUBLE)/sqrt(CAST(x.tw AS DOUBLE) * y.tw) >= 0.65
+""",
+        # undampened TF-IDF cosine: integer weights/vectors replicated
+        # exactly; HUGEINT mirrors the engine's DECIMAL(38,0); the
+        # final three float steps are op-order-identical in both
+        # engines, so the filter sees bit-identical doubles
+        "tfidf_doc": f"""
+WITH tok0 AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (SELECT * FROM tok0 WHERE len(toks) > 0),
+nn AS (SELECT count(*) AS n FROM tok),
+ex AS (SELECT id, unnest(toks) AS token FROM tok),
+tf AS (SELECT id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+w AS (
+  SELECT token, CAST(((SELECT n FROM nn) * 1000) // count(*) AS BIGINT) AS w
+  FROM tf GROUP BY token
+),
+v AS (SELECT tf.id, tf.token, CAST(tf.tf * w.w AS BIGINT) AS v
+      FROM tf JOIN w USING (token)),
+nrm AS (SELECT id, sum(CAST(v AS HUGEINT) * v) AS n2 FROM v GROUP BY id),
+dt AS (SELECT a.id AS l_id, b.id AS r_id, sum(CAST(a.v AS HUGEINT) * b.v) AS d
+       FROM v a JOIN v b ON a.token = b.token AND a.id < b.id GROUP BY 1, 2)
+SELECT dt.l_id, dt.r_id,
+       CAST(dt.d AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sim_score
+FROM dt JOIN nrm x ON x.id = dt.l_id JOIN nrm y ON y.id = dt.r_id
+WHERE CAST(dt.d AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.7
 """,
         "topk_match_doc": f"""
 WITH {_TOK_DOC},

@@ -22,16 +22,19 @@ from .joins.hamming import hamming_join
 from .joins.jaro import jaro_join, jaro_winkler_join
 from .joins.monge_elkan import generalized_jaccard_join, monge_elkan_join
 from .joins.soft_tfidf import soft_tfidf_join
+from .joins.tfidf import tfidf_join
 from .joins.tversky import tversky_index_join
 from .alignment import Affine, NeedlemanWunsch, SmithWaterman
-from .simfunctions import (BagDistance, GeneralizedJaccard, HammingDistance,
-                           TverskyIndex)
-from .fuzz import partial_ratio, ratio, token_set_ratio, token_sort_ratio
+from .simfunctions import (BagDistance, Editex, GeneralizedJaccard,
+                           HammingDistance, TfIdf, TverskyIndex)
+from .fuzz import (partial_ratio, partial_token_sort_ratio, ratio,
+                   token_set_ratio, token_sort_ratio)
 from .features import (DEFAULT_FEATURES, attr_equivalence_block,
                        featurize_numeric_pairs, featurize_pairs,
                        match_by_rules, union_candsets)
 from .joins.weighted import (weighted_cosine_join, weighted_dice_join,
                              weighted_jaccard_join)
+from .ml import apply_ml_matcher, train_match_model
 from .ranking import topk_pairs
 from .evaluation import (best_threshold, clustering_pairwise_metrics,
                          pair_metrics, threshold_sweep)
@@ -50,10 +53,13 @@ __all__ = [
     "Affine",
     "AlphanumericTokenizer",
     "BagDistance",
+    "Editex",
     "GeneralizedJaccard",
     "HammingDistance",
+    "TfIdf",
     "TverskyIndex",
     "partial_ratio",
+    "partial_token_sort_ratio",
     "ratio",
     "token_set_ratio",
     "token_sort_ratio",
@@ -83,6 +89,9 @@ __all__ = [
     "jaro_join",
     "monge_elkan_join",
     "soft_tfidf_join",
+    "tfidf_join",
+    "train_match_model",
+    "apply_ml_matcher",
     "jaro_winkler_join",
     "overlap_coefficient_join",
     "overlap_join",

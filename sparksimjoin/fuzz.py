@@ -69,6 +69,13 @@ def token_sort_ratio(s1: str, s2: str) -> float:
     return ratio(_sorted_tokens(s1), _sorted_tokens(s2))
 
 
+def partial_token_sort_ratio(s1: str, s2: str) -> float:
+    """``partial_ratio`` over whitespace tokens re-joined in sorted
+    order — word-order-insensitive AND substring-tolerant (the
+    fuzzywuzzy composition of the two)."""
+    return partial_ratio(_sorted_tokens(s1), _sorted_tokens(s2))
+
+
 def token_set_ratio(s1: str, s2: str) -> float:
     """The fuzzywuzzy token-set construction: with I = sorted token
     intersection, D1/D2 = sorted per-side differences, the max of

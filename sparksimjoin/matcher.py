@@ -121,6 +121,14 @@ def apply_matcher(
             from .simfunctions import bag_distance_expr
 
             score = bag_distance_expr(F.col("__ls"), F.col("__rs"))
+        elif measure == "EDITEX":
+            # phonetic edit distance (Zobel & Dart 1996) at the
+            # conventional costs (0/1/2); distance semantics — pair
+            # with comp_op '<='. Parameterized costs via the callable
+            # path with Editex(...) instances and tokenizer=None.
+            from .simfunctions import Editex, _batched
+
+            score = _batched(Editex())(F.col("__ls"), F.col("__rs"))
         elif measure in ("JARO", "JARO_WINKLER"):
             # character-level measures: Arrow-batched exact kernels on
             # the raw strings (simfunctions.py); no tokenizer involved

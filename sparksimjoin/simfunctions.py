@@ -289,3 +289,150 @@ def jaro_expr(l_col: Column, r_col: Column) -> Column:
 def jaro_winkler_expr(l_col: Column, r_col: Column) -> Column:
     """Arrow-batched Jaro-Winkler similarity column."""
     return _batched(jaro_winkler_sim)(l_col, r_col)
+
+
+class TfIdf:
+    """TF-IDF cosine as a token-list callable — upstream-API parity
+    with py_stringmatching's ``TfIdf(corpus_list, dampen)``, the class
+    users pass to ``apply_matcher`` (``[R] py_stringsimjoin/matcher/
+    apply_matcher.py``, the extension point). The first-class blocked
+    join lives in ``joins/tfidf.py`` and implements the undampened
+    form with exact integer weights; THIS callable carries the
+    dampened log variant (the py_stringmatching default) and the
+    no-corpus local fallback.
+
+    Semantics (bag/multiset tokens):
+
+    - ``corpus_list`` given: ``df(t)`` = number of corpus documents
+      containing ``t``; ``N`` = corpus size. Tokens absent from the
+      corpus are SKIPPED (contribute nothing) — the upstream
+      convention.
+    - ``corpus_list=None``: the two input bags themselves are the
+      corpus (``N = 2``, df counted over them) — upstream's local
+      fallback.
+    - per-token values: ``idf = N / df``; dampened ``v = ln(idf) ·
+      ln(tf + 1)``, undampened ``v = idf · tf``;
+    - score = cosine of the two value vectors; 0.0 when the dot
+      product is 0 (incl. empty inputs).
+    """
+
+    def __init__(self, corpus_list=None, dampen: bool = True):
+        self.dampen = bool(dampen)
+        if corpus_list is None:
+            self._df = None
+            self._n = 0
+        else:
+            df: Counter = Counter()
+            n = 0
+            for doc in corpus_list:
+                n += 1
+                df.update(set(doc))
+            self._df = df
+            self._n = n
+
+    def get_raw_score(self, l_tokens, r_tokens) -> float:
+        import math
+
+        tf_x, tf_y = Counter(l_tokens), Counter(r_tokens)
+        if self._df is None:
+            curr_df: dict = {t: 1 for t in tf_x}
+            for t in tf_y:
+                curr_df[t] = curr_df.get(t, 0) + 1
+            corpus_size = 2
+        else:
+            curr_df, corpus_size = self._df, self._n
+        v_x_y = v_x_2 = v_y_2 = 0.0
+        for element in tf_x.keys() | tf_y.keys():
+            df_elem = curr_df.get(element)
+            if not df_elem:
+                continue
+            idf = corpus_size * 1.0 / df_elem
+            if self.dampen:
+                v_x = math.log(idf) * math.log(tf_x[element] + 1) if element in tf_x else 0.0
+                v_y = math.log(idf) * math.log(tf_y[element] + 1) if element in tf_y else 0.0
+            else:
+                v_x = idf * tf_x[element] if element in tf_x else 0.0
+                v_y = idf * tf_y[element] if element in tf_y else 0.0
+            v_x_y += v_x * v_y
+            v_x_2 += v_x * v_x
+            v_y_2 += v_y * v_y
+        return 0.0 if v_x_y == 0.0 else v_x_y / (math.sqrt(v_x_2) * math.sqrt(v_y_2))
+
+    __call__ = get_raw_score
+
+
+#: Editex letter groups (Zobel & Dart, SIGIR 1996, Table 1): letters
+#: that sound alike substitute at group_cost instead of mismatch_cost.
+#: A letter may sit in several groups (e.g. c ~ {ckq} and {csz}).
+EDITEX_GROUPS = (
+    "aeiouy", "bp", "ckq", "dt", "lr", "mn", "gj", "fpv", "sxz", "csz",
+)
+
+
+class Editex:
+    """Editex phonetic edit distance (Zobel & Dart, SIGIR 1996 —
+    "Phonetic string matching: lessons from information retrieval") as
+    a raw-string callable for ``apply_matcher(tokenizer=None)``, with
+    the conventional costs (match 0, group 1, mismatch 2). Distance
+    semantics — pair with comp_op ``<=``.
+
+    Recurrence (1-based, both strings notionally prefixed with a
+    boundary char):
+
+    - ``r(a, b)`` = match_cost if ``a == b``; group_cost if a and b
+      share a letter group; else mismatch_cost;
+    - ``d(prev, cur)`` (deletion cost) = ``r(prev, cur)`` except it is
+      group_cost when ``prev ∈ {h, w}`` and ``prev != cur`` (silent
+      h/w rule);
+    - ``ed(i, j) = min(ed(i-1, j) + d(s[i-1], s[i]),
+      ed(i, j-1) + d(t[j-1], t[j]), ed(i-1, j-1) + r(s[i], t[j]))``.
+
+    Case-insensitive (letters are lowercased before grouping — the
+    groups are defined over letters; non-letters only ever match
+    themselves at match_cost or anything else at mismatch_cost)."""
+
+    def __init__(self, match_cost: int = 0, group_cost: int = 1,
+                 mismatch_cost: int = 2):
+        self.match_cost = match_cost
+        self.group_cost = group_cost
+        self.mismatch_cost = mismatch_cost
+        self._groups = {}
+        for gi, g in enumerate(EDITEX_GROUPS):
+            for ch in g:
+                self._groups.setdefault(ch, set()).add(gi)
+
+    def _r(self, a: str, b: str) -> int:
+        if a == b:
+            return self.match_cost
+        if self._groups.get(a, set()) & self._groups.get(b, frozenset()):
+            return self.group_cost
+        return self.mismatch_cost
+
+    def _d(self, prev: str, cur: str) -> int:
+        if prev != cur and prev in "hw":
+            return self.group_cost
+        return self._r(prev, cur)
+
+    def get_raw_score(self, s1: str, s2: str) -> float:
+        s = " " + s1.lower()
+        t = " " + s2.lower()
+        l1, l2 = len(s) - 1, len(t) - 1
+        if l1 == 0:
+            return float(sum(self._d(t[j - 1], t[j]) for j in range(1, l2 + 1)))
+        if l2 == 0:
+            return float(sum(self._d(s[i - 1], s[i]) for i in range(1, l1 + 1)))
+        prev_row = [0] * (l2 + 1)
+        for j in range(1, l2 + 1):
+            prev_row[j] = prev_row[j - 1] + self._d(t[j - 1], t[j])
+        for i in range(1, l1 + 1):
+            row = [prev_row[0] + self._d(s[i - 1], s[i])] + [0] * l2
+            for j in range(1, l2 + 1):
+                row[j] = min(
+                    prev_row[j] + self._d(s[i - 1], s[i]),
+                    row[j - 1] + self._d(t[j - 1], t[j]),
+                    prev_row[j - 1] + self._r(s[i], t[j]),
+                )
+            prev_row = row
+        return float(prev_row[l2])
+
+    __call__ = get_raw_score

@@ -206,3 +206,116 @@ def test_fuzz_through_matcher(spark):
     out = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id",
                         "name", "name", None, token_sort_ratio, 90.0).collect()
     assert {(r.l_id, r.r_id) for r in out} == {(1, 2)}
+
+
+# ------------------------------------------------ TfIdf / Editex / fuzz
+def test_tfidf_callable_hand_values():
+    import math
+
+    from sparksimjoin import TfIdf
+
+    corpus = [["a", "b"], ["a", "c"], ["d"]]
+    # undampened: idf(a)=1.5, idf(b)=idf(c)=3; x=[a,b], y=[a,c]
+    # dot = 1.5*1.5 = 2.25; both norms² = 1.5² + 3² = 11.25
+    t = TfIdf(corpus, dampen=False)
+    assert t(["a", "b"], ["a", "c"]) == pytest.approx(2.25 / 11.25)
+    # dampened (the py_stringmatching default): v = ln(idf)·ln(tf+1)
+    va = math.log(1.5) * math.log(2)
+    vb = math.log(3.0) * math.log(2)
+    td = TfIdf(corpus)
+    assert td(["a", "b"], ["a", "c"]) == pytest.approx(va * va / (va * va + vb * vb))
+    # tokens absent from the corpus are skipped (upstream convention)
+    assert t(["zz"], ["zz"]) == 0.0
+    # local fallback + dampen: every shared token has df=2 -> idf=1 ->
+    # ln 0 -> score 0 even on identical bags — upstream's own
+    # documented behavior, reproduced deliberately
+    assert TfIdf()(["a", "b"], ["a", "b"]) == 0.0
+    # local fallback, undampened: plain cosine of tf vectors
+    assert TfIdf(dampen=False)(["a", "b"], ["a", "b"]) == pytest.approx(1.0)
+    assert TfIdf(dampen=False)(["a", "a", "b"], ["a", "b"]) < 1.0
+    assert TfIdf()([], ["a"]) == 0.0
+
+
+def test_editex_hand_values():
+    from sparksimjoin import Editex
+
+    e = Editex()
+    assert e("", "") == 0.0
+    assert e("abc", "abc") == 0.0
+    assert e("cat", "kat") == 1.0    # c~k share {ckq}
+    assert e("nina", "mina") == 1.0  # m~n share {mn}
+    assert e("dime", "time") == 1.0  # d~t share {dt}
+    assert e("a", "") == 2.0         # boundary deletion at mismatch cost
+    assert e("who", "wo") == 1.0     # silent-h rule: prev char is w
+    assert e("aha", "aa") == 2.0     # h after a: full deletion cost
+    assert e("CAT", "kat") == 1.0    # case-insensitive
+    assert e("dog", "fog") == 2.0    # d,f share no group
+    # parameterized costs flow through
+    e2 = Editex(match_cost=0, group_cost=2, mismatch_cost=4)
+    assert e2("cat", "kat") == 2.0
+
+
+def test_editex_symmetry_and_levenshtein_bound():
+    import random
+
+    from sparksimjoin import Editex
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            row = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                row[j] = min(prev[j] + 1, row[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = row
+        return prev[len(b)]
+
+    e = Editex()
+    rng = random.Random(5)
+    alpha = "abdhw t"
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+        assert e(a, b) == e(b, a)          # symmetric by construction
+        assert e(a, a) == 0.0
+        # every unit edit costs at most mismatch_cost=2 in editex
+        assert e(a, b) <= 2 * lev(a, b)
+
+
+def test_partial_token_sort_ratio():
+    from sparksimjoin import partial_token_sort_ratio
+
+    assert partial_token_sort_ratio("b a", "a b") == 100.0
+    # sorted("world hello") is a contiguous window of
+    # sorted("hello world extra") = "extra hello world"
+    assert partial_token_sort_ratio("world hello", "hello world extra") == 100.0
+    assert partial_token_sort_ratio("", "") == 100.0
+    assert 0.0 <= partial_token_sort_ratio("abc def", "xyz qrs") < 50.0
+
+
+def test_editex_through_matcher(spark):
+    rows = [(1, "cat"), (2, "kat"), (3, "dog")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    cand = df.alias("a").crossJoin(df.alias("b")).selectExpr(
+        "a.id AS l_id", "b.id AS r_id").where("l_id < r_id")
+    out = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id",
+                        "name", "name", None, "EDITEX", 1.0,
+                        comp_op="<=").collect()
+    assert {(r.l_id, r.r_id): r._sim_score for r in out} == {(1, 2): 1.0}
+
+
+def test_tfidf_through_matcher_callable(spark):
+    from sparksimjoin import TfIdf
+    from sparksimjoin.tokenizers import WhitespaceTokenizer
+
+    rows = [(1, "red widget"), (2, "red widget"), (3, "blue bolt")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    cand = df.alias("a").crossJoin(df.alias("b")).selectExpr(
+        "a.id AS l_id", "b.id AS r_id").where("l_id < r_id")
+    fn = TfIdf([["red", "widget"], ["red", "widget"], ["blue", "bolt"]],
+               dampen=False)
+    out = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id",
+                        "name", "name", WhitespaceTokenizer(), fn,
+                        0.9).collect()
+    assert {(r.l_id, r.r_id) for r in out} == {(1, 2)}
+    assert all(abs(r._sim_score - 1.0) < 1e-12 for r in out)

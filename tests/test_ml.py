@@ -1,0 +1,111 @@
+"""train_match_model / apply_ml_matcher: the pyspark.ml supervised
+matcher over featurize_pairs output — separable-corpus F1, null
+imputation, prediction determinism, model save/load round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksimjoin.features import featurize_pairs
+from sparksimjoin.ml import apply_ml_matcher, train_match_model
+
+
+def _labeled_feature_pairs(spark):
+    """Blocked-candset stand-in: every l<r pair of a tiny corpus where
+    entity duplicates share most tokens and non-duplicates share
+    none — separable on jaccard_ws by a wide margin."""
+    ents = {
+        0: ["acme rocket supplies inc", "acme rocket supplies"],
+        1: ["zylker data systems llc", "zylker data systems"],
+        2: ["northern pine furniture co", "northern pine furniture"],
+        3: ["blue river analytics", "blue river analytics ltd"],
+        4: ["quantum widget factory", "quantum widget factory gmbh"],
+    }
+    rows, eid = [], {}
+    rid = 0
+    for e, names in ents.items():
+        for n in names:
+            rows.append((rid, n))
+            eid[rid] = e
+            rid += 1
+    df = spark.createDataFrame(rows, ["id", "name"])
+    cand = df.alias("a").crossJoin(df.alias("b")).selectExpr(
+        "a.id AS l_id", "b.id AS r_id").where("l_id < r_id")
+    feats = featurize_pairs(cand, "l_id", "r_id", df, df, "id", "id",
+                            "name", "name")
+    from pyspark.sql import functions as F
+
+    lbl = spark.createDataFrame(
+        [(i, e) for i, e in eid.items()], ["rid", "eid"])
+    feats = (
+        feats.join(lbl.selectExpr("rid AS l_id", "eid AS le"), "l_id")
+        .join(lbl.selectExpr("rid AS r_id", "eid AS re"), "r_id")
+        .withColumn("label", (F.col("le") == F.col("re")).cast("int"))
+        .drop("le", "re")
+    )
+    return feats, eid
+
+
+@pytest.mark.parametrize("model", ["logistic", "random_forest"])
+def test_separable_corpus_perfect_f1(spark, model):
+    feats, eid = _labeled_feature_pairs(spark)
+    m = train_match_model(feats, model=model, seed=7)
+    out = apply_ml_matcher(m, feats.drop("label"))
+    got = {(r.l_id, r.r_id) for r in out.collect() if r._match == 1}
+    want = {(a, b) for a in eid for b in eid if a < b and eid[a] == eid[b]}
+    assert got == want
+    # probabilities are well-separated, not boundary-straddling
+    probs = {(r.l_id, r.r_id): r._match_prob for r in out.collect()}
+    assert all(probs[p] > 0.8 for p in want)
+    assert all(probs[p] < 0.2 for p in set(probs) - want)
+
+
+def test_prediction_determinism(spark):
+    feats, _ = _labeled_feature_pairs(spark)
+    m1 = train_match_model(feats, seed=7)
+    m2 = train_match_model(feats, seed=7)
+    o1 = sorted((r.l_id, r.r_id, r._match)
+                for r in apply_ml_matcher(m1, feats).collect())
+    o2 = sorted((r.l_id, r.r_id, r._match)
+                for r in apply_ml_matcher(m2, feats).collect())
+    assert o1 == o2
+
+
+def test_null_features_are_imputed(spark):
+    feats, _ = _labeled_feature_pairs(spark)
+    m = train_match_model(feats, seed=7)
+    from pyspark.sql import functions as F
+
+    # knock out a feature on some rows: scoring must not raise and
+    # must still emit a probability for every input row
+    holed = feats.withColumn(
+        "jaro", F.when(F.col("l_id") % 3 == 0, None).otherwise(F.col("jaro"))
+    )
+    out = apply_ml_matcher(m, holed)
+    assert out.count() == feats.count()
+    assert out.where(F.col("_match_prob").isNull()).count() == 0
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    from pyspark.ml import PipelineModel
+
+    feats, _ = _labeled_feature_pairs(spark)
+    m = train_match_model(feats, seed=7)
+    path = str(tmp_path / "match_model")
+    m.write().overwrite().save(path)
+    m2 = PipelineModel.load(path)
+    a = sorted((r.l_id, r.r_id, r._match)
+               for r in apply_ml_matcher(m, feats).collect())
+    b = sorted((r.l_id, r.r_id, r._match)
+               for r in apply_ml_matcher(m2, feats).collect())
+    assert a == b
+
+
+def test_validation_errors(spark):
+    feats, _ = _labeled_feature_pairs(spark)
+    with pytest.raises(ValueError):
+        train_match_model(feats, model="svm")
+    with pytest.raises(AssertionError):
+        train_match_model(feats, feature_cols=["not_a_feature"])
+    with pytest.raises(AssertionError):
+        train_match_model(feats.drop("label"))
