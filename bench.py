@@ -123,6 +123,17 @@ def _q_weighted(s, d):
                                  WS, 0.8, self_join=True)
 
 
+def _q_tfidf(s, d):
+    """Plain TF-IDF cosine self-join (joins/tfidf.py): exercises the
+    bag-tf record frames, the L2 prefix blocking, and the DECIMAL
+    map-lookup verify — all JVM-side, no Python stage."""
+    from sparksimjoin import tfidf_join
+
+    docs = _docs(s, d)
+    return tfidf_join(docs, docs, "doc_id", "doc_id", "text", "text",
+                      WS, 0.8, self_join=True)
+
+
 def _q_tversky(s, d):
     from sparksimjoin import tversky_index_join
 
@@ -153,6 +164,9 @@ def bench_queries():
         # weighted-prefix blocking + bigint verify path; t=0.8 keeps
         # the output selective on the 31-word bench vocabulary
         "weighted_jaccard_doc_t8": _q_weighted,
+        # plain TF-IDF cosine (joins/tfidf.py; NEW round 4h): bag tf,
+        # DECIMAL-exact verify, L2 prefix blocking
+        "tfidf_doc_t8": _q_tfidf,
         # asymmetric Tversky (0.7/0.3) rides the Dice-stack blocking at
         # t' = 2tc/(1-t+2tc) with the canonical-orientation verify
         "tversky_doc_t6": _q_tversky,
