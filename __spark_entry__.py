@@ -923,6 +923,30 @@ def q_tfidf_doc(spark, sf_dir):
     return out.select("l_id", "r_id", F.col("_sim_score").alias("sim_score"))
 
 
+def q_tfidf_damp_doc(spark, sf_dir):
+    """Dampened TF-IDF cosine self-join (joins/tfidf.py dampen=True —
+    py_stringmatching's default log form, v = ln(N/df)·ln(tf+1)):
+    doubles, but every sum runs in the deterministic ascending-tid
+    order. Cross-engine ln() parity is not guaranteed, so the join
+    runs with a below-cut threshold and the wrapper applies the
+    round-before-filter 0.8 cut (the soft_tfidf_part convention); the
+    oracle replicates weights/vectors/norms/score over ALL pairs
+    (valid: the L2 prefix blocking is lossless). Boundary safety
+    MEASURED at both gate scales over every raw score the 0.78 join
+    emits: the nearest score to any 0.5e-6 rounding boundary is
+    1.56e-11 (sf0.001, 40,091 scores) / 1.18e-11 (sf0.01, 38,861) in
+    sim units — ~10³ above the ln()/deterministic-summation
+    cross-engine noise floor (≤ ~1e-14 at ~50 terms/pair)."""
+    from sparksimjoin import tfidf_join
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.78,
+                     self_join=True, dampen=True)
+    return out.select(
+        "l_id", "r_id", F.round("_sim_score", 6).alias("sim_score")
+    ).where(F.col("sim_score") >= 0.8)
+
+
 def q_topk_match_doc(spark, sf_dir):
     """Per-record top-k match ranking (sparksimjoin/ranking.py): the
     thresholded jaccard pair set symmetrized to undirected neighbor
@@ -1036,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_dice_doc": q_weighted_dice_doc,
         "weighted_cosine_doc": q_weighted_cosine_doc,
         "tfidf_doc": q_tfidf_doc,
+        "tfidf_damp_doc": q_tfidf_damp_doc,
         "topk_match_doc": q_topk_match_doc,
         "linkage_eval_doc": q_linkage_eval_doc,
         "threshold_sweep_doc": q_threshold_sweep_doc,
@@ -1950,6 +1975,33 @@ SELECT dt.l_id, dt.r_id,
        CAST(dt.d AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sim_score
 FROM dt JOIN nrm x ON x.id = dt.l_id JOIN nrm y ON y.id = dt.r_id
 WHERE CAST(dt.d AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.7
+""",
+        # dampened TF-IDF: brute force over all pairs (lossless
+        # blocking), round-before-filter absorbs ln()/summation ulps
+        "tfidf_damp_doc": f"""
+WITH tok0 AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (SELECT * FROM tok0 WHERE len(toks) > 0),
+nn AS (SELECT count(*) AS n FROM tok),
+ex AS (SELECT id, unnest(toks) AS token FROM tok),
+tf AS (SELECT id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+w AS (
+  SELECT token, ln(CAST((SELECT n FROM nn) AS DOUBLE) / count(*)) AS w
+  FROM tf GROUP BY token
+),
+v AS (SELECT tf.id, tf.token, w.w * ln(tf.tf + 1.0) AS v
+      FROM tf JOIN w USING (token)),
+nrm AS (SELECT id, sum(v * v) AS n2 FROM v GROUP BY id),
+nz AS (SELECT * FROM nrm WHERE n2 > 0),
+dt AS (SELECT a.id AS l_id, b.id AS r_id, sum(a.v * b.v) AS d
+       FROM v a JOIN v b ON a.token = b.token AND a.id < b.id GROUP BY 1, 2)
+SELECT dt.l_id, dt.r_id,
+       round(dt.d / (sqrt(x.n2) * sqrt(y.n2)), 6) AS sim_score
+FROM dt JOIN nz x ON x.id = dt.l_id JOIN nz y ON y.id = dt.r_id
+WHERE round(dt.d / (sqrt(x.n2) * sqrt(y.n2)), 6) >= 0.8
 """,
         "topk_match_doc": f"""
 WITH {_TOK_DOC},

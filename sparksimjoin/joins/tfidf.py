@@ -30,13 +30,18 @@ NOTE below):
   rounded in both engines), one IEEE sqrt per norm, one divide.
 
 NOTE dampened variant: py_stringmatching's default ``dampen=True``
-scores with ``ln(idf)·ln(tf+1)`` — cross-engine bit-identity would
-hinge on ``ln()`` parity between java.lang.Math and libm, which is
-not guaranteed (same reason weighted.py rejects log-idf). The
-dampened measure is available as the drop-in
-:class:`sparksimjoin.simfunctions.TfIdf` callable for
-``apply_matcher``; this join implements the exactly-reproducible
-undampened form.
+scores with ``v = ln(N/df)·ln(tf+1)`` — cross-engine bit-identity
+would hinge on ``ln()`` parity between java.lang.Math and libm,
+which is not guaranteed (same reason weighted.py rejects log-idf).
+``tfidf_join(..., dampen=True)`` therefore computes every sum in a
+DETERMINISTIC order (ascending-tid aggregates over sorted arrays —
+stable across reruns and partitionings) and its oracle goes through
+round-before-filter with a measured boundary margin (the
+monge_elkan/soft_tfidf convention) instead of bit-equality; the
+undampened default remains the bit-reproducible form. The drop-in
+:class:`sparksimjoin.simfunctions.TfIdf` callable covers
+``apply_matcher`` over pre-built candsets (it needs a driver-side
+corpus list — the join computes corpus statistics distributed).
 
 Blocking is the L2 prefix filter (Bayardo et al., WWW 2007 "Scaling
 Up All Pairs Similarity Search", adapted to the rarest-first global
@@ -92,18 +97,36 @@ def _bag_side(df: DataFrame, key: str, attr: str, tok: Tokenizer) -> DataFrame:
     )
 
 
-def _rec_frame(bag_df: DataFrame, wtab: DataFrame, threshold: float) -> DataFrame:
+def _rec_frame(bag_df: DataFrame, wtab: DataFrame, threshold: float,
+               dampen: bool) -> DataFrame:
     """(id, tids asc = global rarity order, vmap tid→v, n2, prefix).
 
     All array/map ops — no window, no Python. ``prefix`` keeps the
     positions whose preceding cumulative norm² is ≤ (1−t²)·‖v‖²
-    (module docstring; epsilon-widened, lossless)."""
+    (module docstring; epsilon-widened, lossless). Undampened:
+    ``v = tf·w`` BIGINT, norms exact in DECIMAL. Dampened:
+    ``v = ln(tf+1)·w`` double, norms accumulated in ASCENDING-tid
+    order over the sorted array — a DETERMINISTIC double summation
+    (no groupBy-order wobble), which is what lets the oracle's
+    round-before-filter margin be meaningful. Dampened records whose
+    every token is corpus-ubiquitous (all ``ln(idf) = 0``) have a
+    zero vector — no direction — and are dropped here."""
+    if dampen:
+        acc = "CAST(0.0 AS DOUBLE)"
+        step = "a + x * x"
+        cum_step = "st.s + x * x"
+    else:
+        acc = f"CAST(0 AS {_DEC})"
+        step = f"CAST(a + CAST(x AS {_DEC}) * x AS {_DEC})"
+        cum_step = f"CAST(st.s + CAST(x AS {_DEC}) * x AS {_DEC})"
+    v = (F.log(F.col("tf") + F.lit(1.0)) * F.col("w") if dampen
+         else F.col("tf") * F.col("w"))
     tf = (
         bag_df.select("id", F.explode("toks").alias("token"))
         .groupBy("id", "token")
         .agg(F.count("*").alias("tf"))
         .join(wtab.select("token", "tid", "w"), "token")
-        .select("id", "tid", (F.col("tf") * F.col("w")).alias("v"))
+        .select("id", "tid", v.alias("v"))
     )
     rec = tf.groupBy("id").agg(
         F.array_sort(F.collect_list(F.struct("tid", "v"))).alias("_tv")
@@ -114,18 +137,18 @@ def _rec_frame(bag_df: DataFrame, wtab: DataFrame, threshold: float) -> DataFram
         F.expr("transform(_tv, x -> x.v)").alias("vs"),
     ).select(
         "id", "tids", "vs",
-        F.expr(
-            f"aggregate(vs, CAST(0 AS {_DEC}), "
-            f"(a, x) -> CAST(a + CAST(x AS {_DEC}) * x AS {_DEC}))"
-        ).alias("n2"),
+        F.expr(f"aggregate(vs, {acc}, (a, x) -> {step})").alias("n2"),
     )
+    if dampen:
+        rec = rec.where(F.col("n2") > 0)
     # prefix length p = #{i : cum_{i-1} <= (1-t²)·n2}; the cumulative
-    # runs in exact DECIMAL, only the comparison is float (widened)
+    # runs in the exact accumulator type, only the comparison is
+    # float (widened)
     bound = f"(1.0d - {threshold * threshold!r}) * CAST(n2 AS DOUBLE) + 1e-6"
     p = (
-        f"aggregate(vs, struct(CAST(0 AS {_DEC}) AS s, 0 AS c), "
+        f"aggregate(vs, struct({acc} AS s, 0 AS c), "
         "(st, x) -> struct("
-        f"CAST(st.s + CAST(x AS {_DEC}) * x AS {_DEC}) AS s, "
+        f"{cum_step} AS s, "
         f"st.c + IF(CAST(st.s AS DOUBLE) <= {bound}, 1, 0) AS c), "
         "st -> st.c)"
     )
@@ -148,14 +171,26 @@ def tfidf_join(
     *,
     self_join: bool = False,
     salt_cap: int | None = None,
+    dampen: bool = False,
 ) -> DataFrame:
-    """-> (l_id, r_id, _sim_score) pairs with undampened TF-IDF
-    cosine >= ``threshold`` (module docstring carries the exact
-    semantics). Records with no tokens are skipped (a zero vector has
-    no direction — same contract as the weighted joins). On
-    ``self_join`` only ``l_id < r_id`` is emitted; document
-    frequencies are computed over BOTH inputs for a two-table join
-    (one shared weight space) and once for a self-join."""
+    """-> (l_id, r_id, _sim_score) pairs with TF-IDF cosine >=
+    ``threshold`` (module docstring carries the exact semantics).
+
+    ``dampen=False`` (default): the exactly-reproducible integer-
+    weight form (``v = tf · ((N·SCALE) DIV df)``, DECIMAL-exact
+    sums). ``dampen=True``: py_stringmatching's default log form
+    ``v = ln(tf+1) · ln(N/df)`` in doubles — every sum runs in the
+    DETERMINISTIC ascending-tid order over sorted arrays (no
+    aggregation-order wobble), but cross-engine ln() parity is not
+    guaranteed, so oracle comparisons for the dampened form go
+    through round-before-filter (the monge_elkan convention) rather
+    than bit-equality. Dampened records whose every token is corpus-
+    ubiquitous (``ln(idf) = 0`` throughout) have a zero vector and
+    are skipped, as are token-less records (no direction — the
+    weighted-join contract). On ``self_join`` only ``l_id < r_id``
+    is emitted; document frequencies are computed over BOTH inputs
+    for a two-table join (one shared weight space) and once for a
+    self-join."""
     validate_join_inputs(l_df, r_df, l_key_attr, r_key_attr, l_join_attr,
                          r_join_attr, None, None)
     validate_threshold(threshold, "COSINE")
@@ -179,13 +214,19 @@ def tfidf_join(
     for extra in corpus[1:]:
         n_df = n_df.unionByName(extra)
     n_df = n_df.agg(F.count("*").alias("_n"))
-    wtab = ranks.crossJoin(F.broadcast(n_df)).select(
-        "token", "tid",
-        F.expr(f"CAST((_n * {TFIDF_SCALE}) DIV cnt AS BIGINT)").alias("w"),
+    w = (
+        # ln(N/df): double division FIRST, then one ln — the oracle
+        # mirrors the op order (its ln may still differ by an ulp,
+        # absorbed by round-before-filter)
+        F.log(F.col("_n").cast("double") / F.col("cnt"))
+        if dampen
+        else F.expr(f"CAST((_n * {TFIDF_SCALE}) DIV cnt AS BIGINT)")
     )
+    wtab = ranks.crossJoin(F.broadcast(n_df)).select("token", "tid", w.alias("w"))
 
-    rec_l = track(_rec_frame(l_bag, wtab, threshold))
-    rec_r = rec_l if self_join else track(_rec_frame(r_bag, wtab, threshold))
+    rec_l = track(_rec_frame(l_bag, wtab, threshold, dampen))
+    rec_r = rec_l if self_join else track(
+        _rec_frame(r_bag, wtab, threshold, dampen))
 
     ex_l = rec_l.select(F.col("id").alias("l_id"), F.explode("prefix").alias("token"))
     ex_r = rec_r.select(F.col("id").alias("r_id"), F.explode("prefix").alias("token"))
@@ -208,12 +249,21 @@ def tfidf_join(
         F.col("id").alias("r_id"), F.col("tids").alias("r_tids"),
         F.col("vmap").alias("r_vmap"), F.col("n2").alias("r_n2"),
     )
-    dot = F.expr(
-        "CAST(aggregate(array_intersect(l_tids, r_tids), "
-        f"CAST(0 AS {_DEC}), "
-        f"(a, t) -> CAST(a + CAST(l_vmap[t] AS {_DEC}) * r_vmap[t] AS {_DEC})"
-        ") AS DOUBLE)"
-    )
+    if dampen:
+        # deterministic summation: array_intersect preserves l_tids'
+        # ascending order, so the double adds run in a fixed order
+        dot = F.expr(
+            "aggregate(array_intersect(l_tids, r_tids), "
+            "CAST(0.0 AS DOUBLE), "
+            "(a, t) -> a + l_vmap[t] * r_vmap[t])"
+        )
+    else:
+        dot = F.expr(
+            "CAST(aggregate(array_intersect(l_tids, r_tids), "
+            f"CAST(0 AS {_DEC}), "
+            f"(a, t) -> CAST(a + CAST(l_vmap[t] AS {_DEC}) * r_vmap[t] AS {_DEC})"
+            ") AS DOUBLE)"
+        )
     # op order mirrored EXACTLY in the SQL oracle: double(dot) /
     # (sqrt(double(l_n2)) * sqrt(double(r_n2)))
     sim = dot / (

@@ -180,6 +180,104 @@ def test_plan_is_equi_join_not_cartesian(spark):
             or "BroadcastHashJoin" in plan)
 
 
+def _brute_damp(l_docs, r_docs, t, self_join):
+    """Dampened twin: v = ln(N/df)·ln(tf+1); sums in ascending global
+    (df, token) rank order — the engine's deterministic order. The
+    comparison tolerance absorbs Python-vs-JVM ln()/summation ulps."""
+    def bags(docs):
+        out = {}
+        for i, s in docs.items():
+            if s is None:
+                continue
+            v = s.split()
+            if v:
+                out[i] = collections.Counter(v)
+        return out
+
+    lb = bags(l_docs)
+    rb = lb if self_join else bags(r_docs)
+    corpus = list(lb.values()) + ([] if self_join else list(rb.values()))
+    n = len(corpus)
+    df = collections.Counter(tok for bag in corpus for tok in bag)
+    order = {tok: i for i, tok in
+             enumerate(sorted(df, key=lambda x: (df[x], x)))}
+    w = {tok: math.log(float(n) / c) for tok, c in df.items()}
+
+    def vecs(b):
+        return {i: {tok: w[tok] * math.log(tf + 1.0) for tok, tf in bag.items()}
+                for i, bag in b.items()}
+
+    vec_l, vec_r = vecs(lb), (None if not self_join else None)
+    vec_r = vec_l if self_join else vecs(rb)
+
+    def n2(vec):
+        s = 0.0
+        for tok in sorted(vec, key=order.__getitem__):
+            s += vec[tok] * vec[tok]
+        return s
+
+    n2_l = {i: n2(v) for i, v in vec_l.items()}
+    n2_r = n2_l if self_join else {i: n2(v) for i, v in vec_r.items()}
+    out = {}
+    for a, va in vec_l.items():
+        if n2_l[a] <= 0:
+            continue
+        for b, vb in vec_r.items():
+            if (self_join and not a < b) or n2_r[b] <= 0:
+                continue
+            shared = sorted(va.keys() & vb.keys(), key=order.__getitem__)
+            if not shared:
+                continue
+            dot = 0.0
+            for x in shared:
+                dot += va[x] * vb[x]
+            sim = dot / (math.sqrt(n2_l[a]) * math.sqrt(n2_r[b]))
+            if sim >= t:
+                out[(a, b)] = sim
+    return out
+
+
+def test_dampened_brute_force_parity(spark):
+    import random
+
+    rng = random.Random(91)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = {
+        i: " ".join(rng.choices(vocab, k=rng.randint(3, 12))) for i in range(70)
+    }
+    docs[70] = None
+    d = _docs_df(spark, docs)
+    for t in (0.4, 0.7):
+        got = {
+            (r.l_id, r.r_id): r._sim_score
+            for r in tfidf_join(
+                d, d, "doc_id", "doc_id", "text", "text", WS, t,
+                self_join=True, dampen=True,
+            ).collect()
+        }
+        want = _brute_damp(docs, docs, t, self_join=True)
+        # ln()/fp-order ulps: require agreement far inside the
+        # round-before-filter granularity, and identical membership
+        # away from the threshold boundary (margin checked below)
+        margin = min(
+            (abs(s - t) for s in want.values()), default=1.0)
+        assert margin > 1e-9, "fixture sits on the threshold boundary"
+        assert got.keys() == want.keys(), (t, got.keys() ^ want.keys())
+        assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
+def test_dampened_zero_vector_records_skipped(spark):
+    # "common" appears in every record -> ln(idf)=0; record 3 has ONLY
+    # that token -> zero vector -> must not pair with anything
+    docs = {1: "common rare1 rare2", 2: "common rare1 rare2", 3: "common"}
+    d = _docs_df(spark, docs)
+    out = tfidf_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.01,
+                     self_join=True, dampen=True).collect()
+    pairs = {(r.l_id, r.r_id) for r in out}
+    assert pairs == {(1, 2)}
+    assert all(abs(r._sim_score - 1.0) < 1e-12 for r in out)
+
+
 def test_salt_cap_validation(spark):
     d = _docs_df(spark, {1: "a"})
     with pytest.raises(ValueError):
