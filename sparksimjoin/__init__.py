@@ -26,7 +26,7 @@ from .joins.tfidf import tfidf_join
 from .joins.tversky import tversky_index_join
 from .alignment import Affine, NeedlemanWunsch, SmithWaterman
 from .simfunctions import (BagDistance, Editex, GeneralizedJaccard,
-                           HammingDistance, TfIdf, TverskyIndex)
+                           HammingDistance, Soundex, TfIdf, TverskyIndex)
 from .fuzz import (partial_ratio, partial_token_sort_ratio, ratio,
                    token_set_ratio, token_sort_ratio)
 from .features import (DEFAULT_FEATURES, attr_equivalence_block,
@@ -56,6 +56,7 @@ __all__ = [
     "Editex",
     "GeneralizedJaccard",
     "HammingDistance",
+    "Soundex",
     "TfIdf",
     "TverskyIndex",
     "partial_ratio",

@@ -436,3 +436,19 @@ class Editex:
         return float(prev_row[l2])
 
     __call__ = get_raw_score
+
+
+class Soundex:
+    """Soundex as a SIMILARITY MEASURE (py_stringmatching-API parity):
+    1.0 iff the two strings' American Soundex codes are equal, else
+    0.0 — a raw-string callable for ``apply_matcher(tokenizer=None)``.
+    The encoding itself (and the blocking that uses it) lives in
+    ``sparksimjoin.blocking`` (``soundex_expr`` / ``soundex_py`` /
+    ``phonetic_candidates``)."""
+
+    def get_raw_score(self, s1: str, s2: str) -> float:
+        from .blocking import soundex_py
+
+        return 1.0 if soundex_py(s1) == soundex_py(s2) else 0.0
+
+    __call__ = get_raw_score

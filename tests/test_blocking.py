@@ -147,3 +147,80 @@ def test_phonetic_candidates_brute(spark):
             for y in range(x + 1, len(ids)):
                 exp[(ids[x], ids[y])] = code
     assert got == exp
+
+
+# ----------------------------------------------------- NYSIIS encoding
+def test_nysiis_cited_values():
+    from sparksimjoin.blocking import nysiis_py
+
+    # the commonly cited classic-NYSIIS reference values
+    assert nysiis_py("MACINTOSH") == "MCANT"
+    assert nysiis_py("KNIGHT") == "NAGT"
+    assert nysiis_py("BESSEY") == "BASY"
+    assert nysiis_py("MACDONALD") == "MCDANALD"
+    assert nysiis_py("AARON") == "ARAN"
+    # rule-derived edges
+    assert nysiis_py("bessie") == "BASY"          # IE suffix + lowercase
+    assert nysiis_py("") == ""
+    assert nysiis_py("123 !") == ""               # letters only
+    assert nysiis_py("Schmidt") == "SNAD"         # SCH prefix + DT suffix
+    assert nysiis_py("MACDONALD", max_len=6) == "MCDANA"
+    # same-sounding variants bucket together
+    assert nysiis_py("PHILLIPS") == nysiis_py("FILLIPS")
+    assert nysiis_py("KNUTH") == nysiis_py("NUTH")
+
+
+def test_phonetic_candidates_nysiis_brute_force(spark):
+    from sparksimjoin.blocking import nysiis_py, phonetic_candidates
+
+    names = ["knight", "night", "bessey", "bessie", "macdonald",
+             "mcdonald", "aaron", "arundel", None, "phillips", "fillips"]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r.l_id, r.r_id) for r in phonetic_candidates(
+        df, "id", "name", encoding="nysiis").collect()}
+    want = {
+        (i, j)
+        for i in range(len(names)) for j in range(i + 1, len(names))
+        if names[i] is not None and names[j] is not None
+        and nysiis_py(names[i]) != "" and nysiis_py(names[i]) == nysiis_py(names[j])
+    }
+    assert got == want
+    assert want  # fixture actually exercises shared buckets
+    # output column is named after the encoding
+    cols = phonetic_candidates(df, "id", "name", encoding="nysiis").columns
+    assert cols == ["l_id", "r_id", "nysiis"]
+    with pytest.raises(ValueError):
+        phonetic_candidates(df, "id", "name", encoding="metaphone")
+
+
+def test_soundex_measure_callable(spark):
+    from sparksimjoin import Soundex, apply_matcher
+
+    sx = Soundex()
+    assert sx("Robert", "Rupert") == 1.0
+    assert sx("Robert", "Ashcraft") == 0.0
+    rows = [(1, "Robert"), (2, "Rupert"), (3, "Ashcraft")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    cand = df.alias("a").crossJoin(df.alias("b")).selectExpr(
+        "a.id AS l_id", "b.id AS r_id").where("l_id < r_id")
+    out = apply_matcher(cand, "l_id", "r_id", df, df, "id", "id",
+                        "name", "name", None, sx, 1.0).collect()
+    assert {(r.l_id, r.r_id) for r in out} == {(1, 2)}
+
+
+def test_soundex_py_matches_column_expr(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.blocking import soundex_expr, soundex_py
+
+    rng = random.Random(77)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    words = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.c for r in df.select("w", soundex_expr(F.col("w")).alias("c")).collect()}
+    for w in words:
+        assert got[w] == soundex_py(w), (w, got[w], soundex_py(w))
