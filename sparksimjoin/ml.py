@@ -75,6 +75,58 @@ def _prep(df: DataFrame, cols: list[str], na_fill: float) -> DataFrame:
     return df
 
 
+def sample_pairs(
+    candset: DataFrame,
+    l_key: str,
+    r_key: str,
+    n: int,
+    seed: int = 42,
+    stratify_col: str | None = None,
+    n_strata: int = 10,
+) -> DataFrame:
+    """Deterministic candidate sample for LABELING (the Magellan
+    ``sample_table`` step that precedes training): ~``n`` pairs chosen
+    by ranking on ``xxhash64(l_key, r_key, seed)`` — a pure function
+    of the DATA, so the same input always yields the same sample
+    regardless of partitioning (``F.rand`` would not be, across
+    re-materializations). With ``stratify_col`` (e.g. a similarity
+    score), the sample is spread evenly across ``n_strata``
+    equal-width buckets of that column's [min, max] range — labeled
+    sets that cover the whole score range train far better matchers
+    than top-heavy ones. Ranking is one window per stratum key (tiny
+    key cardinality), not a global sort of the candset."""
+    from pyspark.sql import Window
+
+    assert n > 0
+    h = F.xxhash64(F.col(l_key), F.col(r_key), F.lit(seed))
+    if stratify_col is None:
+        w = Window.orderBy(h, F.col(l_key), F.col(r_key))
+        # single-partition window over ~n survivors only: pre-filter
+        # by an approximate hash cut is not deterministic, so rank the
+        # full set but ONLY when unstratified (document: prefer
+        # stratified at scale)
+        return (candset.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= n).drop("__rn"))
+    lo, hi = candset.agg(
+        F.min(stratify_col), F.max(stratify_col)).collect()[0]
+    if lo is None or hi is None:
+        return candset.limit(0)
+    width = (float(hi) - float(lo)) or 1.0
+    bucket = F.least(
+        F.lit(n_strata - 1),
+        F.floor((F.col(stratify_col) - F.lit(float(lo))) / F.lit(width)
+                * n_strata).cast("int"),
+    )
+    per = max(1, n // n_strata)
+    w = Window.partitionBy("__b").orderBy(h, F.col(l_key), F.col(r_key))
+    return (
+        candset.withColumn("__b", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= per)
+        .drop("__b", "__rn")
+    )
+
+
 def train_match_model(
     train_df: DataFrame,
     label_col: str = "label",

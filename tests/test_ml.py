@@ -109,3 +109,47 @@ def test_validation_errors(spark):
         train_match_model(feats, feature_cols=["not_a_feature"])
     with pytest.raises(AssertionError):
         train_match_model(feats.drop("label"))
+
+
+def test_sample_pairs_deterministic_and_stratified(spark):
+    from pyspark.sql import functions as F
+
+    from sparksimjoin.ml import sample_pairs
+
+    rows = [(i, j, (i * 31 + j) % 100 / 100.0)
+            for i in range(40) for j in range(i + 1, 40)]
+    cand = spark.createDataFrame(rows, ["l_id", "r_id", "score"])
+
+    s1 = sorted(map(tuple, sample_pairs(cand, "l_id", "r_id", 50).collect()))
+    s2 = sorted(map(tuple, sample_pairs(
+        cand.repartition(7), "l_id", "r_id", 50).collect()))
+    assert s1 == s2  # partitioning-invariant
+    assert len(s1) == 50
+    s3 = sorted(map(tuple, sample_pairs(cand, "l_id", "r_id", 50,
+                                        seed=99).collect()))
+    assert s3 != s1  # seed actually changes the draw
+
+    strat = sample_pairs(cand, "l_id", "r_id", 50, stratify_col="score",
+                         n_strata=10)
+    got = strat.collect()
+    assert len(got) == 50
+    buckets = {min(9, int(r.score * 10)) for r in got}
+    assert len(buckets) == 10  # every score decile represented
+    # deterministic too
+    again = sample_pairs(cand.repartition(5), "l_id", "r_id", 50,
+                         stratify_col="score", n_strata=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_sample_pairs_empty_and_degenerate(spark):
+    from sparksimjoin.ml import sample_pairs
+
+    empty = spark.createDataFrame([], "l_id long, r_id long, score double")
+    assert sample_pairs(empty, "l_id", "r_id", 10,
+                        stratify_col="score").count() == 0
+    # constant stratify column: single bucket, still returns rows
+    one = spark.createDataFrame([(1, 2, 0.5), (1, 3, 0.5), (2, 3, 0.5)],
+                                ["l_id", "r_id", "score"])
+    out = sample_pairs(one, "l_id", "r_id", 10, stratify_col="score",
+                       n_strata=5).collect()
+    assert 1 <= len(out) <= 3
