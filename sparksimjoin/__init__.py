@@ -3,6 +3,7 @@ join engine (filter-verify paradigm of py_stringsimjoin, re-expressed
 as Catalyst-optimized DataFrame plans; SURVEY.md)."""
 
 from .tokenizers import (
+    AlphabeticTokenizer,
     AlphanumericTokenizer,
     DelimiterTokenizer,
     QgramTokenizer,
@@ -51,6 +52,7 @@ from .audit import cluster_audit, cluster_audit_chain
 
 __all__ = [
     "Affine",
+    "AlphabeticTokenizer",
     "AlphanumericTokenizer",
     "BagDistance",
     "Editex",

@@ -139,3 +139,18 @@ class AlphanumericTokenizer(Tokenizer):
     def spark_expr(self, col: Column) -> Column:
         arr = F.filter(F.split(col, r"[^a-zA-Z0-9]+"), lambda x: x != "")
         return self._maybe_set_sql(arr)
+
+
+@dataclass(frozen=True)
+class AlphabeticTokenizer(Tokenizer):
+    """Maximal runs of ASCII letters (py_stringmatching's
+    AlphabeticTokenizer; digits and punctuation are separators)."""
+
+    def tokenize(self, s: str) -> list[str]:
+        if s is None:
+            return []
+        return self._maybe_set_py(re.findall(r"[a-zA-Z]+", s))
+
+    def spark_expr(self, col: Column) -> Column:
+        arr = F.filter(F.split(col, r"[^a-zA-Z]+"), lambda x: x != "")
+        return self._maybe_set_sql(arr)

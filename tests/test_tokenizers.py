@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sparksimjoin.tokenizers import (
+    AlphabeticTokenizer,
     AlphanumericTokenizer,
     DelimiterTokenizer,
     QgramTokenizer,
@@ -34,6 +35,8 @@ TOKENIZERS = [
     WhitespaceTokenizer(return_set=True),
     DelimiterTokenizer(delim=","),
     AlphanumericTokenizer(),
+    AlphabeticTokenizer(),
+    AlphabeticTokenizer(return_set=True),
 ]
 
 
