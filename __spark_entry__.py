@@ -732,6 +732,21 @@ def q_text_stats_doc(spark, sf_dir):
     )
 
 
+def q_decontam_doc(spark, sf_dir):
+    """Benchmark decontamination (Brown et al. 2020's n-gram overlap
+    guard): every 20th document plays the held-out eval set; a corpus
+    doc is contaminated when it shares >= 1 distinct word 5-gram with
+    it. The benchmark n-gram set is broadcast — the corpus side never
+    shuffles its exploded grams (decontam.py module docstring)."""
+    from sparksimjoin.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0).select("text")
+    return decontaminate(d, "doc_id", "text", bench, "text", n=5, min_hits=1).select(
+        "id", "n_ngrams", "bench_hits", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def q_events_by_type(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -1082,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup_doc": q_segment_dedup_doc,
         "ngram_dedup_part": q_ngram_dedup_part,
         "text_stats_doc": q_text_stats_doc,
+        "decontam_doc": q_decontam_doc,
         "events_by_type": q_events_by_type,
         "user_event_doc": q_user_event_doc,
         "ann_topk": q_ann_topk,
@@ -2471,6 +2487,37 @@ SELECT s.id AS id, CAST(s.n_chars AS INT) AS n_chars, CAST(s.n_tokens AS INT) AS
            + 0.2 * least(CASE WHEN s.n_tokens > 0 THEN CAST(s.en_hits AS DOUBLE) / s.n_tokens ELSE 0.0 END * 4, 1.0), 6) AS quality,
        md5(array_to_string(list_sort(list_distinct(s.toks)), ' ')) AS fingerprint
 FROM s JOIN lang_pick ON s.id = lang_pick.id
+""",
+        # distinct word 5-grams per doc; benchmark = every 20th doc;
+        # hit count = set-intersection size (decontam.py semantics)
+        "decontam_doc": f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '{_WS_RE}'), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_distinct(list_transform(range(1, len(toks) - 3),
+                                        i -> array_to_string(toks[i:i+4], ' ')))
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM tok
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM grams WHERE id % 20 = 0
+),
+hits AS (
+  SELECT g.id, count(*) AS bench_hits
+  FROM (SELECT id, unnest(grams) AS gram FROM grams) g
+  JOIN bench USING (gram)
+  GROUP BY g.id
+)
+SELECT grams.id AS id,
+       CAST(len(grams.grams) AS INT) AS n_ngrams,
+       CAST(coalesce(hits.bench_hits, 0) AS INT) AS bench_hits,
+       CAST(coalesce(hits.bench_hits, 0) >= 1 AS INT) AS contaminated
+FROM grams LEFT JOIN hits ON grams.id = hits.id
 """,
         "events_by_type": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 from ..cache import track
 from ..tokenizers import Tokenizer
 from ..validation import validate_join_inputs, validate_threshold
-from .core import AUTO_SALT_CAP, apply_salt, build_salt_map, build_token_ranks
+from .core import apply_salt, build_salt_map, build_token_ranks, resolve_salt_cap
 
 #: weight quantization: w = (N * WEIGHT_SCALE) DIV df
 WEIGHT_SCALE = 1_000_000
@@ -170,7 +170,7 @@ def _weighted_join(
         F.col("id").alias("r_id"), F.col("tw").alias("r_tw"),
         F.explode("prefix").alias("token"),
     )
-    salt_map = build_salt_map(ranks, salt_cap or AUTO_SALT_CAP, key_col="tid")
+    salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap), key_col="tid")
     ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
 
     eps = 1e-9
