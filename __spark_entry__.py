@@ -747,6 +747,43 @@ def q_decontam_doc(spark, sf_dir):
     )
 
 
+def q_pii_doc(spark, sf_dir):
+    """PII scan + redaction (pii.py): deterministic synthetic PII is
+    injected into the document text by an expression the oracle
+    replicates verbatim (emails on doc_id%3, phones on %4, IPv4 on
+    %5), then counted and redacted by the portable Java∩RE2 regex
+    set. Map-only — zero shuffle besides the final id join."""
+    from sparksimjoin.pii import pii_redact, pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" call 555-"),
+                     (did % 900 + 100).cast("string"), F.lit("-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                     F.lit("."), ((did * 7) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", aug.alias("text"))
+    scan = pii_scan(base, "doc_id", "text")
+    red = pii_redact(base, "doc_id", "text").select(
+        "id", F.md5("redacted").alias("redacted_md5")
+    )
+    return scan.join(red, "id")
+
+
 def q_events_by_type(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -1098,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dedup_part": q_ngram_dedup_part,
         "text_stats_doc": q_text_stats_doc,
         "decontam_doc": q_decontam_doc,
+        "pii_doc": q_pii_doc,
         "events_by_type": q_events_by_type,
         "user_event_doc": q_user_event_doc,
         "ann_topk": q_ann_topk,
@@ -1443,6 +1481,37 @@ JOIN embeddings qb ON qb.vec_id = c.r_id
 WHERE round(list_dot_product(qa.embedding, qb.embedding) /
             (sqrt(list_dot_product(qa.embedding, qa.embedding)) *
              sqrt(list_dot_product(qb.embedding, qb.embedding))), 6) >= {threshold}
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of q_pii_doc, with the regexes taken from the same
+    PII_PATTERNS dict the engine compiles."""
+    from sparksimjoin.pii import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS INT) AS n_{name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"len(regexp_extract_all(t, '{p}'))"
+                       for p in PII_PATTERNS.values())
+    red = "t"
+    for name, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '[{name.upper()}_REDACTED]', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id AS id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS t
+  FROM documents
+)
+SELECT id,
+  {counts},
+  CAST({total} AS INT) AS n_pii,
+  md5({red}) AS redacted_md5
+FROM aug
 """
 
 
@@ -2519,6 +2588,9 @@ SELECT grams.id AS id,
        CAST(coalesce(hits.bench_hits, 0) >= 1 AS INT) AS contaminated
 FROM grams LEFT JOIN hits ON grams.id = hits.id
 """,
+        # patterns injected from sparksimjoin.pii.PII_PATTERNS (the
+        # Java∩RE2 portable subset) so engine and oracle cannot drift
+        "pii_doc": _pii_oracle_sql(),
         "events_by_type": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type
