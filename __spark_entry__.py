@@ -747,6 +747,20 @@ def q_decontam_doc(spark, sf_dir):
     )
 
 
+def q_metablock_part(spark, sf_dir):
+    """Meta-blocking (Papadakis et al. TKDE 2014) over token blocking
+    of part names: weighted blocking graph + node-centric WNP pruning
+    with all pruning comparisons in exact integer arithmetic
+    (metablocking.py determinism contract). Deterministic slice keeps
+    the dense comparison graph oracle-sized."""
+    from sparksimjoin.metablocking import meta_block
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 10 == 0)
+    return meta_block(
+        p, "p_partkey", "p_name", prune="wnp", max_block_size=150
+    )
+
+
 def q_pii_doc(spark, sf_dir):
     """PII scan + redaction (pii.py): deterministic synthetic PII is
     injected into the document text by an expression the oracle
@@ -1136,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_doc": q_text_stats_doc,
         "decontam_doc": q_decontam_doc,
         "pii_doc": q_pii_doc,
+        "metablock_part": q_metablock_part,
         "events_by_type": q_events_by_type,
         "user_event_doc": q_user_event_doc,
         "ann_topk": q_ann_topk,
@@ -2591,6 +2606,45 @@ FROM grams LEFT JOIN hits ON grams.id = hits.id
         # patterns injected from sparksimjoin.pii.PII_PATTERNS (the
         # Java∩RE2 portable subset) so engine and oracle cannot drift
         "pii_doc": _pii_oracle_sql(),
+        # blocking graph + WNP pruning; all pruning comparisons are
+        # integer-exact (sums of CBS weights, never float summation)
+        "metablock_part": f"""
+WITH base AS (
+  SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey % 10 = 0
+),
+post AS (
+  SELECT DISTINCT id,
+         unnest(list_filter(string_split_regex(s, '{_WS_RE}'), x -> x <> '')) AS token
+  FROM base WHERE s IS NOT NULL
+),
+dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+kept AS (
+  SELECT post.id, post.token FROM post JOIN dfreq USING (token)
+  WHERE df BETWEEN 2 AND 150
+),
+nb AS (SELECT id, count(*) AS nb FROM kept GROUP BY id),
+edges AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS cbs
+  FROM kept a JOIN kept b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+g AS (
+  SELECT l_id, r_id, cbs, nl.nb AS bl, nr.nb AS br,
+         CAST(cbs AS DOUBLE) / (nl.nb + nr.nb - cbs) AS js
+  FROM edges JOIN nb nl ON edges.l_id = nl.id JOIN nb nr ON edges.r_id = nr.id
+),
+nstat AS (
+  SELECT node, sum(w) AS sw, count(*) AS deg FROM (
+    SELECT l_id AS node, cbs AS w FROM g
+    UNION ALL SELECT r_id, cbs FROM g
+  ) GROUP BY node
+)
+SELECT g.l_id AS l_id, g.r_id AS r_id, CAST(g.cbs AS BIGINT) AS cbs, g.js AS js,
+       CAST(g.cbs AS DOUBLE) AS weight
+FROM g JOIN nstat sl ON g.l_id = sl.node JOIN nstat sr ON g.r_id = sr.node
+WHERE CAST(g.cbs AS HUGEINT) * sl.deg >= sl.sw
+   OR CAST(g.cbs AS HUGEINT) * sr.deg >= sr.sw
+""",
         "events_by_type": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type
