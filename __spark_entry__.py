@@ -747,6 +747,20 @@ def q_decontam_doc(spark, sf_dir):
     )
 
 
+def q_mutual_best_doc(spark, sf_dir):
+    """One-to-one linkage: jaccard-scored document pairs reduced to
+    mutual-best (symmetric nearest neighbor) matches — argmax per
+    record via a map-side-combinable min(struct), no window
+    (ranking.mutual_best_pairs)."""
+    from sparksimjoin.ranking import mutual_best_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    scored = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, 0.6,
+                          allow_empty=False, self_join=True)
+    scored = _pair_cols(scored, "l_doc_id", "r_doc_id")
+    return mutual_best_pairs(scored, "l_id", "r_id", "sim_score")
+
+
 def q_metablock_part(spark, sf_dir):
     """Meta-blocking (Papadakis et al. TKDE 2014) over token blocking
     of part names: weighted blocking graph + node-centric WNP pruning
@@ -1151,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_doc": q_decontam_doc,
         "pii_doc": q_pii_doc,
         "metablock_part": q_metablock_part,
+        "mutual_best_doc": q_mutual_best_doc,
         "events_by_type": q_events_by_type,
         "user_event_doc": q_user_event_doc,
         "ann_topk": q_ann_topk,
@@ -2606,6 +2621,33 @@ FROM grams LEFT JOIN hits ON grams.id = hits.id
         # patterns injected from sparksimjoin.pii.PII_PATTERNS (the
         # Java∩RE2 portable subset) so engine and oracle cannot drift
         "pii_doc": _pii_oracle_sql(),
+        # mutual-best over the jaccard_doc pair set: per-node argmax
+        # (score desc, partner asc) confirmed from both endpoints;
+        # scores are single IEEE divisions, so argmax compares are
+        # engine-portable
+        "mutual_best_doc": f"""
+WITH {_TOK_DOC},
+scored AS (
+  SELECT l_id, r_id, CAST(o AS DOUBLE)/(s1+s2-o) AS sim_score
+  FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6
+),
+sym AS (
+  SELECT l_id AS node, r_id AS partner, sim_score AS s FROM scored
+  UNION ALL
+  SELECT r_id, l_id, sim_score FROM scored
+),
+best AS (
+  SELECT node, partner AS best FROM (
+    SELECT node, partner,
+           row_number() OVER (PARTITION BY node ORDER BY s DESC, partner ASC) AS rn
+    FROM sym
+  ) WHERE rn = 1
+)
+SELECT scored.l_id AS l_id, scored.r_id AS r_id, scored.sim_score AS sim_score
+FROM scored
+JOIN best bl ON scored.l_id = bl.node AND bl.best = scored.r_id
+JOIN best br ON scored.r_id = br.node AND br.best = scored.l_id
+""",
         # blocking graph + WNP pruning; all pruning comparisons are
         # integer-exact (sums of CBS weights, never float summation)
         "metablock_part": f"""

@@ -50,3 +50,54 @@ def topk_pairs(
         scored.withColumn(rank_out, F.row_number().over(w))
         .filter(F.col(rank_out) <= k)
     )
+
+
+def mutual_best_pairs(
+    scored: DataFrame,
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    score_col: str = "_sim_score",
+) -> DataFrame:
+    """One-to-one match selection: keep an unordered pair iff each
+    record is the other's single best-scoring partner (symmetric best
+    match / mutual nearest neighbor — the standard greedy-free way to
+    turn a scored candidate set into a 1:1 linkage; by the stable-
+    marriage argument every mutual-best pair is in ANY optimal greedy
+    matching, so this is its deterministic, order-free core).
+
+    Input: scored pairs, each unordered pair at most once (either
+    orientation). Self-pairs are dropped. "Best" breaks score ties by
+    partner id ascending, so the result is stable across
+    partitionings. Output: ``(l_id, r_id, score_col)`` with
+    ``l_id < r_id``.
+
+    Scale: the argmax per record is a ``groupBy(node).min(struct)``
+    — map-side combinable, NO window sort, so a celebrity record
+    with millions of candidates is one pre-combined reduce key; the
+    two confirming joins are equi-joins on the record id. No window,
+    no UDF, no driver collect.
+    """
+    for c in (l_col, r_col, score_col):
+        if c not in scored.columns:
+            raise ValueError(f"column {c!r} not in scored pairs {scored.columns}")
+    canon = scored.where(F.col(l_col) != F.col(r_col)).select(
+        F.least(l_col, r_col).alias("_l"),
+        F.greatest(l_col, r_col).alias("_r"),
+        F.col(score_col).alias("_s"),
+    )
+    sym = canon.select(F.col("_l").alias("node"), F.col("_r").alias("partner"), "_s").unionByName(
+        canon.select(F.col("_r").alias("node"), F.col("_l").alias("partner"), "_s")
+    )
+    best = (
+        sym.groupBy("node")
+        .agg(F.min(F.struct((-F.col("_s")).alias("ns"), F.col("partner").alias("p"))).alias("b"))
+        .select("node", F.col("b.p").alias("best"))
+    )
+    return (
+        canon.join(best.withColumnRenamed("node", "_l").withColumnRenamed("best", "_bl"), "_l")
+        .where(F.col("_bl") == F.col("_r"))
+        .join(best.withColumnRenamed("node", "_r").withColumnRenamed("best", "_br"), "_r")
+        .where(F.col("_br") == F.col("_l"))
+        .select(F.col("_l").alias(l_col), F.col("_r").alias(r_col),
+                F.col("_s").alias(score_col))
+    )

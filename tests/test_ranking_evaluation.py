@@ -300,3 +300,95 @@ def test_blocking_metrics_losslessness_on_fixture(spark):
     assert row["pairs_completeness"] == 1.0
     assert 0.0 <= row["pair_quality"] <= 1.0
     assert row["cand_pairs"] <= n * (n - 1) // 2
+
+
+# ------------------------------------------------------- mutual best
+
+
+def _brute_mutual(pairs):
+    canon = {}
+    for l, r, s in pairs:
+        if l == r:
+            continue
+        a, b = (l, r) if l < r else (r, l)
+        canon[(a, b)] = s
+    best = {}
+    for (a, b), s in canon.items():
+        for node, partner in ((a, b), (b, a)):
+            cur = best.get(node)
+            if cur is None or s > cur[0] or (s == cur[0] and partner < cur[1]):
+                best[node] = (s, partner)
+    return {
+        (a, b): s
+        for (a, b), s in canon.items()
+        if best[a][1] == b and best[b][1] == a
+    }
+
+
+def test_mutual_best_brute_force(spark):
+    from sparksimjoin.ranking import mutual_best_pairs
+
+    pairs = [
+        (1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7), (4, 5, 0.6), (4, 6, 0.6),
+        (5, 6, 0.5), (7, 8, 0.4), (9, 9, 1.0), (10, 7, 0.41),
+    ]
+    df = spark.createDataFrame(pairs, "l_id long, r_id long, _sim_score double")
+    got = {(r.l_id, r.r_id): r._sim_score
+           for r in mutual_best_pairs(df).collect()}
+    assert got == _brute_mutual(pairs)
+    # sanity on the fixture itself: (1,2) mutual; 4's tie broken to 5
+    assert (1, 2) in got and (4, 5) in got and (4, 6) not in got
+
+
+def test_mutual_best_orientation_invariance(spark):
+    from sparksimjoin.ranking import mutual_best_pairs
+
+    pairs = [(2, 1, 0.9), (3, 1, 0.8), (3, 2, 0.7)]
+    df = spark.createDataFrame(pairs, "l_id long, r_id long, _sim_score double")
+    got = {(r.l_id, r.r_id) for r in mutual_best_pairs(df).collect()}
+    assert got == {(1, 2)}  # canonical l < r output
+
+
+def test_mutual_best_disjoint_and_string_ids(spark):
+    from sparksimjoin.ranking import mutual_best_pairs
+
+    pairs = [("a", "b", 1.0), ("c", "d", 0.9), ("b", "c", 0.95)]
+    df = spark.createDataFrame(pairs, "l_id string, r_id string, _sim_score double")
+    got = {(r.l_id, r.r_id) for r in mutual_best_pairs(df).collect()}
+    # a-b is mutual; c's best is b (taken? no "taken" semantics — single
+    # round mutual-best, so c-d survives only if d's best is c AND c's
+    # best is d; c's best is b -> c-d dropped)
+    assert got == {("a", "b")}
+
+
+def test_mutual_best_partition_invariance(spark):
+    import random
+
+    from sparksimjoin.ranking import mutual_best_pairs
+
+    rng = random.Random(7)
+    pairs = []
+    seen = set()
+    while len(pairs) < 200:
+        l, r = rng.randrange(40), rng.randrange(40)
+        if l == r:
+            continue
+        k = (min(l, r), max(l, r))
+        if k in seen:
+            continue
+        seen.add(k)
+        pairs.append((l, r, round(rng.random(), 3)))
+    df = spark.createDataFrame(pairs, "l_id long, r_id long, _sim_score double")
+    a = {(r.l_id, r.r_id) for r in mutual_best_pairs(df).collect()}
+    b = {(r.l_id, r.r_id)
+         for r in mutual_best_pairs(df.repartition(13)).collect()}
+    assert a == b == set(_brute_mutual(pairs))
+
+
+def test_mutual_best_validation(spark):
+    from sparksimjoin.ranking import mutual_best_pairs
+
+    df = spark.createDataFrame([(1, 2, 0.5)], "l_id long, r_id long, s double")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mutual_best_pairs(df)
