@@ -265,6 +265,62 @@ def q_numeric_features_part(spark, sf_dir):
     )
 
 
+def _fs_vectors_part(spark, sf_dir):
+    """Shared prep for the Fellegi-Sunter queries: p_brand-blocked
+    candidate pairs -> 3 comparisons (levenshtein<=2 name, exact type,
+    5%-relative price) -> gamma agreement vectors. Every comparison is
+    a pure Column expression the oracle replicates verbatim."""
+    from sparksimjoin import attr_equivalence_block
+    from sparksimjoin.fellegi_sunter import (
+        comparison_vectors, exact_comparison, levenshtein_comparison,
+        numeric_comparison,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    cand = attr_equivalence_block(p, p, "p_partkey", "p_partkey", "p_brand",
+                                  self_join=True)
+    comps = [
+        levenshtein_comparison("l_p_name", "r_p_name", k=2, name="name"),
+        exact_comparison("l_p_type", "r_p_type", name="type"),
+        numeric_comparison("l_p_retailprice", "r_p_retailprice",
+                           rel_tol=0.05, name="price"),
+    ]
+    vec = comparison_vectors(cand, p, p, "p_partkey", "p_partkey", comps,
+                             "l_p_partkey", "r_p_partkey")
+    return vec, comps
+
+
+def q_fs_gamma_part(spark, sf_dir):
+    """Fellegi-Sunter gamma-pattern histogram (fellegi_sunter.py) —
+    the ONLY data-sized aggregation EM consumes (the Splink trick: EM
+    runs driver-side on this tiny exact-integer table, so 10^12 pairs
+    cost the same EM as 10^3). Fully SQL-replicable."""
+    from sparksimjoin.fellegi_sunter import gamma_histogram
+
+    vec, _ = _fs_vectors_part(spark, sf_dir)
+    return gamma_histogram(vec, ["gamma_name", "gamma_type", "gamma_price"])
+
+
+def q_fs_score_part(spark, sf_dir):
+    """End-to-end Fellegi-Sunter scoring: EM-fit (lambda, m, u) on the
+    gamma histogram, per-pattern log2 match weights broadcast-joined
+    back to the pairs. EM is iterative mixture fitting — not
+    SQL-expressible (rows-only check; precedent: ml.py training), but
+    deterministic: driver-side Python over the lexicographically
+    sorted exact-integer histogram (tested bit-identical across
+    partitionings in tests/test_fellegi_sunter.py)."""
+    from sparksimjoin.fellegi_sunter import fellegi_sunter
+
+    vec, comps = _fs_vectors_part(spark, sf_dir)
+    scored, _params = fellegi_sunter(vec, comps)
+    return scored.select(
+        F.col("l_p_partkey").alias("l_id"), F.col("r_p_partkey").alias("r_id"),
+        "gamma_name", "gamma_type", "gamma_price",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
 def q_jaccard_qgram_part(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     out = jaccard_join(p, p, "p_partkey", "p_partkey", "p_name", "p_name", QG3, 0.6,
@@ -1126,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_jaccard_join_part": q_gen_jaccard_join_part,
         "soft_tfidf_part": q_soft_tfidf_part,
         "numeric_features_part": q_numeric_features_part,
+        "fs_gamma_part": q_fs_gamma_part,
+        "fs_score_part": q_fs_score_part,
         "soundex_part": q_soundex_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
@@ -1762,6 +1820,35 @@ FROM part a JOIN part b
 WITH {_TOK_PART_Q3}
 SELECT l_id, r_id, CAST(o AS DOUBLE)/(s1+s2-o) AS sim_score
 FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6
+""",
+        # Fellegi-Sunter gamma histogram: p_brand-blocked pairs, the
+        # three comparison Column exprs replicated verbatim (bounded
+        # levenshtein / SQL-equality / greatest-denominator relative
+        # difference — all exact IEEE ops, no rounding tolerance
+        # needed), then the exact-integer pattern counts EM consumes.
+        "fs_gamma_part": """
+WITH cand AS (
+  SELECT a.p_name AS ln, b.p_name AS rn, a.p_type AS lt, b.p_type AS rt,
+         a.p_retailprice AS lp, b.p_retailprice AS rp
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+),
+g AS (
+  SELECT CASE WHEN ln IS NOT NULL AND rn IS NOT NULL AND ln = rn THEN 2
+              WHEN ln IS NOT NULL AND rn IS NOT NULL
+                   AND levenshtein(ln, rn) <= 2 THEN 1
+              ELSE 0 END AS gamma_name,
+         CASE WHEN lt IS NOT NULL AND rt IS NOT NULL AND lt = rt
+              THEN 1 ELSE 0 END AS gamma_type,
+         CASE WHEN lp IS NOT NULL AND rp IS NOT NULL AND lp = rp THEN 2
+              WHEN lp IS NOT NULL AND rp IS NOT NULL
+                   AND greatest(abs(lp), abs(rp)) > 0
+                   AND abs(lp - rp) / greatest(abs(lp), abs(rp)) <= 0.05 THEN 1
+              ELSE 0 END AS gamma_price
+  FROM cand
+)
+SELECT gamma_name, gamma_type, gamma_price, count(*) AS n
+FROM g GROUP BY 1, 2, 3
 """,
         "edit_part": """
 SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
