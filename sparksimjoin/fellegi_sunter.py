@@ -37,6 +37,7 @@ has a full DuckDB oracle (``fs_gamma_part``).
 
 from __future__ import annotations
 
+import itertools
 import math
 from dataclasses import dataclass
 
@@ -104,10 +105,15 @@ def comparison_vectors(
     comparisons: list[Comparison],
     l_pair_col: str = "l_id",
     r_pair_col: str = "r_id",
+    keep_cols: list[str] = (),
 ) -> DataFrame:
     """Join the candidate pairs to both records and evaluate every
     comparison: output ``(l_id, r_id, gamma_<name>...)``. Column-expr
-    only; the two prep joins are plain equi-joins on the keys."""
+    only; the two prep joins are plain equi-joins on the keys.
+    ``keep_cols`` (post-prefix names, e.g. ``l_p_type``) carries raw
+    value columns through — needed by term-frequency adjustments,
+    which look up the agreed value's corpus frequency at scoring
+    time."""
     if not comparisons:
         raise ValueError("at least one Comparison is required")
     names = [c.name for c in comparisons]
@@ -135,12 +141,65 @@ def comparison_vectors(
         F.col(r_key_attr).alias(r_pair_col),
         *[F.col(c).alias(a) for c, a in r_names.items()],
     )
+    prefixed = set(l_names.values()) | set(r_names.values())
+    for c in keep_cols:
+        if c not in prefixed:
+            raise ValueError(
+                f"keep_cols entry {c!r} is not a prefixed table column "
+                f"(available: {sorted(prefixed)})"
+            )
     joined = pairs.select(l_pair_col, r_pair_col).join(lt, l_pair_col).join(
         rt, r_pair_col
     )
     return joined.select(
         l_pair_col, r_pair_col,
         *[c.level_expr.cast("int").alias(f"gamma_{c.name}") for c in comparisons],
+        *keep_cols,
+    )
+
+
+@dataclass(frozen=True)
+class TfAdjustment:
+    """Term-frequency adjustment for one comparison (Winkler 1989;
+    the Splink ``tf_adjustments`` feature): agreement on a RARE value
+    is stronger evidence than agreement on a common one, so for pairs
+    at the comparison's TOP level (which for the built-in helpers
+    means exact equality — the agreed value is well-defined) the
+    non-match probability u[top] is replaced by the agreed value's
+    corpus frequency tf(v) = P(a random record carries v):
+
+        match_weight      += weight * log2(u[top] / tf(v))
+        match_probability  = pm / (pm + pu * (tf(v) / u[top])**weight)
+
+    ``value_col`` names the vectors column carrying the agreed value
+    (pass it through :func:`comparison_vectors` via ``keep_cols``,
+    e.g. ``"l_p_type"`` — at the top level both sides are equal so
+    either side works). ``weight`` damps the adjustment (1.0 = full,
+    Splink's ``tf_adjustment_weight``)."""
+
+    comparison: str
+    value_col: str
+    weight: float = 1.0
+
+
+def term_frequencies(df: DataFrame, attr: str) -> DataFrame:
+    """-> ``(value, tf)``: relative frequency of each non-null value
+    of ``attr`` — P(a random record = v). One map-side-combinable
+    groupBy; the scalar total joins back as a 1-row broadcast. At
+    10^12 records the output is vocabulary-sized and the scoring join
+    on it is a plain equi-join (Spark's stats broadcast it when
+    small)."""
+    nonnull = df.where(F.col(attr).isNotNull())
+    counts = nonnull.groupBy(F.col(attr).alias("value")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # the 1-row total comes from the base frame, not from ``counts`` —
+    # a counts-derived aggregate shares attribute ids with the left
+    # join side and trips Spark's self-join ambiguity resolution
+    total = nonnull.agg(F.count(F.lit(1)).alias("__N"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "value",
+        (counts["__n"].cast("double") / total["__N"].cast("double")).alias("tf"),
     )
 
 
@@ -202,11 +261,181 @@ def _em(
     return lam, m, u
 
 
+def _pattern_rows(patterns, lam, m, u):
+    """Per-pattern ``(*g, __pm, __pu, match_weight,
+    match_probability)``. All four floats are computed HERE in driver
+    Python (same op order as the original scorer), so unadjusted
+    outputs are engine-independent literals — the oracle inlines the
+    identical doubles and only TF-adjustment arithmetic runs
+    engine-side."""
+    rows = []
+    for g in patterns:
+        pm, pu = lam, 1.0 - lam
+        w = 0.0
+        for j, lv in enumerate(g):
+            pm *= m[j][lv]
+            pu *= u[j][lv]
+            w += math.log2(m[j][lv] / u[j][lv])
+        rows.append((*g, pm, pu, w, pm / (pm + pu)))
+    return rows
+
+
+def _attach_scores(
+    vectors: DataFrame,
+    comparisons: list[Comparison],
+    lam: float,
+    m: list[list[float]],
+    u: list[list[float]],
+    patterns: list[tuple[int, ...]],
+    tf_adjust: list[TfAdjustment] = (),
+    tf_tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Broadcast-join the per-pattern weight table onto the vectors
+    and (optionally) apply term-frequency adjustments. The weight
+    table is at most prod(levels) rows; each adjustment adds one
+    equi-join on the agreed-value column against a vocabulary-sized
+    tf table — no data-sized shuffle beyond those joins."""
+    spark = vectors.sparkSession
+    gcols = [f"gamma_{c.name}" for c in comparisons]
+    wtab = spark.createDataFrame(
+        _pattern_rows(patterns, lam, m, u),
+        schema=", ".join(f"{c} int" for c in gcols)
+        + ", __pm double, __pu double, match_weight double,"
+        + " match_probability double",
+    )
+    scored = vectors.join(F.broadcast(wtab), gcols)
+    if not tf_adjust:
+        return scored.drop("__pm", "__pu")
+
+    by_name = {c.name: (j, c) for j, c in enumerate(comparisons)}
+    seen = set()
+    adj_terms: list[Column] = []
+    factors: list[Column] = []
+    tf_names: list[str] = []
+    for adj in tf_adjust:
+        if adj.comparison not in by_name:
+            raise ValueError(
+                f"tf adjustment names unknown comparison {adj.comparison!r}"
+            )
+        if adj.comparison in seen:
+            raise ValueError(f"duplicate tf adjustment for {adj.comparison!r}")
+        seen.add(adj.comparison)
+        if adj.value_col not in vectors.columns:
+            raise ValueError(
+                f"tf adjustment value_col {adj.value_col!r} not in vectors "
+                f"{vectors.columns} — pass it through comparison_vectors"
+                "(keep_cols=...)"
+            )
+        if not (tf_tables and adj.comparison in tf_tables):
+            raise ValueError(
+                f"no tf table for {adj.comparison!r}: pass tf_tables="
+                "{name: term_frequencies(table, attr)}"
+            )
+        if not adj.weight > 0:
+            raise ValueError(f"tf adjustment weight must be > 0; got {adj.weight}")
+        j, comp = by_name[adj.comparison]
+        top = comp.n_levels - 1
+        u_top = u[j][top]
+        tfv, tfc = f"__tfv_{adj.comparison}", f"__tf_{adj.comparison}"
+        tft = tf_tables[adj.comparison].select(
+            F.col("value").alias(tfv), F.col("tf").alias(tfc)
+        )
+        scored = scored.join(
+            tft, scored[adj.value_col] == tft[tfv], "left"
+        ).drop(tfv)
+        # top level + a known tf => adjust; otherwise the neutral
+        # no-op (0 added weight, 1.0 pu factor). A top-level value
+        # absent from the tf corpus (two-table linkage where only one
+        # side fed the tf table) falls back to the unadjusted u[top].
+        hit = (F.col(f"gamma_{comp.name}") == top) & F.col(tfc).isNotNull()
+        ratio = F.lit(u_top) / F.col(tfc)
+        term = (
+            F.lit(adj.weight) * F.log2(ratio)
+            if adj.weight != 1.0
+            else F.log2(ratio)
+        )
+        fac = (
+            F.pow(F.col(tfc) / F.lit(u_top), F.lit(adj.weight))
+            if adj.weight != 1.0
+            else F.col(tfc) / F.lit(u_top)
+        )
+        adj_terms.append(F.when(hit, term).otherwise(F.lit(0.0)))
+        factors.append(F.when(hit, fac).otherwise(F.lit(1.0)))
+        tf_names.append((adj.comparison, tfc))
+
+    w_adj = F.col("match_weight")
+    for t in adj_terms:
+        w_adj = w_adj + t
+    factor = factors[0]
+    for f in factors[1:]:
+        factor = factor * f
+    prob_adj = F.col("__pm") / (F.col("__pm") + F.col("__pu") * factor)
+    out = scored.withColumns(
+        {
+            **{
+                f"tf_weight_{name}": F.when(
+                    (F.col(f"gamma_{name}") == by_name[name][1].n_levels - 1)
+                    & F.col(tfc).isNotNull(),
+                    F.log2(F.lit(u[by_name[name][0]][by_name[name][1].n_levels - 1]) / F.col(tfc)),
+                ).otherwise(F.lit(0.0))
+                for name, tfc in tf_names
+            },
+            "match_weight": w_adj,
+            "match_probability": prob_adj,
+        }
+    )
+    return out.drop("__pm", "__pu", *[tfc for _, tfc in tf_names])
+
+
+def score_with_params(
+    vectors: DataFrame,
+    comparisons: list[Comparison],
+    params: dict,
+    tf_adjust: list[TfAdjustment] = (),
+    tf_tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Score pairs with EXPLICIT parameters — no EM. ``params`` is the
+    dict :func:`fellegi_sunter` returns (``lambda``/``m``/``u`` keyed
+    by comparison name), so a model fit once can score any later
+    batch; hand-specified parameters (expert priors, a Splink export)
+    work the same. The weight table enumerates the FULL level product
+    (at most prod(levels) rows), so unseen patterns still score."""
+    lam = params["lambda"]
+    if not (0 < lam < 1):
+        raise ValueError(f"lambda must be in (0,1); got {lam}")
+    m, u = [], []
+    for c in comparisons:
+        for key in ("m", "u"):
+            if c.name not in params[key]:
+                raise ValueError(f"params[{key!r}] missing comparison {c.name!r}")
+            got = len(params[key][c.name])
+            if got != c.n_levels:
+                raise ValueError(
+                    f"params[{key!r}][{c.name!r}] has {got} levels; "
+                    f"comparison declares {c.n_levels}"
+                )
+        m.append([float(x) for x in params["m"][c.name]])
+        u.append([float(x) for x in params["u"][c.name]])
+    for probs in itertools.chain(m, u):
+        if any(not (0 < p < 1) for p in probs):
+            raise ValueError(f"m/u probabilities must be in (0,1); got {probs}")
+    gcols = [f"gamma_{c.name}" for c in comparisons]
+    for c in gcols:
+        if c not in vectors.columns:
+            raise ValueError(f"column {c!r} not in vectors {vectors.columns}")
+    patterns = list(itertools.product(*[range(c.n_levels) for c in comparisons]))
+    return _attach_scores(
+        vectors, comparisons, lam, m, u, patterns, tf_adjust, tf_tables
+    )
+
+
 def fellegi_sunter(
     vectors: DataFrame,
     comparisons: list[Comparison],
     max_iter: int = 25,
     initial_lambda: float = 0.1,
+    tf_adjust: list[TfAdjustment] = (),
+    tf_tables: dict[str, DataFrame] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Fit the FS mixture by EM over the gamma-pattern histogram and
     score every pair.
@@ -217,7 +446,12 @@ def fellegi_sunter(
     "m": {name: [..]}, "u": {name: [..]}, "patterns": int}`` for
     inspection and tests. The per-pattern weights are attached via a
     broadcast join on the gamma columns (the weight table is at most
-    prod(levels) rows)."""
+    prod(levels) rows).
+
+    ``tf_adjust``/``tf_tables`` apply :class:`TfAdjustment`
+    term-frequency corrections at SCORING time; EM itself fits the
+    unadjusted model (the standard order — Splink does the same: fit
+    m/u globally, then adjust per-value evidence)."""
     if not (0 < initial_lambda < 1):
         raise ValueError(f"initial_lambda must be in (0,1); got {initial_lambda}")
     if max_iter < 1:
@@ -241,23 +475,10 @@ def fellegi_sunter(
                     f"{comparisons[j].name!r} (n_levels={n_levels[j]})"
                 )
     lam, m, u = _em(patterns, n_levels, max_iter, initial_lambda)
-
-    rows = []
-    for g, _ in patterns:
-        pm, pu = lam, 1.0 - lam
-        w = 0.0
-        for j, lv in enumerate(g):
-            pm *= m[j][lv]
-            pu *= u[j][lv]
-            w += math.log2(m[j][lv] / u[j][lv])
-        prob = pm / (pm + pu)
-        rows.append((*g, w, prob))
-    spark = vectors.sparkSession
-    wtab = spark.createDataFrame(
-        rows, schema=", ".join([f"{c} int" for c in gcols])
-        + ", match_weight double, match_probability double",
+    scored = _attach_scores(
+        vectors, comparisons, lam, m, u, [g for g, _ in patterns],
+        tf_adjust, tf_tables,
     )
-    scored = vectors.join(F.broadcast(wtab), gcols)
     params = {
         "lambda": lam,
         "m": {c.name: m[j] for j, c in enumerate(comparisons)},
@@ -265,3 +486,120 @@ def fellegi_sunter(
         "patterns": len(patterns),
     }
     return scored, params
+
+
+def sampled_pairs(
+    records: DataFrame,
+    key_attr: str,
+    target_pairs: int = 100_000,
+    seed: int = 42,
+    n_records: int | None = None,
+) -> DataFrame:
+    """Deterministic pseudo-random record pairs from the FULL
+    comparison space — ``(l_id, r_id)`` with l < r, no blocking.
+
+    Records are hashed into B = max(1, C(n,2) // target_pairs)
+    buckets by ``xxhash64(key, seed)`` and paired WITHIN buckets: one
+    equi-join shuffle, expected yield ≈ ``target_pairs``, and because
+    bucket assignment ignores every non-key attribute the sample is
+    unbiased w.r.t. record content — the property u-estimation needs.
+    Deterministic across partitionings and re-runs (hash of the key,
+    no RNG state). ``n_records`` skips the count probe when the
+    caller already knows it.
+    """
+    if target_pairs < 1:
+        raise ValueError(f"target_pairs must be >= 1, got {target_pairs}")
+    n = int(n_records) if n_records is not None else records.count()
+    if n < 2:
+        raise ValueError(f"need >= 2 records to sample pairs, got {n}")
+    space = n * (n - 1) // 2
+    n_buckets = max(1, space // int(target_pairs))
+    k = F.col(key_attr)
+    b = records.where(k.isNotNull()).select(
+        k.alias("__k"),
+        F.pmod(F.xxhash64(k, F.lit(int(seed))), F.lit(n_buckets)).alias("__b"),
+    )
+    lhs = b.select(F.col("__k").alias("l_id"), "__b")
+    rhs = b.select(F.col("__k").alias("r_id"), "__b")
+    return (
+        lhs.join(rhs, "__b")
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+    )
+
+
+def estimate_u(
+    records: DataFrame,
+    key_attr: str,
+    comparisons: list[Comparison],
+    target_pairs: int = 100_000,
+    seed: int = 42,
+    smoothing: float = 0.5,
+) -> tuple[dict[str, list[float]], int]:
+    """Estimate non-match probabilities u from random pairs (Splink's
+    ``estimate_u_using_random_sampling``; Winkler's standard
+    shortcut): at realistic match prevalence, almost every random
+    pair is a non-match, so the level frequencies of gamma over
+    :func:`sampled_pairs` estimate u directly — no labels, no EM.
+
+    Returns ``(u, n_pairs)`` with ``u`` keyed by comparison name,
+    ready to drop into :func:`score_with_params`' ``params['u']`` or
+    to seed :func:`fellegi_sunter`'s EM. ``smoothing`` is add-k over
+    the levels so no level is exactly 0/1 (``score_with_params``
+    rejects degenerate probabilities).
+
+    Cost: the bucket equi-join + ONE K-column aggregation whose
+    output is K rows of level-count arrays — the per-comparison
+    marginals, not the joint histogram, so the collect is K rows at
+    any corpus size.
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    pairs = sampled_pairs(records, key_attr, target_pairs, seed)
+    vec = comparison_vectors(
+        pairs, records, records, key_attr, key_attr, comparisons
+    )
+    # one aggregate: per comparison, the level-count array
+    aggs = []
+    for c in comparisons:
+        g = F.col(f"gamma_{c.name}")
+        aggs.append(
+            F.array(*[
+                F.count(F.when(g == lv, 1)).cast("long")
+                for lv in range(c.n_levels)
+            ]).alias(c.name)
+        )
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    row = vec.agg(*aggs).collect()[0]
+    n_pairs = int(row["__n"])
+    if n_pairs == 0:
+        raise ValueError("sampled 0 pairs — raise target_pairs")
+    u: dict[str, list[float]] = {}
+    for c in comparisons:
+        counts = [int(x) for x in row[c.name]]
+        denom = n_pairs + smoothing * c.n_levels
+        u[c.name] = [(cnt + smoothing) / denom for cnt in counts]
+    return u, n_pairs
+
+
+def save_fs_params(params: dict, path: str) -> None:
+    """Persist a fitted parameter dict (``fellegi_sunter``'s return /
+    ``score_with_params``' input) as JSON — shortest-round-trip float
+    repr, so :func:`load_fs_params` restores bit-identical doubles
+    and re-scoring reproduces exactly."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(params, f, indent=2, sort_keys=True)
+
+
+def load_fs_params(path: str) -> dict:
+    """Inverse of :func:`save_fs_params`."""
+    import json
+
+    with open(path) as f:
+        params = json.load(f)
+    for key in ("lambda", "m", "u"):
+        if key not in params:
+            raise ValueError(f"not an FS parameter file: missing {key!r}")
+    return params

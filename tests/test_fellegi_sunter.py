@@ -258,3 +258,344 @@ def test_custom_comparison_levels(spark):
     scored, params = fellegi_sunter(vec, [comp])
     assert scored.count() == 39
     assert len(params["m"]["band"]) == 4
+
+
+# ---- term-frequency adjustments + fixed-parameter scoring ------------
+
+from sparksimjoin.fellegi_sunter import (  # noqa: E402
+    TfAdjustment,
+    score_with_params,
+    term_frequencies,
+)
+
+_PARAMS = {
+    "lambda": 0.05,
+    "m": {"name": [0.02, 0.08, 0.9], "typ": [0.1, 0.9],
+          "price": [0.05, 0.15, 0.8]},
+    "u": {"name": [0.9, 0.08, 0.02], "typ": [0.6, 0.4],
+          "price": [0.9, 0.08, 0.02]},
+}
+
+
+def test_term_frequencies_exact(spark):
+    l, _, _ = _tables(spark)
+    tf = {r.value: r.tf for r in term_frequencies(l, "typ").collect()}
+    # ROWS typ values: A,A,B,None,A,A,A,A -> 7 non-null, A x6, B x1
+    assert tf == {"A": 6 / 7, "B": 1 / 7}
+
+
+def _scored_by_pair(df):
+    return {(r.l_id, r.r_id): r for r in df.collect()}
+
+
+def _tf_tables(spark):
+    """_tables plus a second 'B' row so both a rare-value (B) and a
+    common-value (A) exact typ agreement exist among the pairs."""
+    rows = ROWS + [(9, "acme thing", "B", 20.0)]
+    l = spark.createDataFrame(rows, "id bigint, name string, typ string,"
+                              " price double")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, _, _, _ in rows for b, _, _, _ in rows if a < b],
+        "l_id bigint, r_id bigint")
+    comps = [
+        levenshtein_comparison("l_name", "r_name", k=2, name="name"),
+        exact_comparison("l_typ", "r_typ", name="typ"),
+        numeric_comparison("l_price", "r_price", rel_tol=0.05, name="price"),
+    ]
+    # 8 non-null typ: A x6, B x2
+    return l, pairs, comps, {"A": 6 / 8, "B": 2 / 8}
+
+
+def test_tf_adjustment_hand_values(spark):
+    """Adjusted weight == base + log2(u_top/tf(v)) exactly where the
+    typ comparison sits at its top level; everything else untouched.
+    Rare-value agreement (B, tf=1/7) gains weight; common-value
+    agreement (A, tf=6/7 > u_top=0.4) LOSES weight — the adjustment
+    is signed, as it must be."""
+    l, pairs, comps, tf = _tf_tables(spark)
+    vec = comparison_vectors(pairs, l, l, "id", "id", comps,
+                             keep_cols=["l_typ"])
+    tft = term_frequencies(l, "typ")
+    base = _scored_by_pair(score_with_params(vec, comps, _PARAMS))
+    adj = _scored_by_pair(score_with_params(
+        vec, comps, _PARAMS,
+        tf_adjust=[TfAdjustment("typ", "l_typ")], tf_tables={"typ": tft}))
+    assert base.keys() == adj.keys()
+    u_top = _PARAMS["u"]["typ"][1]
+    saw_gain = saw_loss = False
+    for key, b in base.items():
+        a = adj[key]
+        assert (a.gamma_name, a.gamma_typ, a.gamma_price) == (
+            b.gamma_name, b.gamma_typ, b.gamma_price)
+        if b.gamma_typ == 1:
+            v = a.l_typ
+            want_w = b.match_weight + math.log2(u_top / tf[v])
+            want_tfw = math.log2(u_top / tf[v])
+            # recover pm/pu from the base probability and lambda-free
+            # identity: prob = pm/(pm+pu) -> pu/pm = 1/prob - 1
+            ratio = (1.0 / b.match_probability - 1.0) * (tf[v] / u_top)
+            want_p = 1.0 / (1.0 + ratio)
+            assert a.match_weight == pytest.approx(want_w, abs=1e-12)
+            assert a.tf_weight_typ == pytest.approx(want_tfw, abs=1e-12)
+            assert a.match_probability == pytest.approx(want_p, rel=1e-9)
+            if v == "B":
+                assert a.match_weight > b.match_weight
+                saw_gain = True
+            else:
+                assert a.match_weight < b.match_weight
+                saw_loss = True
+        else:
+            assert a.match_weight == b.match_weight
+            assert a.match_probability == b.match_probability
+            assert a.tf_weight_typ == 0.0
+    assert saw_gain and saw_loss
+
+
+def test_score_with_params_roundtrip_bit_exact(spark):
+    """fellegi_sunter's fitted output == score_with_params(params) on
+    the same vectors, BIT-exactly: both paths compute the per-pattern
+    doubles in the same driver-Python routine."""
+    l, pairs, comps = _tables(spark)
+    vec = comparison_vectors(pairs, l, l, "id", "id", comps)
+    fitted, params = fellegi_sunter(vec, comps, max_iter=10)
+    rescored = score_with_params(vec, comps, params)
+    a = _scored_by_pair(fitted)
+    b = _scored_by_pair(rescored)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].match_weight == b[k].match_weight
+        assert a[k].match_probability == b[k].match_probability
+
+
+def test_score_unseen_pattern(spark):
+    """score_with_params enumerates the FULL level product, so a
+    pattern never seen at fit time still scores (fellegi_sunter's
+    observed-pattern table would drop it on the inner join)."""
+    comps = [Comparison("a", F.lit(0), 2), Comparison("b", F.lit(0), 2)]
+    vec = spark.createDataFrame(
+        [(1, 2, 1, 1), (3, 4, 0, 0), (5, 6, 1, 0), (7, 8, 0, 1)],
+        "l_id bigint, r_id bigint, gamma_a int, gamma_b int")
+    out = score_with_params(vec, comps, {
+        "lambda": 0.1, "m": {"a": [0.1, 0.9], "b": [0.2, 0.8]},
+        "u": {"a": [0.8, 0.2], "b": [0.7, 0.3]}})
+    rows = _scored_by_pair(out)
+    assert len(rows) == 4
+    w11 = math.log2(0.9 / 0.2) + math.log2(0.8 / 0.3)
+    assert rows[(1, 2)].match_weight == pytest.approx(w11, abs=1e-12)
+    assert all(r.match_weight is not None for r in rows.values())
+
+
+def test_tf_missing_value_falls_back(spark):
+    """A top-level agreed value ABSENT from the tf corpus (two-table
+    linkage where only one side fed the tf table) scores unadjusted
+    with tf_weight 0 — never a null weight."""
+    l, pairs, comps = _tables(spark)
+    vec = comparison_vectors(pairs, l, l, "id", "id", comps,
+                             keep_cols=["l_typ"])
+    only_a = l.where(F.col("typ") == "A")
+    adj = _scored_by_pair(score_with_params(
+        vec, comps, _PARAMS,
+        tf_adjust=[TfAdjustment("typ", "l_typ")],
+        tf_tables={"typ": term_frequencies(only_a, "typ")}))
+    base = _scored_by_pair(score_with_params(vec, comps, _PARAMS))
+    for key, a in adj.items():
+        if a.gamma_typ == 1 and a.l_typ == "B":
+            assert a.match_weight == base[key].match_weight
+            assert a.tf_weight_typ == 0.0
+        assert a.match_weight is not None
+
+
+def test_tf_weight_multiplier(spark):
+    """weight=0.5 halves the log-weight delta and square-roots the
+    pu factor."""
+    l, pairs, comps, tf = _tf_tables(spark)
+    vec = comparison_vectors(pairs, l, l, "id", "id", comps,
+                             keep_cols=["l_typ"])
+    tft = term_frequencies(l, "typ")
+    base = _scored_by_pair(score_with_params(vec, comps, _PARAMS))
+    half = _scored_by_pair(score_with_params(
+        vec, comps, _PARAMS,
+        tf_adjust=[TfAdjustment("typ", "l_typ", weight=0.5)],
+        tf_tables={"typ": tft}))
+    u_top = _PARAMS["u"]["typ"][1]
+    for key, h in half.items():
+        b = base[key]
+        if h.gamma_typ == 1:
+            want = b.match_weight + 0.5 * math.log2(u_top / tf[h.l_typ])
+            assert h.match_weight == pytest.approx(want, abs=1e-12)
+        else:
+            assert h.match_weight == b.match_weight
+
+
+def test_tf_determinism_across_partitioning(spark):
+    l, pairs, comps = _tables(spark)
+    tft = term_frequencies(l, "typ")
+
+    def run(np_):
+        vec = comparison_vectors(
+            pairs.repartition(np_), l.repartition(np_), l, "id", "id",
+            comps, keep_cols=["l_typ"])
+        out = score_with_params(
+            vec, comps, _PARAMS,
+            tf_adjust=[TfAdjustment("typ", "l_typ")], tf_tables={"typ": tft})
+        return sorted(
+            (r.l_id, r.r_id, r.match_weight, r.match_probability,
+             r.tf_weight_typ) for r in out.collect())
+
+    assert run(1) == run(7)
+
+
+def test_tf_validation_errors(spark):
+    l, pairs, comps = _tables(spark)
+    vec = comparison_vectors(pairs, l, l, "id", "id", comps,
+                             keep_cols=["l_typ"])
+    tft = term_frequencies(l, "typ")
+    with pytest.raises(ValueError, match="unknown comparison"):
+        score_with_params(vec, comps, _PARAMS,
+                          tf_adjust=[TfAdjustment("nope", "l_typ")],
+                          tf_tables={"nope": tft})
+    with pytest.raises(ValueError, match="duplicate tf adjustment"):
+        score_with_params(vec, comps, _PARAMS,
+                          tf_adjust=[TfAdjustment("typ", "l_typ"),
+                                     TfAdjustment("typ", "l_typ")],
+                          tf_tables={"typ": tft})
+    with pytest.raises(ValueError, match="not in vectors"):
+        score_with_params(vec, comps, _PARAMS,
+                          tf_adjust=[TfAdjustment("typ", "l_missing")],
+                          tf_tables={"typ": tft})
+    with pytest.raises(ValueError, match="no tf table"):
+        score_with_params(vec, comps, _PARAMS,
+                          tf_adjust=[TfAdjustment("typ", "l_typ")])
+    with pytest.raises(ValueError, match="weight must be > 0"):
+        score_with_params(vec, comps, _PARAMS,
+                          tf_adjust=[TfAdjustment("typ", "l_typ", weight=0)],
+                          tf_tables={"typ": tft})
+    with pytest.raises(ValueError, match="lambda"):
+        score_with_params(vec, comps, {**_PARAMS, "lambda": 1.0})
+    with pytest.raises(ValueError, match="missing comparison"):
+        bad = {**_PARAMS, "m": {k: v for k, v in _PARAMS["m"].items()
+                                if k != "typ"}}
+        score_with_params(vec, comps, bad)
+    with pytest.raises(ValueError, match="levels"):
+        bad = {**_PARAMS, "m": {**_PARAMS["m"], "typ": [0.1, 0.8, 0.1]}}
+        score_with_params(vec, comps, bad)
+    with pytest.raises(ValueError, match="keep_cols"):
+        comparison_vectors(pairs, l, l, "id", "id", comps,
+                           keep_cols=["typ"])  # unprefixed name
+
+
+def test_keep_cols_carried(spark):
+    l, pairs, comps = _tables(spark)
+    vec = comparison_vectors(pairs, l, l, "id", "id", comps,
+                             keep_cols=["l_typ", "r_typ"])
+    assert {"l_typ", "r_typ"}.issubset(set(vec.columns))
+
+
+# ---- u estimation from random pairs + parameter persistence ----------
+
+from sparksimjoin.fellegi_sunter import (  # noqa: E402
+    estimate_u,
+    load_fs_params,
+    sampled_pairs,
+    save_fs_params,
+)
+
+
+def _u_corpus(spark):
+    """200 records, typ uniform over {A,B}, so a random pair agrees on
+    typ with probability ~0.5 — an analytic target for u."""
+    rows = [(i, f"name_{i}", "A" if i % 2 else "B", float(i)) for i in range(200)]
+    return spark.createDataFrame(
+        rows, "id bigint, name string, typ string, price double")
+
+
+def test_sampled_pairs_deterministic_and_sized(spark):
+    df = _u_corpus(spark)
+    p1 = {(r.l_id, r.r_id) for r in sampled_pairs(df, "id", 500, seed=7).collect()}
+    p2 = {(r.l_id, r.r_id)
+          for r in sampled_pairs(df.repartition(13), "id", 500, seed=7).collect()}
+    assert p1 == p2
+    assert all(a < b for a, b in p1)
+    # expected yield ~ target; hash bucketing is Poisson-ish, allow 3x
+    assert 150 <= len(p1) <= 1500
+    p3 = {(r.l_id, r.r_id) for r in sampled_pairs(df, "id", 500, seed=8).collect()}
+    assert p1 != p3  # seed moves the sample
+
+
+def test_estimate_u_recovers_level_frequencies(spark):
+    df = _u_corpus(spark)
+    comps = [exact_comparison("l_typ", "r_typ", name="typ")]
+    u, n_pairs = estimate_u(df, "id", comps, target_pairs=5000, seed=3)
+    assert n_pairs > 1000
+    # typ agreement probability on random pairs ~ 0.5 (100 A, 100 B)
+    assert abs(u["typ"][1] - 0.5) < 0.05
+    assert abs(sum(u["typ"]) - 1.0) < 1e-12
+    assert all(0 < p < 1 for p in u["typ"])
+
+
+def test_estimate_u_feeds_score_with_params(spark):
+    l, pairs, comps = _tables(spark)[0], None, None
+    df = _u_corpus(spark)
+    comps = [
+        levenshtein_comparison("l_name", "r_name", k=2, name="name"),
+        exact_comparison("l_typ", "r_typ", name="typ"),
+    ]
+    u, _ = estimate_u(df, "id", comps, target_pairs=2000, seed=5)
+    params = {
+        "lambda": 0.01,
+        "m": {"name": [0.05, 0.15, 0.8], "typ": [0.1, 0.9]},
+        "u": u,
+    }
+    pairs = spark.createDataFrame([(0, 1), (2, 4)], "l_id bigint, r_id bigint")
+    vec = comparison_vectors(pairs, df, df, "id", "id", comps)
+    out = score_with_params(vec, comps, params)
+    assert out.count() == 2
+    assert "match_weight" in out.columns
+
+
+def test_estimate_u_determinism(spark):
+    df = _u_corpus(spark)
+    comps = [exact_comparison("l_typ", "r_typ", name="typ")]
+    u1, n1 = estimate_u(df, "id", comps, target_pairs=3000, seed=11)
+    u2, n2 = estimate_u(df.repartition(7), "id", comps, target_pairs=3000,
+                        seed=11)
+    assert (u1, n1) == (u2, n2)
+
+
+def test_estimate_u_guards(spark):
+    df = _u_corpus(spark)
+    comps = [exact_comparison("l_typ", "r_typ", name="typ")]
+    with pytest.raises(ValueError, match="target_pairs"):
+        estimate_u(df, "id", comps, target_pairs=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        estimate_u(df, "id", comps, smoothing=-1)
+    one = spark.createDataFrame([(1, "x", "A", 1.0)],
+                                "id bigint, name string, typ string, price double")
+    with pytest.raises(ValueError, match=">= 2 records"):
+        sampled_pairs(one, "id", 10)
+
+
+def test_fs_params_save_load_roundtrip(spark, tmp_path):
+    l, pairs, comps = _tables(spark)
+    vec = comparison_vectors(pairs, l, l, "id", "id", comps)
+    scored, params = fellegi_sunter(vec, comps)
+    path = str(tmp_path / "fs_params.json")
+    save_fs_params(params, path)
+    loaded = load_fs_params(path)
+    # shortest-round-trip repr: bit-identical doubles
+    assert loaded["lambda"] == params["lambda"]
+    assert loaded["m"] == params["m"]
+    assert loaded["u"] == params["u"]
+    # re-scoring from the loaded params reproduces the fitted scores
+    rescored = score_with_params(vec, comps, loaded)
+    a = {(r.l_id, r.r_id): (r.match_weight, r.match_probability)
+         for r in scored.collect()}
+    b = {(r.l_id, r.r_id): (r.match_weight, r.match_probability)
+         for r in rescored.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="missing"):
+        bad = str(tmp_path / "bad.json")
+        import json
+        with open(bad, "w") as f:
+            json.dump({"lambda": 0.1}, f)
+        load_fs_params(bad)
