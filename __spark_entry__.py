@@ -265,7 +265,7 @@ def q_numeric_features_part(spark, sf_dir):
     )
 
 
-def _fs_vectors_part(spark, sf_dir):
+def _fs_vectors_part(spark, sf_dir, keep_cols=()):
     """Shared prep for the Fellegi-Sunter queries: p_brand-blocked
     candidate pairs -> 3 comparisons (levenshtein<=2 name, exact type,
     5%-relative price) -> gamma agreement vectors. Every comparison is
@@ -286,8 +286,128 @@ def _fs_vectors_part(spark, sf_dir):
                            rel_tol=0.05, name="price"),
     ]
     vec = comparison_vectors(cand, p, p, "p_partkey", "p_partkey", comps,
-                             "l_p_partkey", "r_p_partkey")
+                             "l_p_partkey", "r_p_partkey", keep_cols=keep_cols)
     return vec, comps
+
+
+#: fixed FS parameters for the no-EM scoring query — arbitrary but
+#: plausible constants shared VERBATIM between the Spark query and its
+#: generated SQL oracle (the per-pattern pm/pu/weight doubles are
+#: computed once in driver Python and inlined into both engines, so
+#: the only cross-engine float ops are the tf division and one log2,
+#: absorbed by round-to-6dp with measured margins in
+#: tests/test_fellegi_sunter.py).
+_FS_PARAMS = {
+    "lambda": 0.01,
+    "m": {"name": [0.02, 0.08, 0.9], "type": [0.05, 0.95],
+          "price": [0.05, 0.15, 0.8]},
+    "u": {"name": [0.9, 0.08, 0.02], "type": [0.7, 0.3],
+          "price": [0.9, 0.08, 0.02]},
+}
+
+
+def _fs_tf_oracle() -> str:
+    """Generated SQL oracle for ``fs_tf_score_part``: the 18-row
+    pattern weight table (pm/pu/weight/probability doubles) is
+    computed by the SAME driver-Python routine the Spark path uses
+    (fellegi_sunter._pattern_rows) and inlined as repr() literals —
+    shortest-round-trip float repr parses back to the identical
+    double in DuckDB — so both engines join pairs to bit-identical
+    base scores. Engine-side float work is only the tf division (one
+    IEEE op on exact integers) and the adjustment's log2/division,
+    absorbed by round-to-6dp (margins measured in
+    tests/test_fellegi_sunter.py)."""
+    import itertools
+
+    from sparksimjoin.fellegi_sunter import _pattern_rows
+
+    lam = _FS_PARAMS["lambda"]
+    m = [_FS_PARAMS["m"][k] for k in ("name", "type", "price")]
+    u = [_FS_PARAMS["u"][k] for k in ("name", "type", "price")]
+    u_top_type = u[1][1]
+    rows = _pattern_rows(
+        list(itertools.product(range(3), range(2), range(3))), lam, m, u
+    )
+    values = ",\n  ".join(
+        f"({gn}, {gt}, {gp}, {pm!r}, {pu!r}, {w!r}, {prob!r})"
+        for gn, gt, gp, pm, pu, w, prob in rows
+    )
+    return f"""
+WITH cand AS (
+  SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+         a.p_name AS ln, b.p_name AS rn, a.p_type AS lt, b.p_type AS rt,
+         a.p_retailprice AS lp, b.p_retailprice AS rp
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+),
+g AS (
+  SELECT l_id, r_id, lt,
+         CASE WHEN ln IS NOT NULL AND rn IS NOT NULL AND ln = rn THEN 2
+              WHEN ln IS NOT NULL AND rn IS NOT NULL
+                   AND levenshtein(ln, rn) <= 2 THEN 1
+              ELSE 0 END AS gamma_name,
+         CASE WHEN lt IS NOT NULL AND rt IS NOT NULL AND lt = rt
+              THEN 1 ELSE 0 END AS gamma_type,
+         CASE WHEN lp IS NOT NULL AND rp IS NOT NULL AND lp = rp THEN 2
+              WHEN lp IS NOT NULL AND rp IS NOT NULL
+                   AND greatest(abs(lp), abs(rp)) > 0
+                   AND abs(lp - rp) / greatest(abs(lp), abs(rp)) <= 0.05 THEN 1
+              ELSE 0 END AS gamma_price
+  FROM cand
+),
+w(gamma_name, gamma_type, gamma_price, pm, pu, mw, mp) AS (VALUES
+  {values}
+),
+tf AS (
+  SELECT p_type AS v,
+         CAST(count(*) AS DOUBLE)
+           / CAST((SELECT count(*) FROM part WHERE p_type IS NOT NULL)
+                  AS DOUBLE) AS tf
+  FROM part WHERE p_type IS NOT NULL GROUP BY 1
+)
+SELECT g.l_id, g.r_id, g.gamma_name, g.gamma_type, g.gamma_price,
+  round(w.mw + CASE WHEN g.gamma_type = 1 AND tf.tf IS NOT NULL
+                    THEN log2({u_top_type!r} / tf.tf) ELSE 0.0 END,
+        6) AS match_weight,
+  round(w.pm / (w.pm + w.pu * CASE WHEN g.gamma_type = 1
+                                        AND tf.tf IS NOT NULL
+                                   THEN tf.tf / {u_top_type!r}
+                                   ELSE 1.0 END),
+        6) AS match_probability,
+  round(CASE WHEN g.gamma_type = 1 AND tf.tf IS NOT NULL
+             THEN log2({u_top_type!r} / tf.tf) ELSE 0.0 END,
+        6) AS tf_weight_type
+FROM g
+JOIN w USING (gamma_name, gamma_type, gamma_price)
+LEFT JOIN tf ON g.lt = tf.v
+"""
+
+
+def q_fs_tf_score_part(spark, sf_dir):
+    """Fixed-parameter FS scoring with a term-frequency adjustment on
+    the exact p_type comparison (Winkler 1989 / Splink
+    tf_adjustments): agreement on a rare type outweighs agreement on
+    a common one. No EM — the full scoring path (pattern weight
+    broadcast join + tf equi-join + adjustment arithmetic) gets a
+    complete SQL oracle."""
+    from sparksimjoin.fellegi_sunter import (
+        TfAdjustment, score_with_params, term_frequencies,
+    )
+
+    vec, comps = _fs_vectors_part(spark, sf_dir, keep_cols=["l_p_type"])
+    p = _t(spark, sf_dir, "part")
+    scored = score_with_params(
+        vec, comps, _FS_PARAMS,
+        tf_adjust=[TfAdjustment("type", "l_p_type")],
+        tf_tables={"type": term_frequencies(p, "p_type")},
+    )
+    return scored.select(
+        F.col("l_p_partkey").alias("l_id"), F.col("r_p_partkey").alias("r_id"),
+        "gamma_name", "gamma_type", "gamma_price",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+        F.round("tf_weight_type", 6).alias("tf_weight_type"),
+    )
 
 
 def q_fs_gamma_part(spark, sf_dir):
@@ -1154,6 +1274,54 @@ def q_cluster_eval_doc(spark, sf_dir):
     return clustering_pairwise_metrics(clusters(0.6), clusters(0.7), "id")
 
 
+def _doc_clusters_at(spark, sf_dir, t):
+    """Full labeling (singletons by own id) of documents at jaccard
+    threshold t — shared by the bcubed/refine queries."""
+    d = _t(spark, sf_dir, "documents")
+    edges = jaccard_join(d, d, "doc_id", "doc_id", "text", "text", WS, t,
+                         allow_empty=False, self_join=True)
+    comp = connected_components(edges, "l_doc_id", "r_doc_id")
+    all_ids = d.select(F.col("doc_id").alias("id"))
+    full = all_ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster_id")
+    )
+    return full, edges
+
+
+def q_bcubed_doc(spark, sf_dir):
+    """B-cubed per-cluster contribution table (sparksimjoin/
+    evaluation.py::bcubed_contributions — Bagga & Baldwin 1998):
+    CC clusters at jaccard 0.6 scored against CC clusters at 0.7.
+    Every row is exact bigints plus ONE IEEE division, which is why
+    the per-cluster table (not the order-dependent float sum over
+    it) is the oracle surface; the global averages are pytest-gated
+    (tests/test_refine_bcubed.py brute force)."""
+    from sparksimjoin.evaluation import bcubed_contributions
+
+    pred, _ = _doc_clusters_at(spark, sf_dir, 0.6)
+    gold, _ = _doc_clusters_at(spark, sf_dir, 0.7)
+    return bcubed_contributions(pred, gold, "id")
+
+
+def q_refine_clusters_doc(spark, sf_dir):
+    """Threshold-tightening cluster refinement (sparksimjoin/
+    clustering.py::refine_clusters): CC clusters at jaccard 0.6 whose
+    size exceeds 20 OR whose intra-edge density falls below 0.8 (the
+    bad-transitive-merge signature) are re-clustered over their
+    intra-cluster edges at the tighter 0.8 cut; every other cluster
+    passes through byte-identical. All suspect-decision arithmetic is
+    one IEEE division on exact integers, so the SQL oracle replicates
+    the decision bit-exactly."""
+    from sparksimjoin.clustering import refine_clusters
+
+    assign, edges = _doc_clusters_at(spark, sf_dir, 0.6)
+    return refine_clusters(
+        assign, edges, 0.8, max_cluster_size=20, min_density=0.8,
+        id_col="id", cluster_col="cluster_id",
+        l_col="l_doc_id", r_col="r_doc_id",
+    ).withColumnRenamed("cluster_id", "component")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: whitespace-jaccard self-join of documents at sf0.001."""
     return q_jaccard_doc(spark, "/root/testdata/sf0.001")
@@ -1184,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_features_part": q_numeric_features_part,
         "fs_gamma_part": q_fs_gamma_part,
         "fs_score_part": q_fs_score_part,
+        "fs_tf_score_part": q_fs_tf_score_part,
         "soundex_part": q_soundex_part,
         "jaro_part": q_jaro_part,
         "jaro_winkler_part": q_jaro_winkler_part,
@@ -1203,6 +1372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_eval_doc": q_linkage_eval_doc,
         "threshold_sweep_doc": q_threshold_sweep_doc,
         "cluster_eval_doc": q_cluster_eval_doc,
+        "bcubed_doc": q_bcubed_doc,
+        "refine_clusters_doc": q_refine_clusters_doc,
         "column_to_str_part": q_column_to_str_part,
         "apply_matcher_doc": q_apply_matcher_doc,
         "filter_candset_doc": q_filter_candset_doc,
@@ -1826,6 +1997,7 @@ FROM ov WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6
         # levenshtein / SQL-equality / greatest-denominator relative
         # difference — all exact IEEE ops, no rounding tolerance
         # needed), then the exact-integer pattern counts EM consumes.
+        "fs_tf_score_part": _fs_tf_oracle(),
         "fs_gamma_part": """
 WITH cand AS (
   SELECT a.p_name AS ln, b.p_name AS rn, a.p_type AS lt, b.p_type AS rt,
@@ -2320,6 +2492,93 @@ SELECT n_ids, pred_pairs, gold_pairs, tp_pairs,
                  / ((CAST(tp_pairs AS DOUBLE)/pred_pairs) + (CAST(tp_pairs AS DOUBLE)/gold_pairs))
             ELSE 0.0 END AS f1
 FROM tp, ps, gs
+""",
+        # B-cubed: same double recursive-CTE clustering as
+        # cluster_eval_doc, then per-cluster exact-integer marginals
+        # with one IEEE division each (evaluation.py docstring: the
+        # per-cluster table, not the float SUM, is the oracle surface)
+        "bcubed_doc": f"""
+WITH RECURSIVE {_TOK_DOC},
+nodes AS (SELECT doc_id AS id FROM documents),
+edges6 AS (SELECT l_id AS src, r_id AS dst FROM ov
+           WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6),
+und6 AS (SELECT src, dst FROM edges6 UNION SELECT dst, src FROM edges6),
+reach6(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach6 r JOIN und6 u ON u.src = r.id
+),
+pred AS (SELECT id, min(comp) AS pc FROM reach6 GROUP BY id),
+edges7 AS (SELECT l_id AS src, r_id AS dst FROM ov
+           WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.7),
+und7 AS (SELECT src, dst FROM edges7 UNION SELECT dst, src FROM edges7),
+reach7(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach7 r JOIN und7 u ON u.src = r.id
+),
+gold AS (SELECT id, min(comp) AS gc FROM reach7 GROUP BY id),
+cells AS (SELECT p.pc, g.gc, count(*) AS n
+          FROM pred p JOIN gold g USING (id) GROUP BY 1, 2),
+sides AS (
+  SELECT 'precision' AS side, CAST(pc AS VARCHAR) AS cluster_id,
+         CAST(sum(n) AS BIGINT) AS n_members,
+         CAST(sum(n*n) AS BIGINT) AS sum_nij_sq
+  FROM cells GROUP BY pc
+  UNION ALL
+  SELECT 'recall', CAST(gc AS VARCHAR),
+         CAST(sum(n) AS BIGINT), CAST(sum(n*n) AS BIGINT)
+  FROM cells GROUP BY gc
+)
+SELECT side, cluster_id, n_members, sum_nij_sq,
+       CAST(sum_nij_sq AS DOUBLE) / CAST(n_members AS DOUBLE) AS contribution
+FROM sides
+""",
+        # cluster refinement: base CC at 0.6, exact-integer suspect
+        # decision (size > 20 OR one-division density < 0.8), second
+        # recursive CC over only the suspect clusters' >= 0.8 edges
+        "refine_clusters_doc": f"""
+WITH RECURSIVE {_TOK_DOC},
+nodes AS (SELECT doc_id AS id FROM documents),
+sc AS (SELECT l_id, r_id, CAST(o AS DOUBLE)/(s1+s2-o) AS s FROM ov
+       WHERE CAST(o AS DOUBLE)/(s1+s2-o) >= 0.6),
+und AS (SELECT l_id AS src, r_id AS dst FROM sc
+        UNION SELECT r_id, l_id FROM sc),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+),
+base AS (SELECT id, min(comp) AS c FROM reach GROUP BY id),
+sizes AS (SELECT c, count(*) AS n FROM base GROUP BY c),
+intra AS (SELECT bl.c AS c, count(*) AS m
+          FROM sc JOIN base bl ON sc.l_id = bl.id
+                 JOIN base br ON sc.r_id = br.id
+          WHERE bl.c = br.c GROUP BY bl.c),
+stats AS (SELECT s.c, s.n, COALESCE(i.m, 0) AS m
+          FROM sizes s LEFT JOIN intra i USING (c)),
+bad AS (SELECT c FROM stats
+        WHERE n > 20
+           OR (n > 1 AND CAST(m AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2.0) < 0.8)),
+keepm AS (SELECT id, c FROM base WHERE c NOT IN (SELECT c FROM bad)),
+susm AS (SELECT id FROM base WHERE c IN (SELECT c FROM bad)),
+tight AS (SELECT sc.l_id, sc.r_id
+          FROM sc JOIN base bl ON sc.l_id = bl.id
+                 JOIN base br ON sc.r_id = br.id
+          WHERE bl.c = br.c AND bl.c IN (SELECT c FROM bad)
+            AND sc.s >= 0.8),
+tund AS (SELECT l_id AS src, r_id AS dst FROM tight
+         UNION SELECT r_id, l_id FROM tight),
+treach(id, comp) AS (
+  SELECT id, id FROM susm
+  UNION
+  SELECT u.dst, r.comp FROM treach r JOIN tund u ON u.src = r.id
+),
+ref AS (SELECT id, min(comp) AS c FROM treach GROUP BY id)
+SELECT id, c AS component FROM keepm
+UNION ALL
+SELECT id, c AS component FROM ref
 """,
         "missing_pairs_doc": """
 WITH d AS (

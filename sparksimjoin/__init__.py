@@ -37,7 +37,8 @@ from .joins.weighted import (weighted_cosine_join, weighted_dice_join,
                              weighted_jaccard_join)
 from .ml import apply_ml_matcher, train_match_model
 from .ranking import topk_pairs
-from .evaluation import (best_threshold, clustering_pairwise_metrics,
+from .evaluation import (bcubed_contributions, bcubed_metrics,
+                         best_threshold, clustering_pairwise_metrics,
                          pair_metrics, threshold_sweep)
 from .cache import release_all, scoped_caches
 from .session import get_spark
@@ -46,9 +47,13 @@ from .missing import get_pairs_with_missing_value
 from .estimate import estimate_hybrid_join_cost, estimate_join_cost
 from .profiler import profile_table_for_join
 from .converter import column_to_str
-from .clustering import connected_components
+from .clustering import connected_components, refine_clusters
 from .pipeline import PipelineConfig, pairwise_f1, prepare_records, run_pipeline
 from .audit import cluster_audit, cluster_audit_chain
+from .fellegi_sunter import (Comparison, TfAdjustment, comparison_vectors,
+                             estimate_u, fellegi_sunter, load_fs_params,
+                             sampled_pairs, save_fs_params,
+                             score_with_params, term_frequencies)
 
 __all__ = [
     "Affine",
@@ -76,10 +81,23 @@ __all__ = [
     "apply_matcher",
     "cluster_audit",
     "cluster_audit_chain",
+    "bcubed_contributions",
+    "bcubed_metrics",
     "best_threshold",
     "clustering_pairwise_metrics",
     "column_to_str",
+    "comparison_vectors",
+    "Comparison",
+    "TfAdjustment",
+    "estimate_u",
+    "fellegi_sunter",
+    "load_fs_params",
+    "sampled_pairs",
+    "save_fs_params",
+    "score_with_params",
+    "term_frequencies",
     "connected_components",
+    "refine_clusters",
     "cosine_join",
     "dice_join",
     "edit_distance_join",

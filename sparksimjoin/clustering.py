@@ -127,3 +127,138 @@ def connected_components(
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
     return out
+
+
+def refine_clusters(
+    assign: DataFrame,
+    edges: DataFrame,
+    tighten_threshold: float,
+    max_cluster_size: int | None = None,
+    min_density: float | None = None,
+    id_col: str = "id",
+    cluster_col: str = "component",
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    score_col: str = "_sim_score",
+    comp_op: str = ">=",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Split suspect clusters by re-running connected components on
+    their intra-cluster edges at a TIGHTER threshold — the standard
+    repair for transitive clustering's bad-merge failure (two dense
+    groups bridged by one borderline pair; ``cluster_audit``'s
+    density statistic is its signature, this operator acts on it).
+
+    A cluster is SUSPECT when ``n_records > max_cluster_size`` or
+    ``density < min_density`` (density = intra-edges / C(n,2), the
+    audit definition; singletons are never suspect). Suspect
+    clusters' members are re-clustered over only their intra-cluster
+    edges passing ``comp_op(score, tighten_threshold)``; every other
+    cluster passes through UNTOUCHED — labels, membership, bytes.
+    Members that lose all their edges become singletons labeled by
+    their own id.
+
+    ``assign`` must follow :func:`connected_components`' labeling
+    convention (cluster label = the minimum MEMBER id, same type as
+    ``id_col``): refined sub-clusters are labeled by their minimum
+    member id, which can then never collide with a kept cluster's
+    label because member sets are disjoint. An arbitrary foreign
+    labeling could alias a kept label — rejected by a dtype check
+    here and by the convention being the only labeling this package
+    ever emits.
+
+    Scale: the suspect decision is two keyed aggregations over the
+    assignment/edge rows (map-side combinable — one mega-cluster is
+    one pre-combined reduce key); only suspect clusters' edges enter
+    the O(log n)-round CC, so the refine pass costs proportional to
+    what is actually broken, not to the corpus. No windows, no
+    driver-side data.
+    """
+    if max_cluster_size is None and min_density is None:
+        raise ValueError(
+            "at least one of max_cluster_size / min_density is required"
+        )
+    if max_cluster_size is not None and max_cluster_size < 1:
+        raise ValueError(f"max_cluster_size must be >= 1, got {max_cluster_size}")
+    if min_density is not None and not (0 < min_density <= 1):
+        raise ValueError(f"min_density must be in (0, 1], got {min_density}")
+    from .filter_math import COMP_OP_MAP
+
+    if comp_op not in COMP_OP_MAP:
+        raise ValueError(f"unknown comp_op {comp_op!r}")
+    id_type = dict(assign.dtypes)[id_col]
+    lab_type = dict(assign.dtypes)[cluster_col]
+    if id_type != lab_type:
+        raise ValueError(
+            f"cluster labels must be member ids ({id_col}: {id_type}), got "
+            f"{cluster_col}: {lab_type} — refine_clusters requires the "
+            "connected_components labeling convention"
+        )
+
+    lab = track(assign.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c")
+    ))
+    # intra-cluster edges (same shape as cluster_audit): foreign /
+    # cross-cluster edges are ignored
+    e = (
+        edges.select(
+            F.col(l_col).alias("__l"),
+            F.col(r_col).alias("__r"),
+            F.col(score_col).cast("double").alias("__s"),
+        )
+        .where(F.col("__l") != F.col("__r"))
+        .join(lab.withColumnRenamed("__id", "__l"), "__l")
+        .withColumnRenamed("__c", "__lc")
+        .join(lab.withColumnRenamed("__id", "__r"), "__r")
+        .where(F.col("__lc") == F.col("__c"))
+        .select("__l", "__r", "__s", F.col("__c").alias("__ec"))
+    )
+    # undirected edge dedup (best score) so a caller passing both
+    # orientations cannot double-count density
+    e = track(
+        e.select(
+            F.least("__l", "__r").alias("__l"),
+            F.greatest("__l", "__r").alias("__r"),
+            "__s", "__ec",
+        )
+        .groupBy("__l", "__r", "__ec")
+        .agg(F.max("__s").alias("__s"))
+    )
+
+    sizes = lab.groupBy("__c").agg(F.count(F.lit(1)).alias("__n"))
+    supp = e.groupBy(F.col("__ec").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    stats = sizes.join(supp, "__c", "left").select(
+        "__c", "__n", F.coalesce("__m", F.lit(0)).alias("__m")
+    )
+    suspect = F.lit(False)
+    if max_cluster_size is not None:
+        suspect = suspect | (F.col("__n") > max_cluster_size)
+    if min_density is not None:
+        nd = F.col("__n").cast("double")
+        suspect = suspect | (
+            (F.col("__n") > 1)
+            & (F.col("__m").cast("double") / (nd * (nd - 1) / 2.0)
+               < min_density)
+        )
+    bad = track(stats.where(suspect).select("__c"))
+
+    kept = lab.join(bad, "__c", "left_anti").select(
+        F.col("__id").alias(id_col), F.col("__c").alias(cluster_col)
+    )
+    members = lab.join(bad, "__c", "left_semi").select("__id")
+    tight = (
+        e.join(bad.withColumnRenamed("__c", "__ec"), "__ec", "left_semi")
+        .where(COMP_OP_MAP[comp_op](F.col("__s"), F.lit(float(tighten_threshold))))
+        .select(F.col("__l").alias("l_id"), F.col("__r").alias("r_id"))
+    )
+    sub = connected_components(tight, "l_id", "r_id", max_rounds=max_rounds)
+    refined = (
+        members.join(sub, members["__id"] == sub["id"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("component", F.col("__id")).alias(cluster_col),
+        )
+    )
+    return kept.unionAll(refined)

@@ -316,6 +316,133 @@ def blocking_metrics(
     )
 
 
+def _bcubed_cells(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str,
+    pred_cluster_col: str,
+    gold_cluster_col: str,
+) -> DataFrame:
+    """Shared contingency cells (``__pc``, ``__gc``, ``n``) over the
+    INNER-join id universe — same convention as
+    :func:`clustering_pairwise_metrics`."""
+    pa = pred.select(
+        F.col(id_col).alias("__id"), F.col(pred_cluster_col).alias("__pc")
+    )
+    ga = gold.select(
+        F.col(id_col).alias("__id"), F.col(gold_cluster_col).alias("__gc")
+    )
+    both = pa.join(ga, "__id", "inner")
+    return both.groupBy("__pc", "__gc").agg(F.count("*").alias("n"))
+
+
+def bcubed_contributions(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_cluster_col: str = "cluster_id",
+    gold_cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-cluster B-cubed contribution table (Bagga & Baldwin 1998;
+    the element-centric clustering metric that, unlike pairwise F1,
+    does not let one mega-cluster dominate the score).
+
+    For element e, BCubed precision(e) = |C(e) ∩ L(e)| / |C(e)| and
+    recall(e) mirrors it on the gold side. Grouping elements by their
+    predicted cluster i (sizes a_i, cells n_ij):
+
+        sum_{e in i} precision(e) = sum_j n_ij^2 / a_i
+
+    so each predicted cluster contributes ONE row with exact-integer
+    ``sum_nij_sq`` / ``n_members`` and a single IEEE division — and
+    symmetrically each gold cluster for recall. Global BCubed
+    precision = sum(precision-side contribution) / N.
+
+    Output: ``(side, cluster_id, n_members, sum_nij_sq,
+    contribution)`` with side ∈ {'precision', 'recall'} and
+    cluster_id cast to string so the two sides union cleanly. Every
+    value is either exact bigint or one division on exact bigints —
+    bit-reproducible cross-engine (the ``bcubed_doc`` oracle
+    replicates it in SQL), which is why the per-cluster table, not
+    the order-dependent float SUM over it, is the oracle surface.
+
+    Scale: one groupBy over |V| assignment rows for the cells, two
+    map-side-combinable groupBys over the (≤ |V|-row) cell frame —
+    the same shape as :func:`clustering_pairwise_metrics`; no pair
+    materialization, no window, no driver collect.
+    """
+    cells = _bcubed_cells(pred, gold, id_col, pred_cluster_col,
+                          gold_cluster_col)
+
+    def side(key: str, label: str) -> DataFrame:
+        g = cells.groupBy(key).agg(
+            F.sum("n").cast("long").alias("n_members"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_nij_sq"),
+        )
+        return g.select(
+            F.lit(label).alias("side"),
+            F.col(key).cast("string").alias("cluster_id"),
+            "n_members",
+            "sum_nij_sq",
+            (F.col("sum_nij_sq").cast("double") / F.col("n_members").cast("double"))
+            .alias("contribution"),
+        )
+
+    return side("__pc", "precision").unionAll(side("__gc", "recall"))
+
+
+def bcubed_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_cluster_col: str = "cluster_id",
+    gold_cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One-row BCubed summary: ``(n_ids, bcubed_precision,
+    bcubed_recall, bcubed_f1)`` — the global averages over
+    :func:`bcubed_contributions` (precision = Σ contribution / N).
+
+    The final sums are double-typed and therefore summation-order
+    dependent at the ~1 ulp level (unlike the per-cluster table,
+    which is bit-exact — use it when cross-engine reproducibility
+    matters); the F1 is the harmonic mean. Cost: same two keyed
+    aggregations as the contribution table plus one global agg.
+    """
+    cells = _bcubed_cells(pred, gold, id_col, pred_cluster_col,
+                          gold_cluster_col)
+
+    def side_sum(key: str) -> DataFrame:
+        return (
+            cells.groupBy(key)
+            .agg(
+                F.sum("n").cast("long").alias("__n"),
+                F.sum(F.col("n") * F.col("n")).cast("long").alias("__sq"),
+            )
+            .agg(
+                F.sum(F.col("__sq").cast("double") / F.col("__n").cast("double"))
+                .alias("__s"),
+                F.sum("__n").cast("long").alias("__tot"),
+            )
+        )
+
+    p = side_sum("__pc").select(
+        F.col("__s").alias("__ps"), F.col("__tot").alias("n_ids")
+    )
+    r = side_sum("__gc").select(F.col("__s").alias("__rs"))
+    one = p.crossJoin(r)
+    n = F.col("n_ids").cast("double")
+    prec = F.when(F.col("n_ids") > 0, F.col("__ps") / n).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_ids") > 0, F.col("__rs") / n).otherwise(F.lit(0.0))
+    return one.select(
+        F.coalesce("n_ids", F.lit(0)).alias("n_ids"),
+        prec.alias("bcubed_precision"),
+        rec.alias("bcubed_recall"),
+        F.when(
+            (prec + rec) > 0, 2.0 * prec * rec / (prec + rec)
+        ).otherwise(F.lit(0.0)).alias("bcubed_f1"),
+    )
+
+
 def best_threshold(sweep: DataFrame) -> float:
     """Pick the F1-maximizing threshold from a ``threshold_sweep``
     result (ties -> smallest threshold). The sweep
