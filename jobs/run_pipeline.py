@@ -80,6 +80,21 @@ def main(argv=None):
         "edge set (cluster_audit_chain)",
     )
     ap.add_argument(
+        "--refine-threshold", type=float, default=None,
+        help="threshold-tightening cluster refinement (sparksimjoin/"
+        "clustering.py::refine_clusters): re-cluster suspect clusters "
+        "over their intra-cluster edges at this TIGHTER threshold, "
+        "checkpointed as `clusters_refined` and written to --output in "
+        "place of the base clusters. Requires at least one of "
+        "--refine-max-size / --refine-min-density; not available with "
+        "--base (an incremental head's scored checkpoint holds only the "
+        "batch's edges — refine the full run instead)",
+    )
+    ap.add_argument("--refine-max-size", type=int, default=None,
+                    help="clusters larger than this are suspect")
+    ap.add_argument("--refine-min-density", type=float, default=None,
+                    help="clusters with intra-edge density below this are suspect")
+    ap.add_argument(
         "--eval-gold", default=None,
         help="optional gold cluster assignment (parquet with columns "
         "conv_id, entity_id): after clustering, print pairwise "
@@ -102,9 +117,16 @@ def main(argv=None):
         "qgram2": QgramTokenizer(qval=2),
         "qgram3": QgramTokenizer(qval=3),
     }[args.tokenizer]
+    if args.refine_threshold is not None and args.base:
+        ap.error("--refine-threshold is not available with --base "
+                 "(the incremental head's scored checkpoint holds only "
+                 "the batch's edges)")
     cfg = PipelineConfig(
         measure=args.measure, threshold=args.threshold, tokenizer=tok,
         salt_cap=args.salt_cap, audit=args.audit,
+        refine_threshold=args.refine_threshold,
+        refine_max_size=args.refine_max_size,
+        refine_min_density=args.refine_min_density,
     )
     from sparksimjoin.io import read_transcripts, write_output
 

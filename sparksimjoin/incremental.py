@@ -154,6 +154,15 @@ def run_incremental(
     before the change instead.
     """
     cfg = config or PipelineConfig()
+    if cfg.refine_threshold is not None:
+        raise ValueError(
+            "refine_threshold is not supported in incremental mode: the "
+            "batch's scored checkpoint holds only the batch's edges, so "
+            "a density decision over base clusters would be understated "
+            "— refine the full run (run_pipeline) or use "
+            "clustering.refine_clusters over cluster_audit_chain's "
+            "unioned edge set"
+        )
     base = CheckpointManager(spark, base_workdir, fmt=checkpoint_format)
     _require_base_stages(base)
     _validate_config(base, cfg)

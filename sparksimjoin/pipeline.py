@@ -72,6 +72,18 @@ class PipelineConfig:
     # support / density / weakest similarity — the bad-transitive-
     # merge review queue. Off by default (one extra groupBy stage).
     audit: bool = False
+    # optional threshold-tightening refinement stage
+    # (clustering.refine_clusters): when refine_threshold is set,
+    # clusters exceeding refine_max_size or falling below
+    # refine_min_density are re-clustered over their own intra-cluster
+    # scored edges at the tighter threshold; the result is
+    # checkpointed as `clusters_refined` and returned instead of the
+    # base clusters (which stay on disk unchanged — audit and
+    # incremental consumers keep their contract). At least one of the
+    # two criteria must accompany refine_threshold.
+    refine_threshold: float | None = None
+    refine_max_size: int | None = None
+    refine_min_density: float | None = None
 
 
 def tokenizer_descriptor(cfg: PipelineConfig) -> str:
@@ -273,6 +285,29 @@ def _run_stages(
                 clusters, scored, id_col="conv_id", component_col="component"
             ),
             inputs=["scored", "clusters"],
+        )
+    if cfg.refine_threshold is not None:
+        from .clustering import refine_clusters
+
+        # the scored edges carry decoded conv ids regardless of the
+        # iid funnel, and the clusters labels are min conv_id per
+        # component — exactly refine_clusters' labeling contract
+        clusters = ckpt.get_or_compute(
+            "clusters_refined",
+            lambda: refine_clusters(
+                clusters, scored, cfg.refine_threshold,
+                max_cluster_size=cfg.refine_max_size,
+                min_density=cfg.refine_min_density,
+                id_col="conv_id", cluster_col="component",
+                l_col="l_id", r_col="r_id", score_col="_sim_score",
+                comp_op=cfg.comp_op, max_rounds=cfg.max_cc_rounds,
+            ),
+            inputs=["scored", "clusters"],
+            extra={
+                "refine_threshold": cfg.refine_threshold,
+                "refine_max_size": cfg.refine_max_size,
+                "refine_min_density": cfg.refine_min_density,
+            },
         )
     return clusters
 

@@ -240,3 +240,54 @@ def test_pipeline_audit_stage(spark, transcripts, tmp_path):
         if r["n_records"] > 1:
             assert r["n_edges"] >= r["n_records"] - 1  # spanning support
             assert r["min_sim"] >= cfg.threshold
+
+
+def test_pipeline_refine_stage(spark, transcripts, tmp_path):
+    """cfg.refine_threshold checkpoints a `clusters_refined` stage
+    equal to a direct refine_clusters call over the run's own
+    clusters + scored edges, and run_pipeline returns it. With a
+    tighten cut above every score, suspect clusters dissolve into
+    singletons while compliant clusters pass through byte-identical."""
+    from sparksimjoin.checkpoint import CheckpointManager
+    from sparksimjoin.clustering import refine_clusters
+
+    wd = str(tmp_path / "wd_refine")
+    cfg = PipelineConfig(threshold=0.6, refine_threshold=0.62,
+                         refine_max_size=3, refine_min_density=0.9)
+    refined = run_pipeline(spark, transcripts, wd, cfg)
+    ckpt = CheckpointManager(spark, wd)
+    man = ckpt.manifest("clusters_refined")
+    assert man["inputs"] == ["scored", "clusters"]
+    assert man["refine_threshold"] == 0.62
+    got = {(r["conv_id"], r["component"]) for r in refined.collect()}
+    stage = {(r["conv_id"], r["component"])
+             for r in ckpt.read("clusters_refined").collect()}
+    assert got == stage
+    direct = refine_clusters(
+        ckpt.read("clusters"), ckpt.read("scored"), 0.62,
+        max_cluster_size=3, min_density=0.9,
+        id_col="conv_id", cluster_col="component",
+    )
+    assert got == {(r["conv_id"], r["component"]) for r in direct.collect()}
+    # same id universe as the base clusters
+    base = ckpt.read("clusters")
+    assert refined.count() == base.count()
+    # resume: rerun reads the stage back identically
+    again = run_pipeline(spark, transcripts, wd, cfg)
+    assert {(r["conv_id"], r["component"]) for r in again.collect()} == got
+
+
+def test_pipeline_refine_requires_criterion(spark, transcripts, tmp_path):
+    cfg = PipelineConfig(threshold=0.6, refine_threshold=0.8)
+    with pytest.raises(ValueError, match="at least one"):
+        run_pipeline(spark, transcripts, str(tmp_path / "wd_rf_bad"), cfg)
+
+
+def test_incremental_rejects_refine(spark, transcripts, tmp_path):
+    from sparksimjoin.incremental import run_incremental
+
+    cfg = PipelineConfig(threshold=0.6, refine_threshold=0.8,
+                         refine_max_size=3)
+    with pytest.raises(ValueError, match="incremental"):
+        run_incremental(spark, transcripts, str(tmp_path / "nobase"),
+                        str(tmp_path / "inc"), cfg)
