@@ -127,6 +127,50 @@ def sample_pairs(
     )
 
 
+def _strip_training_summaries(model: PipelineModel) -> PipelineModel:
+    """Drop every stage's JVM-side training summary before the model
+    enters a scoring plan. Two reasons, one of them a hard failure:
+
+    - **Task-closure weight**: ``LogisticRegressionModel`` (and the
+      other ``HasTrainingSummary`` models) keep ``trainingSummary``
+      as a NON-transient field referencing the training predictions
+      DataFrame and its SparkSession. ``model.transform`` captures
+      the model in the prediction UDF's task closure, so every task
+      would drag the whole summary graph along — never what you want
+      when scoring 10^12 candidate pairs.
+    - **Spark 4.1 sharp edge** (diagnosed round 4, minimal repro in
+      ``tests/test_ml.py::test_ml_survives_session_observation``):
+      ``classic.SparkSession.observationManager`` is a lazily
+      materialized, non-serializable, non-transient field. It stays
+      ``null`` until the session's FIRST ``Dataset.observe()``
+      registration — after which Java-serializing the session (via
+      the summary, via the model, via the closure) throws
+      ``NotSerializableException: ObservationManager`` and the
+      scoring job dies. This engine registers Observations routinely
+      (stop-token metrics, incremental vocab counters), so a fitted
+      model that still carries its summary is a time bomb: it scores
+      fine on a fresh session and fails after any pipeline ran.
+
+    ``setSummary(None)`` is a public JVM method on every
+    ``HasTrainingSummary`` model; stages without it are skipped.
+    Summary statistics wanted for diagnostics should be read BEFORE
+    scoring (or recomputed with ``model.evaluate``)."""
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm  # classic mode only
+    none = jvm.scala.Option.empty()
+    for stage in model.stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is None:  # pragma: no cover - connect-mode stages
+            continue
+        try:
+            if jobj.hasSummary():
+                jobj.setSummary(none)
+        except Exception:
+            continue  # stage has no HasTrainingSummary interface
+    return model
+
+
 def train_match_model(
     train_df: DataFrame,
     label_col: str = "label",
@@ -170,7 +214,7 @@ def train_match_model(
     prepped = _prep(
         train_df.withColumn(label_col, F.col(label_col).cast("double")),
         cols, na_fill)
-    return Pipeline(stages=[asm, clf]).fit(prepped)
+    return _strip_training_summaries(Pipeline(stages=[asm, clf]).fit(prepped))
 
 
 def apply_ml_matcher(
@@ -187,9 +231,16 @@ def apply_ml_matcher(
     prob >= ``threshold`` — an explicit probability cut so callers can
     calibrate, rather than the estimator's baked-in 0.5 argmax) to the
     input columns; the assembler/vector intermediates are dropped.
-    Use the same ``feature_cols``/``na_fill`` as training."""
+    Use the same ``feature_cols``/``na_fill`` as training.
+
+    Any training summaries still attached to ``model`` are stripped
+    first (see :func:`_strip_training_summaries` — they bloat the
+    scoring task closure and, after the session has registered any
+    ``Observation``, make it unserializable outright). This mutates
+    only the JVM summary slot, never the learned parameters."""
     from pyspark.ml.functions import vector_to_array
 
+    _strip_training_summaries(model)
     cols = _feature_cols(pairs_df, feature_cols)
     out_cols = pairs_df.columns
     scored = model.transform(_prep(pairs_df, cols, na_fill))

@@ -153,3 +153,35 @@ def test_sample_pairs_empty_and_degenerate(spark):
     out = sample_pairs(one, "l_id", "r_id", 10, stratify_col="score",
                        n_strata=5).collect()
     assert 1 <= len(out) <= 3
+
+
+def test_ml_survives_session_observation(spark):
+    """Round-4 regression: Spark 4.1's classic SparkSession holds a
+    lazily-materialized, NON-transient, non-serializable
+    ``observationManager``. It is null (and harmless) until the
+    session's first ``Dataset.observe()`` — which this engine issues
+    routinely (stop-token metrics, incremental vocab counters). A
+    fitted pyspark.ml model whose ``trainingSummary`` is still
+    attached pins the session into the scoring task closure, so
+    scoring then dies with ``NotSerializableException:
+    ObservationManager``. train_match_model/apply_ml_matcher strip
+    summaries (ml.py::_strip_training_summaries); this test poisons
+    the session FIRST and asserts the full fit+score path still runs.
+    (A LocalRelation-only plan would dodge the bug via driver-side
+    ConvertToLocalRelation evaluation — _labeled_feature_pairs goes
+    through real joins/shuffles, which is what makes this a
+    regression test and not a vacuous one.)"""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    spark.range(100).observe(obs, F.count(F.lit(1)).alias("n")).count()
+    assert obs.get["n"] == 100  # observation really registered
+
+    feats, eid = _labeled_feature_pairs(spark)
+    m = train_match_model(feats, seed=7)
+    assert not m.stages[-1].hasSummary  # summary stripped at fit time
+    out = apply_ml_matcher(m, feats.drop("label"))
+    got = {(r.l_id, r.r_id) for r in out.collect() if r._match == 1}
+    want = {(l, r) for l in eid for r in eid if l < r and eid[l] == eid[r]}
+    assert got == want
