@@ -157,8 +157,10 @@ def _strip_training_summaries(model: PipelineModel) -> PipelineModel:
     scoring (or recomputed with ``model.evaluate``)."""
     from pyspark import SparkContext
 
-    jvm = SparkContext._active_spark_context._jvm  # classic mode only
-    none = jvm.scala.Option.empty()
+    sc = SparkContext._active_spark_context  # classic mode only
+    if sc is None:  # pragma: no cover - connect mode / no session
+        return model
+    none = sc._jvm.scala.Option.empty()
     for stage in model.stages:
         jobj = getattr(stage, "_java_obj", None)
         if jobj is None:  # pragma: no cover - connect-mode stages
