@@ -297,6 +297,31 @@ def _attach_scores(
     tf table — no data-sized shuffle beyond those joins."""
     spark = vectors.sparkSession
     gcols = [f"gamma_{c.name}" for c in comparisons]
+    # scoring is an inner join against the ENUMERATED pattern table
+    # (every in-range pattern has a row), so an out-of-range or NULL
+    # gamma would not error — the pair would silently vanish from the
+    # output. That happens exactly when a level_expr lacks a terminal
+    # .otherwise(0) or the declared n_levels drifted from the params
+    # the vectors were built with (easy after load_fs_params). Fail
+    # loudly per row instead: the guard is a pure JVM conditional on
+    # the join key, no extra job.
+    guarded = {}
+    for c in comparisons:
+        g = F.col(f"gamma_{c.name}")
+        ok = g.isNotNull() & (g >= 0) & (g < c.n_levels)
+        guarded[f"gamma_{c.name}"] = F.when(ok, g).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"gamma_{c.name} = "),
+                F.coalesce(g.cast("string"), F.lit("NULL")),
+                F.lit(
+                    f" outside [0, {c.n_levels}): every Comparison "
+                    "level_expr must map every input to a declared level "
+                    "(end with .otherwise(0)), and n_levels must match "
+                    "the params the vectors were scored against"
+                ),
+            ))
+        )
+    vectors = vectors.withColumns(guarded)
     wtab = spark.createDataFrame(
         _pattern_rows(patterns, lam, m, u),
         schema=", ".join(f"{c} int" for c in gcols)
@@ -359,9 +384,10 @@ def _attach_scores(
             if adj.weight != 1.0
             else F.col(tfc) / F.lit(u_top)
         )
-        adj_terms.append(F.when(hit, term).otherwise(F.lit(0.0)))
+        contrib = F.when(hit, term).otherwise(F.lit(0.0))
+        adj_terms.append(contrib)
         factors.append(F.when(hit, fac).otherwise(F.lit(1.0)))
-        tf_names.append((adj.comparison, tfc))
+        tf_names.append((adj.comparison, tfc, contrib))
 
     w_adj = F.col("match_weight")
     for t in adj_terms:
@@ -372,19 +398,15 @@ def _attach_scores(
     prob_adj = F.col("__pm") / (F.col("__pm") + F.col("__pu") * factor)
     out = scored.withColumns(
         {
-            **{
-                f"tf_weight_{name}": F.when(
-                    (F.col(f"gamma_{name}") == by_name[name][1].n_levels - 1)
-                    & F.col(tfc).isNotNull(),
-                    F.log2(F.lit(u[by_name[name][0]][by_name[name][1].n_levels - 1]) / F.col(tfc)),
-                ).otherwise(F.lit(0.0))
-                for name, tfc in tf_names
-            },
+            # the diagnostic column IS the applied term (multiplier
+            # included), so base_weight + sum(tf_weight_*) always
+            # reconstructs the emitted match_weight exactly
+            **{f"tf_weight_{name}": contrib for name, _, contrib in tf_names},
             "match_weight": w_adj,
             "match_probability": prob_adj,
         }
     )
-    return out.drop("__pm", "__pu", *[tfc for _, tfc in tf_names])
+    return out.drop("__pm", "__pu", *[tfc for _, tfc, _ in tf_names])
 
 
 def score_with_params(
@@ -463,6 +485,14 @@ def fellegi_sunter(
     hist = gamma_histogram(vectors, gcols).collect()
     if not hist:
         raise ValueError("no pairs to fit on")
+    for r in hist:
+        for c in gcols:
+            if r[c] is None:
+                raise ValueError(
+                    f"{c} contains NULL: every Comparison level_expr must "
+                    "map every input (nulls included) to a level — end the "
+                    "when-chain with .otherwise(0)"
+                )
     patterns = sorted(
         (tuple(int(r[c]) for c in gcols), int(r["n"])) for r in hist
     )
@@ -505,17 +535,22 @@ def sampled_pairs(
     unbiased w.r.t. record content — the property u-estimation needs.
     Deterministic across partitionings and re-runs (hash of the key,
     no RNG state). ``n_records`` skips the count probe when the
-    caller already knows it.
+    caller already knows it — it must be the count of records with a
+    NON-NULL ``key_attr`` (null-keyed records cannot be paired and are
+    excluded before bucketing; sizing the buckets from the raw row
+    count would undershoot the yield quadratically on corpora with
+    many null keys).
     """
     if target_pairs < 1:
         raise ValueError(f"target_pairs must be >= 1, got {target_pairs}")
-    n = int(n_records) if n_records is not None else records.count()
+    k = F.col(key_attr)
+    keyed = records.where(k.isNotNull())
+    n = int(n_records) if n_records is not None else keyed.count()
     if n < 2:
-        raise ValueError(f"need >= 2 records to sample pairs, got {n}")
+        raise ValueError(f"need >= 2 non-null-key records to sample pairs, got {n}")
     space = n * (n - 1) // 2
     n_buckets = max(1, space // int(target_pairs))
-    k = F.col(key_attr)
-    b = records.where(k.isNotNull()).select(
+    b = keyed.select(
         k.alias("__k"),
         F.pmod(F.xxhash64(k, F.lit(int(seed))), F.lit(n_buckets)).alias("__b"),
     )

@@ -116,11 +116,14 @@ def _require_base_stages(base: CheckpointManager) -> None:
 
 def _validate_config(base: CheckpointManager, cfg: PipelineConfig) -> None:
     m = base.manifest("candidates")
-    for key, got in (("measure", cfg.measure), ("threshold", cfg.threshold)):
-        want = m.get(key)
-        if want is not None and want != got:
+    # key-presence (not is-not-None) so stop_token_cap=None recorded
+    # by a capless base still conflicts with a capped batch config;
+    # keys absent entirely (pre-upgrade manifests) are skipped
+    for key, got in (("measure", cfg.measure), ("threshold", cfg.threshold),
+                     ("stop_token_cap", cfg.stop_token_cap)):
+        if key in m and m[key] != got:
             raise ValueError(
-                f"incremental config mismatch: base run used {key}={want!r}, "
+                f"incremental config mismatch: base run used {key}={m[key]!r}, "
                 f"got {got!r} — an edge set mixing thresholds/measures is not "
                 "a valid linkage; rerun the base or match its config"
             )
@@ -154,6 +157,9 @@ def run_incremental(
     before the change instead.
     """
     cfg = config or PipelineConfig()
+    from .pipeline import validate_refine_config
+
+    validate_refine_config(cfg)  # criteria without a threshold: loud, not ignored
     if cfg.refine_threshold is not None:
         raise ValueError(
             "refine_threshold is not supported in incremental mode: the "

@@ -166,10 +166,14 @@ def _strip_training_summaries(model: PipelineModel) -> PipelineModel:
         if jobj is None:  # pragma: no cover - connect-mode stages
             continue
         try:
-            if jobj.hasSummary():
-                jobj.setSummary(none)
+            has = jobj.hasSummary()
         except Exception:
             continue  # stage has no HasTrainingSummary interface
+        if has:
+            # OUTSIDE the probe's except: if clearing fails we must
+            # hear about it here, not later as the resurrected
+            # NotSerializableException deep inside a scoring job
+            jobj.setSummary(none)
     return model
 
 

@@ -94,6 +94,44 @@ def tokenizer_descriptor(cfg: PipelineConfig) -> str:
     return f"{type(t).__name__}:{sorted(vars(t).items())!r}"
 
 
+def validate_refine_config(cfg: PipelineConfig) -> None:
+    """``refine_max_size``/``refine_min_density`` are criteria FOR the
+    refinement stage; without ``refine_threshold`` no stage runs, so
+    passing them alone would be silently ignored — the inverse of the
+    loud 'at least one criterion' error refine_clusters raises. Fail
+    loudly in both directions."""
+    if cfg.refine_threshold is None and (
+        cfg.refine_max_size is not None or cfg.refine_min_density is not None
+    ):
+        raise ValueError(
+            "refine_max_size/refine_min_density have no effect without "
+            "refine_threshold — set --refine-threshold (the tighter "
+            "re-clustering cut) or drop the criteria"
+        )
+
+
+def _check_stage_params(ckpt: CheckpointManager, stage: str,
+                        expected: dict) -> None:
+    """Resume safety: ``get_or_compute`` reads an existing stage back
+    WITHOUT recomputing, so re-running over a workdir with different
+    config would silently return results computed under the OLD
+    config (the natural tuning workflow — change a threshold, rerun).
+    Compare the stage manifest's recorded params against the current
+    config and fail loudly on drift. Keys absent from the manifest
+    (pre-upgrade checkpoints) are skipped."""
+    if not ckpt.exists(stage):
+        return
+    m = ckpt.manifest(stage)
+    for key, got in expected.items():
+        if key in m and m[key] != got:
+            raise ValueError(
+                f"resume config mismatch on stage {stage!r}: checkpoint "
+                f"was built with {key}={m[key]!r}, current config has "
+                f"{got!r} — delete the stage (and its dependents) or use "
+                "a fresh workdir to re-run under the new config"
+            )
+
+
 def prepare_records(transcripts: DataFrame) -> DataFrame:
     """S0: one row per conversation; doc = turn texts joined in
     turn_idx order. array_sort(struct(turn_idx, text)) gives a
@@ -124,6 +162,7 @@ def run_pipeline(
     (with the runtime jars + a configured catalog; see checkpoint.py)
     stores stages as Iceberg tables under the ``workdir`` namespace."""
     cfg = config or PipelineConfig()
+    validate_refine_config(cfg)
     ckpt = CheckpointManager(spark, workdir, fmt=checkpoint_format)
     # scoped_caches (not a global release_all): every stage is durably
     # checkpointed before the scope exits, so releasing the caches
@@ -170,11 +209,23 @@ def _run_stages(
 
     cand_extra = {"measure": cfg.measure, "threshold": cfg.threshold,
                   "tokenizer": tokenizer_descriptor(cfg),
+                  # recorded even when None so a later resume that
+                  # TURNS THE CAP ON is caught by _check_stage_params
+                  # (the cap is lossy — candidates differ)
+                  "stop_token_cap": cfg.stop_token_cap,
                   # candidate pairs are stored as iid surrogate longs
                   # (decoded to conv ids by the scored stage's prep
                   # joins); the scored stage detects pre-iid
                   # checkpoints by the stored l_id dtype
                   "id_space": "iid64"}
+    # position_mode/salt_cap are deliberately NOT compared: both are
+    # output-equivalent plan knobs (losslessness tested), so resuming
+    # under a different value reads back identical candidates
+    _check_stage_params(ckpt, "candidates", {
+        "measure": cfg.measure, "threshold": cfg.threshold,
+        "tokenizer": tokenizer_descriptor(cfg),
+        "stop_token_cap": cfg.stop_token_cap,
+    })
 
     def _candidates() -> DataFrame:
         ex_l = prefix_explode(tokens, "l", cfg.measure, cfg.threshold)
@@ -289,6 +340,13 @@ def _run_stages(
     if cfg.refine_threshold is not None:
         from .clustering import refine_clusters
 
+        # the natural tuning loop re-runs the same workdir with a
+        # different refine cut — must not read back the stale stage
+        _check_stage_params(ckpt, "clusters_refined", {
+            "refine_threshold": cfg.refine_threshold,
+            "refine_max_size": cfg.refine_max_size,
+            "refine_min_density": cfg.refine_min_density,
+        })
         # the scored edges carry decoded conv ids regardless of the
         # iid funnel, and the clusters labels are min conv_id per
         # component — exactly refine_clusters' labeling contract

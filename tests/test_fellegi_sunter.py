@@ -571,7 +571,7 @@ def test_estimate_u_guards(spark):
         estimate_u(df, "id", comps, smoothing=-1)
     one = spark.createDataFrame([(1, "x", "A", 1.0)],
                                 "id bigint, name string, typ string, price double")
-    with pytest.raises(ValueError, match=">= 2 records"):
+    with pytest.raises(ValueError, match=">= 2 non-null-key records"):
         sampled_pairs(one, "id", 10)
 
 
@@ -599,3 +599,67 @@ def test_fs_params_save_load_roundtrip(spark, tmp_path):
         with open(bad, "w") as f:
             json.dump({"lambda": 0.1}, f)
         load_fs_params(bad)
+
+
+def test_score_rejects_out_of_range_or_null_gamma(spark):
+    """Scoring joins against the ENUMERATED pattern table; before the
+    guard, a gamma outside [0, n_levels) or NULL silently dropped the
+    pair from the output (inner join, no match). Now raises per row."""
+    comps = [Comparison("a", F.lit(0), 2)]
+    params = {"lambda": 0.1, "m": {"a": [0.1, 0.9]}, "u": {"a": [0.8, 0.2]}}
+    bad = spark.createDataFrame(
+        [(1, 2, 5)], "l_id bigint, r_id bigint, gamma_a int")
+    with pytest.raises(Exception, match="gamma_a = 5 outside"):
+        score_with_params(bad, comps, params).collect()
+    nul = spark.createDataFrame(
+        [(1, 2, None)], "l_id bigint, r_id bigint, gamma_a int")
+    with pytest.raises(Exception, match="gamma_a = NULL outside"):
+        score_with_params(nul, comps, params).collect()
+    # in-range still scores (guard is pass-through)
+    ok = spark.createDataFrame(
+        [(1, 2, 1)], "l_id bigint, r_id bigint, gamma_a int")
+    assert score_with_params(ok, comps, params).count() == 1
+
+
+def test_fit_rejects_null_gamma(spark):
+    """fellegi_sunter used to die with a bare TypeError on NULL gamma
+    deep in the histogram decode; now a ValueError naming the column
+    and the .otherwise(0) contract."""
+    comps = [Comparison("a", F.lit(0), 2)]
+    vec = spark.createDataFrame(
+        [(1, 2, 1), (3, 4, None)], "l_id bigint, r_id bigint, gamma_a int")
+    with pytest.raises(ValueError, match="gamma_a contains NULL"):
+        fellegi_sunter(vec, comps)
+
+
+def test_tf_weight_column_reconstructs_match_weight(spark):
+    """tf_weight_<name> is the APPLIED adjustment term (multiplier
+    included): base match_weight + tf_weight == adjusted match_weight
+    exactly, also for weight != 1."""
+    l, pairs, comps, tf = _tf_tables(spark)
+    vec = comparison_vectors(pairs, l, l, "id", "id", comps,
+                             keep_cols=["l_typ"])
+    tft = term_frequencies(l, "typ")
+    base = _scored_by_pair(score_with_params(vec, comps, _PARAMS))
+    half = _scored_by_pair(score_with_params(
+        vec, comps, _PARAMS,
+        tf_adjust=[TfAdjustment("typ", "l_typ", weight=0.5)],
+        tf_tables={"typ": tft}))
+    assert any(h.tf_weight_typ != 0.0 for h in half.values())
+    for key, h in half.items():
+        assert h.match_weight == pytest.approx(
+            base[key].match_weight + h.tf_weight_typ, abs=1e-12)
+
+
+def test_sampled_pairs_null_keys_sized(spark):
+    """Bucket count must be sized from the NON-NULL-key population:
+    with 3/4 of keys null, sizing from the raw row count used to
+    yield ~1/16 of target_pairs."""
+    rows = [(i if i % 4 == 0 else None, f"r{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, payload string")
+    got = sampled_pairs(df, "id", 200, seed=3).collect()
+    # 100 usable records -> C(100,2)=4950 space, buckets sized for
+    # ~200 pairs; Poisson-ish spread, assert the right order of
+    # magnitude (the pre-fix behavior yielded ~12)
+    assert 60 <= len(got) <= 600
+    assert all(r.l_id is not None and r.r_id is not None for r in got)

@@ -291,3 +291,43 @@ def test_incremental_rejects_refine(spark, transcripts, tmp_path):
     with pytest.raises(ValueError, match="incremental"):
         run_incremental(spark, transcripts, str(tmp_path / "nobase"),
                         str(tmp_path / "inc"), cfg)
+
+
+def test_refine_criteria_without_threshold_rejected(spark, transcripts, tmp_path):
+    """--refine-max-size/--refine-min-density without --refine-threshold
+    used to be silently ignored (no refinement ran); now loud."""
+    from sparksimjoin.incremental import run_incremental
+
+    for cfg in (PipelineConfig(threshold=0.6, refine_max_size=10),
+                PipelineConfig(threshold=0.6, refine_min_density=0.5)):
+        with pytest.raises(ValueError, match="refine_threshold"):
+            run_pipeline(spark, transcripts, str(tmp_path / "wd_noop"), cfg)
+        with pytest.raises(ValueError, match="refine_threshold"):
+            run_incremental(spark, transcripts, str(tmp_path / "nb"),
+                            str(tmp_path / "ni"), cfg)
+
+
+def test_resume_config_drift_rejected(spark, tmp_path):
+    """Re-running a workdir under a different threshold/measure or a
+    different refine cut must fail loudly instead of silently reading
+    back stages computed under the OLD config (the natural tuning
+    workflow: change a knob, rerun the same workdir)."""
+    t_pdf, _ = make_transcripts(n_conv=60, seed=5)
+    small = spark.createDataFrame(t_pdf)
+    wd = str(tmp_path / "wd_drift")
+    cfg = PipelineConfig(threshold=0.6, refine_threshold=0.62,
+                         refine_max_size=3)
+    run_pipeline(spark, small, wd, cfg)
+
+    with pytest.raises(ValueError, match="resume config mismatch.*candidates"):
+        run_pipeline(spark, small, wd, PipelineConfig(threshold=0.65))
+    with pytest.raises(ValueError, match="resume config mismatch.*candidates"):
+        run_pipeline(spark, small, wd, PipelineConfig(
+            threshold=0.6, stop_token_cap=50))
+    with pytest.raises(ValueError,
+                       match="resume config mismatch.*clusters_refined"):
+        run_pipeline(spark, small, wd, PipelineConfig(
+            threshold=0.6, refine_threshold=0.7, refine_max_size=3))
+    # unchanged config still resumes cleanly
+    again = run_pipeline(spark, small, wd, cfg)
+    assert again.count() == 60
