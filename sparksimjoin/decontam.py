@@ -38,12 +38,17 @@ from pyspark.sql import functions as F
 
 from .validation import validate_attr
 
-#: whitespace class shared with WhitespaceTokenizer / textstats
-_WS_RE = r"(?U)[\s\x1c-\x1f]+"
+from .tokenizers import WhitespaceTokenizer
+
+#: return_set=False keeps order AND duplicates — positional word
+#: n-grams need both. Reusing the tokenizer (not a copied regex) keeps
+#: the whitespace class — including the \x1c-\x1f separators Python's
+#: str.split() treats as whitespace but (?U)\s does not — in ONE place.
+_WS = WhitespaceTokenizer()
 
 
 def _word_tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), _WS_RE), lambda x: x != "")
+    return _WS.spark_expr(F.lower(col))
 
 
 def word_ngrams(col: Column, n: int) -> Column:

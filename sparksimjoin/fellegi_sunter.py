@@ -135,10 +135,12 @@ def comparison_vectors(
         )
     lt = ltable.select(
         F.col(l_key_attr).alias(l_pair_col),
+        F.lit(True).alias("__lok"),
         *[F.col(c).alias(a) for c, a in l_names.items()],
     )
     rt = rtable.select(
         F.col(r_key_attr).alias(r_pair_col),
+        F.lit(True).alias("__rok"),
         *[F.col(c).alias(a) for c, a in r_names.items()],
     )
     prefixed = set(l_names.values()) | set(r_names.values())
@@ -148,12 +150,28 @@ def comparison_vectors(
                 f"keep_cols entry {c!r} is not a prefixed table column "
                 f"(available: {sorted(prefixed)})"
             )
-    joined = pairs.select(l_pair_col, r_pair_col).join(lt, l_pair_col).join(
-        rt, r_pair_col
-    )
+    # LEFT joins + per-row guard instead of inner joins: an inner join
+    # would silently DROP any pair whose key is NULL or absent from
+    # its table (stale candidates after a table cleanup), biasing the
+    # EM fit and the scored output with no signal. The guard is folded
+    # into every gamma column so column pruning can never remove it
+    # while any gamma is consumed.
+    joined = pairs.select(l_pair_col, r_pair_col).join(
+        lt, l_pair_col, "left"
+    ).join(rt, r_pair_col, "left")
+    ok = F.col("__lok").isNotNull() & F.col("__rok").isNotNull()
+    err = F.raise_error(F.concat(
+        F.lit("pair key does not resolve against its table: ("),
+        F.coalesce(F.col(l_pair_col).cast("string"), F.lit("NULL")),
+        F.lit(", "),
+        F.coalesce(F.col(r_pair_col).cast("string"), F.lit("NULL")),
+        F.lit(") — NULL keys never match, and ltable/rtable must contain "
+              "every id the candidate pairs reference"),
+    ))
     return joined.select(
         l_pair_col, r_pair_col,
-        *[c.level_expr.cast("int").alias(f"gamma_{c.name}") for c in comparisons],
+        *[F.when(ok, c.level_expr.cast("int")).otherwise(err)
+          .alias(f"gamma_{c.name}") for c in comparisons],
         *keep_cols,
     )
 
@@ -276,7 +294,9 @@ def _pattern_rows(patterns, lam, m, u):
             pm *= m[j][lv]
             pu *= u[j][lv]
             w += math.log2(m[j][lv] / u[j][lv])
-        rows.append((*g, pm, pu, w, pm / (pm + pu)))
+        # same underflow guard as _em's E-step: with dozens of
+        # comparisons both products can underflow to exactly 0.0
+        rows.append((*g, pm, pu, w, pm / (pm + pu) if (pm + pu) > 0 else 0.0))
     return rows
 
 

@@ -97,7 +97,12 @@ def blocking_graph(
         metrics_out["purged_blocks"] = LazyCountMetric(
             dfreq.where(F.col("df") > max_block_size)
         )
-    kept = track(post.join(F.broadcast(kept_tokens), "token"))
+    # NO broadcast hint: kept_tokens is vocabulary-sized (every token
+    # with 2 <= df <= max_block_size — at corpus scale, most of the
+    # vocabulary), far beyond any safe driver broadcast. Plain equi-
+    # join; AQE may still choose a broadcast when the actual size is
+    # small, which is the right place for that decision.
+    kept = track(post.join(kept_tokens, "token"))
 
     nblocks = kept.groupBy("id").agg(F.count(F.lit(1)).alias("nb"))
     edges = (

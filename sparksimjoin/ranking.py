@@ -80,10 +80,20 @@ def mutual_best_pairs(
     for c in (l_col, r_col, score_col):
         if c not in scored.columns:
             raise ValueError(f"column {c!r} not in scored pairs {scored.columns}")
-    canon = scored.where(F.col(l_col) != F.col(r_col)).select(
-        F.least(l_col, r_col).alias("_l"),
-        F.greatest(l_col, r_col).alias("_r"),
-        F.col(score_col).alias("_s"),
+    canon = (
+        scored.where(F.col(l_col) != F.col(r_col))
+        .select(
+            F.least(l_col, r_col).alias("_l"),
+            F.greatest(l_col, r_col).alias("_r"),
+            F.col(score_col).alias("_s"),
+        )
+        # collapse duplicate orientations/rows to the best score —
+        # without this, (1,2,0.9) and (2,1,0.8) both satisfy the
+        # mutual-best predicate and the output would contain the pair
+        # TWICE with inconsistent scores, breaking the 1:1 contract.
+        # Map-side combinable; on already-unique input it is a no-op.
+        .groupBy("_l", "_r")
+        .agg(F.max("_s").alias("_s"))
     )
     sym = canon.select(F.col("_l").alias("node"), F.col("_r").alias("partner"), "_s").unionByName(
         canon.select(F.col("_r").alias("node"), F.col("_l").alias("partner"), "_s")

@@ -663,3 +663,33 @@ def test_sampled_pairs_null_keys_sized(spark):
     # magnitude (the pre-fix behavior yielded ~12)
     assert 60 <= len(got) <= 600
     assert all(r.l_id is not None and r.r_id is not None for r in got)
+
+
+def test_comparison_vectors_rejects_unresolved_pair_keys(spark):
+    """Inner joins used to silently DROP pairs whose key was NULL or
+    absent from ltable/rtable (biasing the EM fit invisibly); now a
+    per-row guard raises with the offending pair."""
+    l, pairs, comps = _tables(spark)
+    ghost = pairs.limit(1).select(
+        F.lit(99999).alias("l_id"), F.col("r_id"))
+    with pytest.raises(Exception, match="does not resolve"):
+        comparison_vectors(ghost, l, l, "id", "id", comps).collect()
+    nulled = pairs.limit(1).select(
+        F.lit(None).cast("bigint").alias("l_id"), F.col("r_id"))
+    with pytest.raises(Exception, match="does not resolve"):
+        comparison_vectors(nulled, l, l, "id", "id", comps).collect()
+    # fully-resolvable pairs unchanged
+    assert comparison_vectors(pairs, l, l, "id", "id", comps).count() \
+        == pairs.count()
+
+
+def test_pattern_rows_underflow_guard():
+    """Both mixture products underflowing to 0.0 must yield
+    probability 0.0 (matching _em's convention), not
+    ZeroDivisionError."""
+    from sparksimjoin.fellegi_sunter import _pattern_rows
+
+    tiny = 5e-324
+    rows = _pattern_rows([(0,)], 0.1, [[tiny]], [[tiny]])
+    (*_, prob), = rows
+    assert prob == 0.0

@@ -392,3 +392,16 @@ def test_mutual_best_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         mutual_best_pairs(df)
+
+
+def test_mutual_best_duplicate_orientations_collapse(spark):
+    """Both orientations of the same unordered pair in the input
+    (asymmetric scorer run twice) used to emit the pair TWICE with
+    inconsistent scores; duplicates now collapse to the best score
+    before selection."""
+    from sparksimjoin.ranking import mutual_best_pairs
+
+    pairs = [(1, 2, 0.9), (2, 1, 0.8), (1, 3, 0.5)]
+    df = spark.createDataFrame(pairs, "l_id long, r_id long, _sim_score double")
+    got = [(r.l_id, r.r_id, r._sim_score) for r in mutual_best_pairs(df).collect()]
+    assert got == [(1, 2, 0.9)]  # once, at the max score
