@@ -1010,6 +1010,29 @@ def q_user_event_doc(spark, sf_dir):
     )
 
 
+def q_time_band_events(spark, sf_dir):
+    """Temporal band self-join (temporal.py::time_band_pairs): all
+    same-user event pairs within a 6h window, via the bucketed
+    same+adjacent equi-join decomposition (Spark would plan a raw
+    range predicate as BroadcastNestedLoopJoin). Exact microsecond
+    deltas — integer arithmetic, hash-exact vs the brute-force SQL."""
+    from sparksimjoin.temporal import time_band_pairs
+
+    e = _t(spark, sf_dir, "events")
+    return time_band_pairs(e, "event_id", "ts", 6 * 3600, ["user_id"])
+
+
+def q_session_events(spark, sf_dir):
+    """Gap sessionization (temporal.py::sessionize): per-user
+    24h-gap sessions; one window per user partition, no UDF."""
+    from sparksimjoin.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", 24 * 3600).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(e, "vec_id", "embedding", k=3).select(
@@ -1397,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_best_doc": q_mutual_best_doc,
         "events_by_type": q_events_by_type,
         "user_event_doc": q_user_event_doc,
+        "time_band_events": q_time_band_events,
+        "session_events": q_session_events,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3040,6 +3065,32 @@ FROM events GROUP BY event_type
         "user_event_doc": """
 SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS doc
 FROM events GROUP BY user_id
+""",
+        "time_band_events": """
+SELECT l.event_id AS l_id, r.event_id AS r_id,
+       abs(epoch_us(l.ts) - epoch_us(r.ts)) AS delta_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id AND l.event_id < r.event_id
+WHERE abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 21600000000
+""",
+        "session_events": """
+-- gap sessionization twin: session breaks where the same-user gap
+-- exceeds 24h (strictly), ids 1-based per user in ts order. The
+-- fixture has no NULL ts/user, so the engine's null-session branch
+-- is exercised by pytest (test_temporal.py), not here.
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 86400000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, user_id,
+       user_id::VARCHAR || '#' ||
+       (sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING))::VARCHAR AS session_id
+FROM g
 """,
         "ann_topk": """
 WITH pairs AS (
