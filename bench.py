@@ -143,6 +143,16 @@ def _q_tversky(s, d):
                               allow_empty=False, self_join=True)
 
 
+def _q_time_band(s, d):
+    """Temporal band self-join (temporal.py): same-user event pairs
+    within 6h via the bucketed same+adjacent equi-join decomposition
+    — no BNL node, exact integer deltas."""
+    from sparksimjoin.temporal import time_band_pairs
+
+    e = s.read.parquet(f"{d}/events.parquet")
+    return time_band_pairs(e, "event_id", "ts", 6 * 3600, ["user_id"])
+
+
 def bench_queries():
     return {
         "jaccard_doc_t95": _q_jaccard,
@@ -172,6 +182,7 @@ def bench_queries():
         "tversky_doc_t6": _q_tversky,
         "jaro_winkler_part_t9": _q_jaro_winkler,
         "overlap_coeff_zipf_skew": _q_overlap_coeff_zipf,
+        "time_band_events_6h": _q_time_band,
     }
 
 
