@@ -95,6 +95,12 @@ def main(argv=None):
     ap.add_argument("--refine-min-density", type=float, default=None,
                     help="clusters with intra-edge density below this are suspect")
     ap.add_argument(
+        "--time-window", type=float, default=None, metavar="SECONDS",
+        help="temporal blocking: only pair conversations whose start "
+        "timestamps (min ts) lie within this many seconds of each "
+        "other — retries/double-submits cluster in time; far-apart "
+        "near-identical text is usually boilerplate, not identity")
+    ap.add_argument(
         "--eval-gold", default=None,
         help="optional gold cluster assignment (parquet with columns "
         "conv_id, entity_id): after clustering, print pairwise "
@@ -127,6 +133,7 @@ def main(argv=None):
         refine_threshold=args.refine_threshold,
         refine_max_size=args.refine_max_size,
         refine_min_density=args.refine_min_density,
+        time_window_seconds=args.time_window,
     )
     from sparksimjoin.io import read_transcripts, write_output
 

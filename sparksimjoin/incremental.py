@@ -120,7 +120,8 @@ def _validate_config(base: CheckpointManager, cfg: PipelineConfig) -> None:
     # by a capless base still conflicts with a capped batch config;
     # keys absent entirely (pre-upgrade manifests) are skipped
     for key, got in (("measure", cfg.measure), ("threshold", cfg.threshold),
-                     ("stop_token_cap", cfg.stop_token_cap)):
+                     ("stop_token_cap", cfg.stop_token_cap),
+                     ("time_window_seconds", cfg.time_window_seconds)):
         if key in m and m[key] != got:
             raise ValueError(
                 f"incremental config mismatch: base run used {key}={m[key]!r}, "
@@ -160,6 +161,13 @@ def run_incremental(
     from .pipeline import validate_refine_config
 
     validate_refine_config(cfg)  # criteria without a threshold: loud, not ignored
+    if cfg.time_window_seconds is not None:
+        raise ValueError(
+            "time_window_seconds is not supported in incremental mode yet: "
+            "the batch candidate join (new x base) does not apply the band "
+            "filter, so batch edges would be inconsistent with the base "
+            "run's — run the full pipeline with the window instead"
+        )
     if cfg.refine_threshold is not None:
         raise ValueError(
             "refine_threshold is not supported in incremental mode: the "

@@ -66,6 +66,16 @@ class PipelineConfig:
     # dependent (vocabulary size / prefix length); both modes are
     # output-equivalent (losslessness test in test_joins_parity).
     position_mode: str | None = None
+    # temporal blocking (input_hint ts column): when set, candidate
+    # pairs additionally require |min(ts)_l - min(ts)_r| <=
+    # time_window_seconds (conversation start times within the
+    # window). SEMANTIC knob, not a plan knob: pairs outside the
+    # window are excluded from linkage entirely — retries/
+    # double-submits cluster in time, far-apart near-identical text
+    # is often boilerplate, not identity. None = off (the F1-gate
+    # default). Applied BEFORE verification, so the expensive
+    # set-similarity work is skipped for out-of-window candidates.
+    time_window_seconds: float | None = None
     max_cc_rounds: int = 50
     # also checkpoint an `audit` stage (audit.cluster_audit over the
     # scored edges + final clusters): per-component size / edge
@@ -136,15 +146,27 @@ def prepare_records(transcripts: DataFrame) -> DataFrame:
     """S0: one row per conversation; doc = turn texts joined in
     turn_idx order. array_sort(struct(turn_idx, text)) gives a
     deterministic ordering regardless of shuffle nondeterminism."""
+    # min_ts (conversation start, exact integer microseconds) rides
+    # along when the input carries the input_hint ts column — the
+    # time_window_seconds blocking option consumes it; absent ts
+    # (schema-reduced tests) it is a NULL column so the records
+    # checkpoint schema stays stable either way
+    min_ts = (
+        F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        if "ts" in transcripts.columns
+        else F.min(F.lit(None).cast("bigint"))
+    )
     return (
         transcripts.groupBy("conv_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_turns"),
+            min_ts.alias("min_ts_us"),
         )
         .select(
             "conv_id",
             F.concat_ws(" ", F.transform("_turns", lambda x: x["text"])).alias("doc"),
             F.size("_turns").alias("n_turns"),
+            "min_ts_us",
         )
     )
 
@@ -170,6 +192,39 @@ def run_pipeline(
     # unrelated in-flight joins in the same session are left alone
     with scoped_caches():
         return _run_stages(spark, transcripts, cfg, ckpt)
+
+
+def _apply_time_window(cand: DataFrame, tokens: DataFrame,
+                       records: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Intersect iid candidate pairs with the conversation-start time
+    band |min_ts_l - min_ts_r| <= time_window_seconds (inclusive,
+    exact integer microseconds). Two equi-joins on the iid against a
+    conv-count-sized map — pruned BEFORE verification, so the
+    set-similarity work is skipped for out-of-window pairs.
+    Conversations with a NULL min_ts can satisfy no window and drop
+    out of candidacy (they still appear in the final clusters as
+    singletons via the all-ids left join)."""
+    if not cfg.time_window_seconds > 0:
+        raise ValueError(
+            f"time_window_seconds must be > 0; got {cfg.time_window_seconds}"
+        )
+    if "min_ts_us" not in records.columns:
+        raise ValueError(
+            "time_window_seconds is set but the resumed 'records' "
+            "checkpoint predates time-window support (no min_ts_us "
+            "column) — recompute with a fresh workdir"
+        )
+    w_us = int(round(float(cfg.time_window_seconds) * 1_000_000))
+    ts_map = tokens.select("iid", "id").join(
+        records.select(F.col("conv_id").alias("id"), "min_ts_us"), "id"
+    ).select("iid", "min_ts_us")
+    lm = ts_map.select(F.col("iid").alias("l_id"), F.col("min_ts_us").alias("__lts"))
+    rm = ts_map.select(F.col("iid").alias("r_id"), F.col("min_ts_us").alias("__rts"))
+    return (
+        cand.join(lm, "l_id").join(rm, "r_id")
+        .where(F.abs(F.col("__lts") - F.col("__rts")) <= F.lit(w_us))
+        .drop("__lts", "__rts")
+    )
 
 
 def _run_stages(
@@ -213,6 +268,7 @@ def _run_stages(
                   # TURNS THE CAP ON is caught by _check_stage_params
                   # (the cap is lossy — candidates differ)
                   "stop_token_cap": cfg.stop_token_cap,
+                  "time_window_seconds": cfg.time_window_seconds,
                   # candidate pairs are stored as iid surrogate longs
                   # (decoded to conv ids by the scored stage's prep
                   # joins); the scored stage detects pre-iid
@@ -225,6 +281,7 @@ def _run_stages(
         "measure": cfg.measure, "threshold": cfg.threshold,
         "tokenizer": tokenizer_descriptor(cfg),
         "stop_token_cap": cfg.stop_token_cap,
+        "time_window_seconds": cfg.time_window_seconds,
     })
 
     def _candidates() -> DataFrame:
@@ -253,11 +310,14 @@ def _run_stages(
 
         salt_map = build_salt_map(tid_freq, resolve_salt_cap(cfg.salt_cap),
                                   key_col="token")
-        return candidate_pairs(
+        cand = candidate_pairs(
             ex_l, ex_r, cfg.measure, cfg.threshold, self_join=True, salt_map=salt_map,
             position_mode=cfg.position_mode
             or resolve_position_mode(cfg.measure, cfg.threshold),
         )
+        if cfg.time_window_seconds is not None:
+            cand = _apply_time_window(cand, tokens, records, cfg)
+        return cand
 
     candidates = ckpt.get_or_compute(
         "candidates", _candidates, inputs=["tokens", "token_ranks"], extra=cand_extra,

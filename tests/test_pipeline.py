@@ -331,3 +331,75 @@ def test_resume_config_drift_rejected(spark, tmp_path):
     # unchanged config still resumes cleanly
     again = run_pipeline(spark, small, wd, cfg)
     assert again.count() == 60
+
+
+def test_pipeline_time_window(spark, tmp_path):
+    """time_window_seconds intersects the token-blocked candidates
+    with the conversation-start band: clusters == brute-force (naive
+    join AND |min_ts| band) -> union-find. A window wide enough for
+    every pair reproduces the unwindowed run exactly."""
+    t_pdf, _ = make_transcripts(n_conv=80, seed=9)
+    df = spark.createDataFrame(t_pdf)
+
+    def brute(window_s):
+        recs = (
+            t_pdf.sort_values(["conv_id", "turn_idx"])
+            .groupby("conv_id")
+            .agg(doc=("text", " ".join), min_ts=("ts", "min"))
+            .reset_index()
+        )
+        pairs = naive_set_sim_join(
+            recs, recs, "conv_id", "conv_id", "doc", "doc",
+            WhitespaceTokenizer(), 0.6, "JACCARD", self_join=True,
+        )
+        ts = dict(zip(recs["conv_id"], recs["min_ts"]))
+        edges = [
+            (l, r) for l, r, _ in pairs
+            if window_s is None
+            or abs((ts[l] - ts[r]).total_seconds()) <= window_s
+        ]
+        comp = naive_connected_components(edges, nodes=list(recs["conv_id"]))
+        groups = {}
+        for n, c in comp.items():
+            groups.setdefault(c, set()).add(n)
+        return {frozenset(g) for g in groups.values()}
+
+    def run(window_s, wd):
+        cfg = PipelineConfig(threshold=0.6, time_window_seconds=window_s)
+        out = run_pipeline(spark, df, str(tmp_path / wd), cfg)
+        groups = {}
+        for r in out.collect():
+            groups.setdefault(r["component"], set()).add(r["conv_id"])
+        return {frozenset(g) for g in groups.values()}
+
+    # fixture ts: member m of an entity starts 60s after member m-1,
+    # so 90s keeps only ADJACENT members as direct edges (chains must
+    # re-merge via CC) and a tight 30s window severs all entity pairs
+    assert run(90.0, "w90") == brute(90.0)
+    assert run(30.0, "w30") == brute(30.0)
+    wide = run(1e9, "wide")
+    assert wide == brute(1e9)
+    assert wide == brute(None)  # wide window == unwindowed semantics
+    # 30s severs every duplicate pair -> all singletons; 90s does not
+    assert all(len(g) == 1 for g in run(30.0, "w30b"))
+    assert any(len(g) > 1 for g in wide)
+
+
+def test_pipeline_time_window_guards(spark, tmp_path):
+    t_pdf, _ = make_transcripts(n_conv=30, seed=3)
+    df = spark.createDataFrame(t_pdf)
+    with pytest.raises(ValueError, match="time_window_seconds must be > 0"):
+        run_pipeline(spark, df, str(tmp_path / "bad"),
+                     PipelineConfig(threshold=0.6, time_window_seconds=0))
+    # resume drift: windowed rerun over an unwindowed workdir is loud
+    wd = str(tmp_path / "wd_tw")
+    run_pipeline(spark, df, wd, PipelineConfig(threshold=0.6))
+    with pytest.raises(ValueError, match="resume config mismatch.*candidates"):
+        run_pipeline(spark, df, wd,
+                     PipelineConfig(threshold=0.6, time_window_seconds=60.0))
+    # incremental rejects the window outright
+    from sparksimjoin.incremental import run_incremental
+
+    with pytest.raises(ValueError, match="incremental"):
+        run_incremental(spark, df, wd, str(tmp_path / "inc_tw"),
+                        PipelineConfig(threshold=0.6, time_window_seconds=60.0))
