@@ -142,6 +142,7 @@ def refine_clusters(
     score_col: str = "_sim_score",
     comp_op: str = ">=",
     max_rounds: int = 50,
+    validate_labels: bool = False,
 ) -> DataFrame:
     """Split suspect clusters by re-running connected components on
     their intra-cluster edges at a TIGHTER threshold — the standard
@@ -163,9 +164,15 @@ def refine_clusters(
     ``id_col``): refined sub-clusters are labeled by their minimum
     member id, which can then never collide with a kept cluster's
     label because member sets are disjoint. An arbitrary foreign
-    labeling could alias a kept label — rejected by a dtype check
-    here and by the convention being the only labeling this package
-    ever emits.
+    labeling could alias a kept label. The dtype check below catches
+    type-level violations only — a foreign INTEGER labeling of the
+    same dtype passes it, and refined labels could then silently
+    alias a kept cluster's label. Pass ``validate_labels=True`` to
+    additionally run an exact semantic probe (one map-side-combinable
+    aggregation: every distinct label must appear as a member id of
+    its own cluster) before building the plan; it is off by default
+    only because it forces an eager pass over ``assign``, breaking
+    this operator's otherwise fully-lazy contract.
 
     Scale: the suspect decision is two keyed aggregations over the
     assignment/edge rows (map-side combinable — one mega-cluster is
@@ -194,6 +201,25 @@ def refine_clusters(
             f"{cluster_col}: {lab_type} — refine_clusters requires the "
             "connected_components labeling convention"
         )
+    if validate_labels:
+        # exact semantic probe (eager, one aggregation): under the
+        # min-member-id convention every distinct label appears as a
+        # member id of its own cluster, so #distinct labels ==
+        # #rows where id == label (ids are unique per assignment)
+        probe = assign.agg(
+            F.countDistinct(cluster_col).alias("__nlab"),
+            F.count(
+                F.when(F.col(id_col) == F.col(cluster_col), 1)
+            ).alias("__nself"),
+        ).collect()[0]
+        if int(probe["__nlab"]) != int(probe["__nself"]):
+            raise ValueError(
+                f"{int(probe['__nlab']) - int(probe['__nself'])} cluster "
+                "label(s) are not member ids of their own cluster — "
+                "refine_clusters requires connected_components' "
+                "min-member-id labeling (foreign labelings could alias "
+                "a kept cluster's label)"
+            )
 
     lab = track(assign.select(
         F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c")

@@ -601,7 +601,11 @@ def estimate_u(
     ready to drop into :func:`score_with_params`' ``params['u']`` or
     to seed :func:`fellegi_sunter`'s EM. ``smoothing`` is add-k over
     the levels so no level is exactly 0/1 (``score_with_params``
-    rejects degenerate probabilities).
+    rejects degenerate probabilities); with ``smoothing=0`` the
+    returned values are additionally clamped into ``[EPS, 1-EPS]``
+    (the same guard :func:`fellegi_sunter`'s EM applies) so the
+    drop-in contract holds even when an unseen level's raw frequency
+    is exactly zero.
 
     Cost: the bucket equi-join + ONE K-column aggregation whose
     output is K rows of level-count arrays — the per-comparison
@@ -633,7 +637,13 @@ def estimate_u(
     for c in comparisons:
         counts = [int(x) for x in row[c.name]]
         denom = n_pairs + smoothing * c.n_levels
-        u[c.name] = [(cnt + smoothing) / denom for cnt in counts]
+        # EPS clamp (same guard as _em): smoothing=0 with an unseen
+        # level would otherwise emit exactly 0.0, which
+        # score_with_params rejects — breaking the drop-in contract
+        u[c.name] = [
+            min(max((cnt + smoothing) / denom, EPS), 1 - EPS)
+            for cnt in counts
+        ]
     return u, n_pairs
 
 

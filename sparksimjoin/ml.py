@@ -127,7 +127,9 @@ def sample_pairs(
     )
 
 
-def _strip_training_summaries(model: PipelineModel) -> PipelineModel:
+def _strip_training_summaries(
+    model: PipelineModel, warn: bool = False
+) -> PipelineModel:
     """Drop every stage's JVM-side training summary before the model
     enters a scoring plan. Two reasons, one of them a hard failure:
 
@@ -170,6 +172,18 @@ def _strip_training_summaries(model: PipelineModel) -> PipelineModel:
         except Exception:
             continue  # stage has no HasTrainingSummary interface
         if has:
+            if warn:
+                import warnings
+
+                warnings.warn(
+                    "apply_ml_matcher: clearing the JVM training summary "
+                    f"of caller-supplied stage {stage.uid} (mutates the "
+                    "model in place; read model.summary diagnostics "
+                    "BEFORE scoring, or recompute via model.evaluate)",
+                    UserWarning,
+                    stacklevel=3,
+                )
+                warn = False  # once per call, not per stage
             # OUTSIDE the probe's except: if clearing fails we must
             # hear about it here, not later as the resurrected
             # NotSerializableException deep inside a scoring job
@@ -246,7 +260,7 @@ def apply_ml_matcher(
     only the JVM summary slot, never the learned parameters."""
     from pyspark.ml.functions import vector_to_array
 
-    _strip_training_summaries(model)
+    _strip_training_summaries(model, warn=True)
     cols = _feature_cols(pairs_df, feature_cols)
     out_cols = pairs_df.columns
     scored = model.transform(_prep(pairs_df, cols, na_fill))

@@ -69,6 +69,15 @@ def time_band_pairs(
     windows larger than the stream's typical spacing — size the
     window accordingly (the same caveat as
     ``overlap_coefficient_join``'s scale warning).
+
+    ``key_attr`` must uniquely identify records: the output space is
+    ``(l_id, r_id)`` key pairs, so two distinct records sharing a key
+    are indistinguishable downstream. Pairs with equal keys are
+    therefore excluded in BOTH the same-bucket branch (``__lk <
+    __rk``) and the adjacent-bucket branch (``__lk != __rk``) — with
+    duplicate keys this drops genuine cross-record pairs rather than
+    emitting a self-pair, which is the only consistent choice; dedupe
+    or synthesize a unique key upstream if keys can repeat.
     """
     validate_attr(df, key_attr, "time_band_pairs")
     validate_attr(df, ts_attr, "time_band_pairs")
@@ -116,7 +125,11 @@ def time_band_pairs(
 
     jk = [f"__p_{a}" for a in parts] + ["__b"]
     same = left.join(right_same, jk).where(F.col("__lk") < F.col("__rk"))
-    adj = left.join(right_next, jk)
+    # a single record occupies exactly one bucket, so the only way the
+    # adjacent branch can produce __lk == __rk is duplicate keys in
+    # neighbouring buckets — never a genuine self-pair; drop them (see
+    # docstring's duplicate-key contract)
+    adj = left.join(right_next, jk).where(F.col("__lk") != F.col("__rk"))
     pairs = same.unionByName(adj)
 
     delta = F.abs(F.col("__lt") - F.col("__rt"))

@@ -693,3 +693,25 @@ def test_pattern_rows_underflow_guard():
     rows = _pattern_rows([(0,)], 0.1, [[tiny]], [[tiny]])
     (*_, prob), = rows
     assert prob == 0.0
+
+
+def test_estimate_u_smoothing_zero_stays_in_open_interval(spark):
+    """smoothing=0 with an unseen level used to emit u == 0.0 exactly,
+    which score_with_params rejects — breaking the documented drop-in
+    contract. The EPS clamp (same guard as the EM path) keeps every
+    returned probability in (0, 1)."""
+    # every record agrees on typ -> the disagree level is NEVER seen
+    df = spark.createDataFrame(
+        [(i, f"name{i}", "A") for i in range(60)],
+        "id bigint, name string, typ string",
+    )
+    comps = [exact_comparison("l_typ", "r_typ", name="typ")]
+    u, n = estimate_u(df, "id", comps, target_pairs=500, seed=7,
+                      smoothing=0.0)
+    assert n > 0
+    assert all(0.0 < p < 1.0 for p in u["typ"])  # clamped, not 0.0
+    # and the drop-in contract really holds: score_with_params accepts
+    pairs = spark.createDataFrame([(0, 1)], "l_id bigint, r_id bigint")
+    vec = comparison_vectors(pairs, df, df, "id", "id", comps)
+    params = {"lambda": 0.01, "m": {"typ": [0.1, 0.9]}, "u": u}
+    assert score_with_params(vec, comps, params).count() == 1

@@ -185,3 +185,38 @@ def test_ml_survives_session_observation(spark):
     got = {(r.l_id, r.r_id) for r in out.collect() if r._match == 1}
     want = {(l, r) for l in eid for r in eid if l < r and eid[l] == eid[r]}
     assert got == want
+
+
+def test_apply_warns_once_when_stripping_caller_summary(spark):
+    """apply_ml_matcher mutates a caller-supplied model in place
+    (clearing JVM training summaries). That trade-off is deliberate
+    (see _strip_training_summaries), but it must be AUDIBLE: exactly
+    one UserWarning per call when a summary actually gets cleared,
+    and silence when the model was already stripped (the
+    train_match_model path)."""
+    import warnings
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from sparksimjoin.ml import _feature_cols, _prep
+
+    feats, _ = _labeled_feature_pairs(spark)
+    cols = _feature_cols(feats, None)
+    asm = VectorAssembler(inputCols=cols, outputCol="__features")
+    clf = LogisticRegression(featuresCol="__features", labelCol="label")
+    raw = Pipeline(stages=[asm, clf]).fit(_prep(feats, cols, 0.0))
+    assert raw.stages[-1].hasSummary  # summary attached pre-call
+    with pytest.warns(UserWarning, match="training summary"):
+        apply_ml_matcher(raw, feats.drop("label")).count()
+    assert not raw.stages[-1].hasSummary  # and it really was cleared
+    # second call: already stripped -> no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        apply_ml_matcher(raw, feats.drop("label")).count()
+    # the in-house training path never warns (strips at fit time)
+    m = train_match_model(feats, seed=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        apply_ml_matcher(m, feats.drop("label")).count()

@@ -260,3 +260,26 @@ def test_refine_validation(spark):
     bad = assign.select("id", F.col("component").cast("string").alias("component"))
     with pytest.raises(ValueError, match="labeling convention"):
         refine_clusters(bad, e, 0.8, max_cluster_size=4)
+
+
+def test_refine_validate_labels_semantic_probe(spark):
+    """validate_labels=True catches a foreign integer labeling that the
+    dtype check alone cannot: labels of the right TYPE that are not
+    member ids of their own cluster (and could therefore alias a kept
+    cluster's label after refinement)."""
+    e = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.9)], "l_id bigint, r_id bigint, _sim_score double")
+    good = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "id bigint, component bigint")
+    # min-member-id convention -> probe passes, plan builds and runs
+    out = refine_clusters(good, e, 0.5, max_cluster_size=10,
+                          validate_labels=True)
+    assert out.count() == 4
+    # foreign labeling: same dtype, labels 100/200 are nobody's id
+    bad = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 200)], "id bigint, component bigint")
+    with pytest.raises(ValueError, match="not member ids"):
+        refine_clusters(bad, e, 0.5, max_cluster_size=10,
+                        validate_labels=True)
+    # default stays lazy and permissive (documented trade-off)
+    refine_clusters(bad, e, 0.5, max_cluster_size=10)

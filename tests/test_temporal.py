@@ -187,3 +187,21 @@ def test_sessionize_validation(spark):
     with pytest.raises(ValueError, match="already in input"):
         sessionize(df.withColumn("session_id", F.lit("x")),
                    "user_id", "ts", 10)
+
+
+def test_time_band_duplicate_keys_never_self_pair(spark):
+    """key_attr uniqueness contract: duplicate keys must never
+    surface as self-pairs (l_id == r_id). Two records sharing key=1
+    land in ADJACENT buckets (t=0s and t=70s, W=60) — without the
+    adjacent-branch __lk != __rk guard this emitted (1, 1). Equal-key
+    pairs are excluded in both branches by the documented contract;
+    distinct-key pairs are unaffected."""
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0)), (1, 1, _ts(70)), (2, 1, _ts(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = [(r.l_id, r.r_id) for r in time_band_pairs(
+        df, "event_id", "ts", 60, ["user_id"]).collect()]
+    assert all(l != r for l, r in got)
+    # the distinct-key pairs survive: key 2 within 60s of both key-1 rows
+    assert sorted(got) == [(1, 2), (1, 2)]
