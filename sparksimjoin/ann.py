@@ -260,24 +260,70 @@ def lsh_topk(
     )
 
 
+#: fixed-point scale for the k-means centroid update: per-dimension
+#: member contributions are quantized to integers (floor(v*Q + 0.5))
+#: and summed EXACTLY as longs, so the refined centroids are
+#: bit-identical regardless of partitioning / engine summation order
+#: (integer addition commutes; double summation does not) — the same
+#: exact-integer-aggregation discipline as the weighted-join IDF
+#: weights. The ~6e-8 per-component quantization is irrelevant for a
+#: coarse quantizer that only gates recall.
+_KMEANS_Q = float(1 << 24)
+
+
 def _ivf_centroids(
-    df: DataFrame, id_col: str, vec_col: str, n_cells: int
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int,
+    kmeans_iters: int = 0,
 ) -> np.ndarray:
-    """Deterministic sampled coarse quantizer: the ``n_cells``
-    smallest-id vectors. IVF quality usually comes from a k-means
-    refinement of exactly such a seed; the data-sampled codebook is
-    the standard zero-training starting point, is reproducible, and
-    is SQL-replicable for the oracle harness. Quantization only gates
-    RECALL — candidates are exactly re-scored, so a better codebook
-    can be dropped in without touching correctness. The collect is
-    bounded by ``n_cells`` (a model parameter riding in task
-    closures, like the LSH hyperplanes) — never corpus-sized; the
-    ORDER BY + LIMIT compiles to a distributed TakeOrdered."""
+    """Deterministic coarse quantizer: the ``n_cells`` smallest-id
+    vectors, optionally refined by ``kmeans_iters`` Lloyd iterations
+    (assign = :func:`_ivf_assign` with n_probe=1; update = one
+    JVM-side groupBy(cell) aggregation of exact integer-quantized
+    per-dimension sums — see ``_KMEANS_Q``). Fixed iteration count,
+    no convergence test: determinism over the marginal last-iteration
+    gain, and the oracle harness replicates the identical unrolled
+    iterations in SQL. Quantization only gates RECALL — candidates
+    are exactly re-scored, so codebook quality never touches
+    correctness. Collects are bounded by ``n_cells`` rows per
+    iteration (a model parameter riding in task closures, like the
+    LSH hyperplanes) — never corpus-sized; the seed's ORDER BY +
+    LIMIT compiles to a distributed TakeOrdered. Empty cells keep
+    their previous centroid (standard Lloyd convention)."""
     rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
         .orderBy("id").limit(n_cells).collect()
     )
-    return np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    cents = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    if kmeans_iters <= 0:
+        return cents
+    dim = cents.shape[1]
+    id_t = df.schema[id_col].dataType.simpleString()
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    for _ in range(kmeans_iters):
+        asg = _ivf_assign(base, id_t, cents, 1)
+        got = (
+            base.join(asg, "id")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(
+                        F.floor(
+                            F.col("_v").getItem(d) * F.lit(_KMEANS_Q)
+                            + F.lit(0.5)
+                        )
+                    ).alias(f"__s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in got:  # cells with no members keep their centroid
+            n = int(r["__n"])
+            cents[int(r["cell"])] = [
+                (int(r[f"__s{d}"]) / n) / _KMEANS_Q for d in range(dim)
+            ]
+    return cents
 
 
 def _ivf_assign(
@@ -315,12 +361,15 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k: a coarse
-    quantizer partitions the corpus into ``n_cells`` inverted lists
-    (each base vector in its single nearest cell); each query probes
-    its ``n_probe`` nearest cells and is exactly re-scored against
-    only those lists. -> (query_id, neighbor_id, cosine, rank).
+    quantizer (smallest-id seed + ``kmeans_iters`` deterministic
+    Lloyd refinements, :func:`_ivf_centroids`) partitions the corpus
+    into ``n_cells`` inverted lists (each base vector in its single
+    nearest cell); each query probes its ``n_probe`` nearest cells
+    and is exactly re-scored against only those lists.
+    -> (query_id, neighbor_id, cosine, rank).
 
     The cell-structured alternative to ``lsh_topk``: recall degrades
     gracefully with ``n_probe/n_cells`` instead of with hyperplane
@@ -337,7 +386,8 @@ def ivf_topk(
     executor-sized."""
     id_t = df.schema[id_col].dataType.simpleString()
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-    cents = _ivf_centroids(df, id_col, vec_col, n_cells)
+    cents = _ivf_centroids(df, id_col, vec_col, n_cells,
+                           kmeans_iters=kmeans_iters)
     lists = _ivf_assign(base, id_t, cents, 1)
     probes = _ivf_assign(base, id_t, cents, n_probe)
     cand = (

@@ -834,6 +834,7 @@ def verify_pairs(
     keep_iids: bool = False,
     score_fn=None,
     orient_score: bool = False,
+    tokens_join: str = "auto",
 ) -> DataFrame:
     """Exact similarity on the full token sets; JVM-side
     ``array_intersect`` (ordered, duplicate-free int arrays — the
@@ -876,7 +877,27 @@ def verify_pairs(
     parallelism first: candidates are narrow (two ids) so AQE's
     byte-based coalescing would otherwise collapse this CPU-heavy
     stage to a handful of tasks (observed: one task doing all 1.8M
-    intersections)."""
+    intersections).
+
+    ``tokens_join`` picks the physical strategy for the two
+    token-array lookups — the scale cliff of this stage. ``"auto"``
+    leaves it to Catalyst, which broadcasts while its (mid-plan,
+    unreliable) size estimate stays under
+    ``autoBroadcastJoinThreshold`` and otherwise falls back to
+    sort-merge — and SMJ here SORTS every candidate row carrying both
+    token arrays, turning an ``|cand| * avg_tokens``-byte intermediate
+    into spill (measured: 530M candidates x 2 arrays filled a 77 GB
+    disk at 250k records when the estimate tipped over). Callers that
+    KNOW the record count should pass ``"broadcast"`` (token side
+    fits executor memory — no shuffle of the candidate stream at
+    all) or ``"shuffle_hash"`` (hash join, no sort: shuffled bytes
+    are the 16-byte pair rows, and the wide joined rows stream
+    straight into the score expression without materializing — the
+    100 TB plan when the token side outgrows broadcast; per-partition
+    build side = records / shuffle_partitions, sized by the same knob
+    that sizes every other stage). The pipeline picks from its
+    checkpoint manifest row counts (pipeline.py)."""
+    assert tokens_join in ("auto", "broadcast", "shuffle_hash"), tokens_join
     spark = cand.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert id_space in ("iid", "id"), id_space
@@ -894,11 +915,16 @@ def verify_pairs(
         F.col("id").alias("_ro"),
         nonnull_long_array(F.col("tokens")).alias("_rt"),
     )
+    if tokens_join == "broadcast":
+        l_tok, r_tok = F.broadcast(l_tok), F.broadcast(r_tok)
+    elif tokens_join == "shuffle_hash":
+        l_tok = l_tok.hint("SHUFFLE_HASH")
+        r_tok = r_tok.hint("SHUFFLE_HASH")
     # hash-repartition on the full pair key: unique per row -> uniform
     # spread with no skew (l_id alone skews on hot records) and no
     # local sort (round-robin repartition sorts each input partition
-    # serially); the token-array joins broadcast, so co-partitioning
-    # is irrelevant
+    # serially); when the token-array joins broadcast, co-partitioning
+    # is irrelevant and this spread survives into the scoring stage
     scored = (
         cand.repartition(n_part, "l_id", "r_id")
         .join(l_tok, "l_id")

@@ -77,6 +77,7 @@ def set_sim_join(
     position_mode: str | None = None,
     dedup_strings: bool | str = "auto",
     stop_token_cap: int | None = None,
+    tokens_join: str = "auto",
     metrics_out: dict | None = None,
     _verify_score_fn=None,
     _verify_threshold: float | None = None,
@@ -172,7 +173,7 @@ def set_sim_join(
     v_threshold = threshold if _verify_threshold is None else _verify_threshold
     pairs = verify_pairs(cand, prep_l, prep_r, measure, v_threshold, comp_op,
                          self_join=self_join, score_fn=_verify_score_fn,
-                         orient_score=_verify_orient)
+                         orient_score=_verify_orient, tokens_join=tokens_join)
 
     if allow_empty and measure != fm.OVERLAP:
         ep = empty_pairs(prep_l, prep_r, v_threshold, comp_op, self_join=self_join,

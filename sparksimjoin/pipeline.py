@@ -76,6 +76,18 @@ class PipelineConfig:
     # default). Applied BEFORE verification, so the expensive
     # set-similarity work is skipped for out-of-window candidates.
     time_window_seconds: float | None = None
+    # physical strategy for the verify stage's two token-array
+    # lookups (joins/core.verify_pairs tokens_join): records-count
+    # threshold below which the token side is explicitly BROADCAST
+    # (no shuffle of the candidate stream) and above which the join
+    # is pinned to SHUFFLE_HASH (hash join, no sort — never the
+    # sort-merge fallback that sorts every candidate row with both
+    # token arrays attached; measured filling a 77 GB disk at 250k
+    # records / 530M candidates when Catalyst's mid-plan estimate
+    # tipped past autoBroadcastJoinThreshold). ~1M records x ~400 B
+    # of token array ~= 400 MB broadcast, comfortably
+    # executor-sized; raise/lower to taste per cluster.
+    tokens_broadcast_cap: int = 1_000_000
     max_cc_rounds: int = 50
     # also checkpoint an `audit` stage (audit.cluster_audit over the
     # scored edges + final clusters): per-component size / edge
@@ -340,9 +352,19 @@ def _run_stages(
         # ~24-byte conv-id strings (same lever as the candidate
         # funnel's dictionary encoding — CC re-shuffles every edge
         # each round, multiplying the per-byte saving)
+        # explicit physical strategy: the tokens checkpoint manifest
+        # carries the exact record count, so never leave the
+        # broadcast-vs-SMJ choice to Catalyst's mid-plan estimate
+        # (see PipelineConfig.tokens_broadcast_cap for the cliff this
+        # dodges)
+        n_rec = ckpt.manifest("tokens")["rows"]
+        strategy = (
+            "broadcast" if n_rec <= cfg.tokens_broadcast_cap
+            else "shuffle_hash"
+        )
         return verify_pairs(candidates, tokens, tokens, cfg.measure, cfg.threshold,
                             cfg.comp_op, self_join=True, id_space=id_space,
-                            keep_iids=id_space == "iid")
+                            keep_iids=id_space == "iid", tokens_join=strategy)
 
     scored = ckpt.get_or_compute("scored", _scored, inputs=["candidates", "tokens"])
 

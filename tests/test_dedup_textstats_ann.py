@@ -340,3 +340,37 @@ def test_segment_granularity_validation(spark):
     with _pytest.raises(ValueError, match="granularity"):
         segment_stats(_seg_docs(spark), "doc_id", "text",
                       granularity="sentence").collect()
+
+
+def test_ivf_kmeans_refinement_improves_recall(spark):
+    """The fixed-iteration Lloyd refinement of the IVF codebook
+    (ann._ivf_centroids kmeans_iters) must be (a) strictly better than
+    the naive smallest-id codebook on real-ish data — measured on the
+    sf0.01 embeddings: recall@3 0.518 naive -> 0.593 at 2 iterations —
+    and (b) deterministic across partitionings (the exact-integer
+    quantized centroid update commutes, double summation would not)."""
+    import pyspark.sql.functions as F
+
+    from sparksimjoin.ann import ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, "vec_id", "embedding", k=3).collect()
+    }
+
+    def recall(iters, df):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(df, "vec_id", "embedding", k=3, n_cells=16,
+                              n_probe=4, kmeans_iters=iters).collect()
+        }
+        return len(got & truth) / len(truth), got
+
+    r0, _ = recall(0, e)
+    r2, got2 = recall(2, e)
+    assert r2 > r0, (r0, r2)
+    assert r2 >= 0.55  # anchor well below the measured 0.593
+    # partitioning invariance of the refined codebook end to end
+    _, got2b = recall(2, e.repartition(13, F.col("vec_id")))
+    assert got2 == got2b

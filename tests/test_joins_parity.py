@@ -507,3 +507,27 @@ def test_empty_pairs_metrics(spark):
     assert pairs[(2, 3)] == 1.0  # empty-empty pair matches at sim 1.0
     assert int(m["empty_l_records"]) == 2
     assert int(m["empty_r_records"]) == 2
+
+
+def test_tokens_join_strategies_equivalent_and_planned(spark, tables):
+    """tokens_join pins the physical strategy of the verify stage's
+    token-array lookups (joins/core.verify_pairs): "broadcast" must
+    plan BroadcastHashJoin, "shuffle_hash" must plan ShuffledHashJoin
+    (hash join, no sort of the wide candidate rows — the 250k-record
+    disk-spill cliff this knob exists for), and all three settings
+    must produce identical output."""
+    a, b = tables
+    tok = WhitespaceTokenizer()
+
+    def run(**kw):
+        return jaccard_join(a, b, "id", "id", "name", "name", tok, 0.5, **kw)
+
+    base = _collect_pairs(run())
+    for strat, node in (("broadcast", "BroadcastHashJoin"),
+                        ("shuffle_hash", "ShuffledHashJoin")):
+        out = run(tokens_join=strat)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"{strat}: expected {node} in plan"
+        assert _collect_pairs(out) == base, strat
+    with pytest.raises(AssertionError):
+        run(tokens_join="nonsense").collect()
