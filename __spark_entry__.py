@@ -864,6 +864,21 @@ def q_candidate_estimate_doc(spark, sf_dir):
     )
 
 
+def q_cap_advisor_doc(spark, sf_dir):
+    """The stop_token_cap pre-flight advisor (estimate.py): for an
+    OVERLAP_COEFFICIENT self-join (full-token blocking — the one §2
+    operator whose candidate volume a hot token can make quadratic)
+    with a proposed cap, the exact candidate-volume reduction, a
+    sound two-sided upper bound on lost result pairs, and the count
+    of records the cap would silence entirely (blind_records). The
+    cap-vs-recall decision, priced BEFORE paying for the join."""
+    d = _t(spark, sf_dir, "documents")
+    return estimate_join_cost(
+        d, d, "doc_id", "doc_id", "text", "text", WS,
+        "OVERLAP_COEFFICIENT", 0.6, self_join=True, stop_token_cap=350,
+    )
+
+
 def q_hybrid_estimate_part(spark, sf_dir):
     """Pre-flight predictors for the hybrid joins (estimate.py
     estimate_hybrid_join_cost): vocabulary sizes, JW-survivor token
@@ -1499,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round --
         "fs_score_fixed_iters": q_fs_score_fixed_iters,
+        "cap_advisor_doc": q_cap_advisor_doc,
         # -- never driver-sampled through round 4 (judge-verified green) --
         "candidate_estimate_doc": q_candidate_estimate_doc,
         "hybrid_estimate_part": q_hybrid_estimate_part,
@@ -2881,6 +2897,54 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_left,
        (SELECT CAST(count(*) AS BIGINT) FROM per) AS token_pairs,
        (SELECT CAST(coalesce(sum(meet), 0) AS BIGINT) FROM per) AS est_candidates,
        (SELECT CAST(coalesce(max(meet), 0) AS BIGINT) FROM per) AS max_pair_candidates
+""",
+        # cap advisor: overlap-coefficient prefix = the FULL token
+        # set, so pref == ex and pdf == global df; stop list = df >
+        # cap (the join's stop_token_frame definition); lost_pairs_ub
+        # = least(volume reduction, pairs among records with >= 1
+        # capped token) — both bounds sound, see estimate.py
+        "cap_advisor_doc": f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(string_split_regex(text, '{_WS_RE}'), x -> x <> '')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (SELECT id, unnest(toks) AS token FROM tok WHERE len(toks) > 0),
+cnt AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+stop AS (SELECT token FROM cnt WHERE c > 350),
+surv AS (
+  SELECT cnt.token, cnt.c FROM cnt LEFT JOIN stop USING (token)
+  WHERE stop.token IS NULL
+),
+rec AS (
+  SELECT ex.id, count(*) AS tot,
+         sum(CASE WHEN s.token IS NOT NULL THEN 1 ELSE 0 END) AS cap
+  FROM ex LEFT JOIN stop s USING (token) GROUP BY ex.id
+),
+recagg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN cap > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS w_l,
+         CAST(coalesce(sum(CASE WHEN cap = tot THEN 1 ELSE 0 END), 0) AS BIGINT) AS blind
+  FROM rec
+),
+sums AS (
+  SELECT
+    (SELECT CAST(coalesce(sum((CAST(c AS BIGINT) * (c - 1)) // 2), 0) AS BIGINT) FROM cnt) AS est,
+    (SELECT CAST(coalesce(sum((CAST(c AS BIGINT) * (c - 1)) // 2), 0) AS BIGINT) FROM surv) AS est_capped
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM cnt) AS distinct_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS prefix_postings,
+       sums.est AS est_candidates,
+       (SELECT CAST(coalesce(max((CAST(c AS BIGINT) * (c - 1)) // 2), 0) AS BIGINT) FROM cnt) AS max_token_candidates,
+       (SELECT CAST(coalesce(sum(CASE WHEN c > 512 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM cnt) AS hot_tokens,
+       CAST(350 AS BIGINT) AS stop_token_cap,
+       (SELECT CAST(count(*) AS BIGINT) FROM stop) AS capped_tokens,
+       sums.est_capped AS est_candidates_capped,
+       least(sums.est - sums.est_capped,
+             recagg.w_l * (recagg.w_l - 1) // 2) AS lost_pairs_ub,
+       recagg.blind AS blind_records
+FROM sums, recagg
 """,
         "candidate_estimate_doc": f"""
 WITH tok AS (

@@ -31,9 +31,15 @@ from sparksimjoin.session import get_spark
 
 cores = {cores}
 n_conv = {n_conv}
+input_path = {input_path!r}
 spark = get_spark(app_name="scalebench", cores=cores, shuffle_partitions=cores)
-tpdf, _ = make_transcripts(n_conv=n_conv, seed=42, vocab=expanded_vocab(2000))
-tdf = spark.createDataFrame(tpdf).repartition(cores).cache()
+if input_path:
+    # pre-generated parquet (scale-proof corpora): every leg reads the
+    # IDENTICAL bytes, and generation cost stays out of the timing
+    tdf = spark.read.parquet(input_path).repartition(cores).cache()
+else:
+    tpdf, _ = make_transcripts(n_conv=n_conv, seed=42, vocab=expanded_vocab(2000))
+    tdf = spark.createDataFrame(tpdf).repartition(cores).cache()
 n_turns = tdf.count()
 with tempfile.TemporaryDirectory() as wd:
     t0 = time.time()
@@ -56,8 +62,9 @@ def _load1() -> float:
         return float(f.read().split()[0])
 
 
-def run(cores: int, n_conv: int) -> dict:
-    code = CHILD.format(repo=str(REPO), cores=cores, n_conv=n_conv)
+def run(cores: int, n_conv: int, input_path: str | None = None) -> dict:
+    code = CHILD.format(repo=str(REPO), cores=cores, n_conv=n_conv,
+                        input_path=input_path)
     env = dict(os.environ)
     pre = _load1()
     out = subprocess.run(
@@ -69,7 +76,8 @@ def run(cores: int, n_conv: int) -> dict:
     return r
 
 
-def run_best(cores: int, n_conv: int, attempts: int, quiet_load: float) -> tuple[dict, list]:
+def run_best(cores: int, n_conv: int, attempts: int, quiet_load: float,
+             input_path: str | None = None) -> tuple[dict, list]:
     """This sandbox host is shared and co-tenant load swings measured
     times up to 40x (observed: the same local[8] leg at 89.5s and
     1110.8s an hour apart). Contention only ever SLOWS a leg, so the
@@ -94,7 +102,7 @@ def run_best(cores: int, n_conv: int, attempts: int, quiet_load: float) -> tuple
         # (demand-faulted guest pages), which the warm-page stream
         # probe misses — see BENCH/BASELINE.md round-4 root-cause
         ft_pre = firsttouch_mbps()
-        r = run(cores, n_conv)
+        r = run(cores, n_conv, input_path)
         r["membw_gbps_pre"] = bw_pre
         r["firsttouch_mbps_pre"] = ft_pre
         all_runs.append(r)
@@ -132,9 +140,12 @@ def main():
 
     bw = probe(sorted({cores_n, cores_4n, 8, 32}))
     print(f"membw probe: {json.dumps(bw)}", flush=True)
-    r8, all8 = run_best(cores_n, n_conv, attempts, quiet)
+    input_path = os.environ.get("SPARK_GRAFT_SCALE_INPUT") or None
+    if input_path:
+        print(f"input: {input_path} (pre-generated parquet)", flush=True)
+    r8, all8 = run_best(cores_n, n_conv, attempts, quiet, input_path)
     print(f"local[{cores_n}]:", r8)
-    r32, all32 = run_best(cores_4n, n_conv, attempts, quiet)
+    r32, all32 = run_best(cores_4n, n_conv, attempts, quiet, input_path)
     print(f"local[{cores_4n}]:", r32)
     eff = (r32["cand_per_sec"] / r8["cand_per_sec"]) / (cores_4n / cores_n)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")

@@ -57,26 +57,72 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+class SparkCatalogAdapter:
+    """The real Iceberg catalog contract, as this layer consumes it —
+    five operations, nothing more. Everything ABOVE this seam (stage
+    protocol, manifest construction, data-before-manifest completion
+    ordering, resume semantics) is plain logic testable without the
+    runtime jar: tests/test_pipeline.py injects an in-memory double
+    of this class, so only THIS adapter's bodies (and the jar probe
+    in CheckpointManager) remain jar-gated."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def ensure_root(self, root: str) -> None:  # pragma: no cover - jar-gated
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {root}")
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {root}.__manifests "
+            "(stage STRING, manifest STRING) USING iceberg"
+        )
+
+    def read_table(self, root: str, name: str) -> DataFrame:  # pragma: no cover
+        return self.spark.table(f"{root}.{name}")
+
+    def replace_table(self, root: str, name: str, df: DataFrame) -> DataFrame:
+        # Iceberg createOrReplace = one atomic snapshot swap; readers
+        # of the previous snapshot are never torn  # pragma: no cover
+        df.writeTo(f"{root}.{name}").using("iceberg").createOrReplace()
+        return self.spark.table(f"{root}.{name}")
+
+    def manifest_rows(self, root: str) -> DataFrame:  # pragma: no cover
+        return self.spark.table(f"{root}.__manifests")
+
+    def upsert_manifest(self, root: str, stage: str,
+                        manifest_json: str) -> None:  # pragma: no cover
+        self.spark.sql(
+            f"DELETE FROM {root}.__manifests WHERE stage = '{stage}'"
+        )
+        self.spark.createDataFrame(
+            [(stage, manifest_json)], "stage string, manifest string"
+        ).writeTo(f"{root}.__manifests").append()
+
+
 class CheckpointManager:
-    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet",
+                 catalog=None):
+        """``catalog``: injectable :class:`SparkCatalogAdapter`-shaped
+        object for ``fmt='iceberg'``. Defaults to the real adapter
+        (requires the runtime jar); tests inject an in-memory double
+        to drive every line of the Iceberg branch jar-free."""
         assert fmt in ("parquet", "iceberg")
         self.spark = spark
         self.root = root
         self.fmt = fmt
         if fmt == "iceberg":
-            if not iceberg_available(spark):  # pragma: no cover - jar-dependent
-                raise RuntimeError(
-                    "fmt='iceberg' requires the Iceberg runtime on the classpath; "
-                    "launch with --packages org.apache.iceberg:"
-                    "iceberg-spark-runtime-4.0_2.13:1.10.0 and a configured "
-                    "spark.sql.catalog.<name> (see sparksimjoin/checkpoint.py docstring)"
-                )
-            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {root}")
-            spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {root}.__manifests "
-                "(stage STRING, manifest STRING) USING iceberg"
-            )
+            if catalog is None:
+                if not iceberg_available(spark):  # pragma: no cover - jar-dependent
+                    raise RuntimeError(
+                        "fmt='iceberg' requires the Iceberg runtime on the classpath; "
+                        "launch with --packages org.apache.iceberg:"
+                        "iceberg-spark-runtime-4.0_2.13:1.10.0 and a configured "
+                        "spark.sql.catalog.<name> (see sparksimjoin/checkpoint.py docstring)"
+                    )
+                catalog = SparkCatalogAdapter(spark)
+            self.cat = catalog
+            self.cat.ensure_root(root)
         else:
+            self.cat = None
             os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------ paths
@@ -90,7 +136,7 @@ class CheckpointManager:
     def exists(self, name: str) -> bool:
         if self.fmt == "iceberg":
             return (
-                self.spark.table(f"{self.root}.__manifests")
+                self.cat.manifest_rows(self.root)
                 .where(F.col("stage") == name)
                 .limit(1)
                 .count()
@@ -101,13 +147,13 @@ class CheckpointManager:
     def read(self, name: str) -> DataFrame:
         assert self.exists(name), f"stage {name!r} not checkpointed"
         if self.fmt == "iceberg":
-            return self.spark.table(self._table(name))
+            return self.cat.read_table(self.root, name)
         return self.spark.read.parquet(self._dir(name))
 
     def manifest(self, name: str) -> dict:
         if self.fmt == "iceberg":
             row = (
-                self.spark.table(f"{self.root}.__manifests")
+                self.cat.manifest_rows(self.root)
                 .where(F.col("stage") == name)
                 .select("manifest")
                 .first()
@@ -150,18 +196,18 @@ class CheckpointManager:
         manifest write marks the stage complete."""
         t0 = time.time()
         if self.fmt == "iceberg":
-            tbl = self._table(name)
-            df.writeTo(tbl).using("iceberg").createOrReplace()
-            written = self.spark.table(tbl)
+            # completion ordering is the contract: the data snapshot
+            # swap lands FIRST, the manifest upsert SECOND — a crash
+            # between the two leaves the stage "incomplete" (manifest
+            # absent) and resume recomputes; it can never leave a
+            # manifest pointing at missing data
+            written = self.cat.replace_table(self.root, name, df)
             per_file = self._partition_counts(written)
             manifest = self._build_manifest(name, per_file, inputs, extra, t0, written)
-            self.spark.sql(
-                f"DELETE FROM {self.root}.__manifests WHERE stage = '{name}'"
+            self.cat.upsert_manifest(
+                self.root, name, json.dumps(manifest, sort_keys=True)
             )
-            self.spark.createDataFrame(
-                [(name, json.dumps(manifest, sort_keys=True))], "stage string, manifest string"
-            ).writeTo(f"{self.root}.__manifests").append()
-            return self.spark.table(tbl)
+            return self.cat.read_table(self.root, name)
         tmp = self._dir(f"_tmp_{name}")
         final = self._dir(name)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -204,7 +250,7 @@ class CheckpointManager:
         if self.fmt == "iceberg":
             return [
                 json.loads(r["manifest"])
-                for r in self.spark.table(f"{self.root}.__manifests")
+                for r in self.cat.manifest_rows(self.root)
                 .orderBy("stage")
                 .collect()
             ]

@@ -57,6 +57,7 @@ def estimate_join_cost(
     qval: int = 2,
     self_join: bool = False,
     salt_cap: int = AUTO_SALT_CAP,
+    stop_token_cap: int | None = None,
 ) -> DataFrame:
     """One-row frame of exact blocking-cost predictors for a
     prefix-filtered set-similarity join (JACCARD / COSINE / DICE /
@@ -75,6 +76,40 @@ def estimate_join_cost(
 
     Linear cost: no pair is ever materialized. EDIT_DISTANCE is
     rejected (its blocking is band-structured, not df-structured).
+
+    ``stop_token_cap`` (the cap-vs-recall pre-flight, most relevant
+    for OVERLAP_COEFFICIENT's full-token blocking): when set, five
+    advisory columns are APPENDED — the base seven keep their exact
+    meaning and order, so cap-free callers/oracles are untouched:
+
+    - ``stop_token_cap``: the proposed cap, echoed,
+    - ``capped_tokens``: tokens the join would exclude from blocking
+      keys (document frequency > cap — the join's own stop-list
+      definition, joins/core.stop_token_frame),
+    - ``est_candidates_capped``: exact candidate meetings AFTER the
+      cap — ``est_candidates - est_candidates_capped`` is the exact
+      volume reduction the cap buys,
+    - ``lost_pairs_ub``: sound upper bound on RESULT pairs the cap
+      can lose, the LEAST of two bounds that both hold: (a) the
+      volume reduction itself — every lost pair's shared prefix
+      tokens are all capped, so it contributes >= 1 meeting to the
+      capped tokens' total; (b) pairs among records carrying at
+      least one capped prefix token — a lost pair needs a capped
+      token on BOTH endpoints. (b) is dramatically tighter when the
+      cap hits a few ubiquitous boilerplate tokens spread across
+      few records; (a) is tighter when capped tokens concentrate in
+      many records,
+    - ``blind_records``: records whose EVERY prefix token is capped —
+      these can never appear in any candidate and lose ALL their
+      pairs; nonzero here means the cap is not merely trimming a hot
+      head but silencing whole records (left + right for R x S,
+      counted once for self-join).
+
+    Workflow (README "sizing an overlap-coefficient join"): run once
+    with the proposed cap, accept it only if ``blind_records`` == 0
+    and ``lost_pairs_ub`` is an acceptable fraction of
+    ``est_candidates``; otherwise raise the cap and re-run — still
+    linear each time.
     """
     if measure == EDIT_DISTANCE:
         raise ValueError(
@@ -125,14 +160,75 @@ def estimate_join_cost(
         else prep_r.select(F.count("*").alias("n_right"))
     )
     vocab = ranks.select(F.count("*").alias("distinct_tokens"))
-    return (
+    base_cols = [
+        "n_left", "n_right", "distinct_tokens", "prefix_postings",
+        "est_candidates", "max_token_candidates", "hot_tokens",
+    ]
+    out = (
         n_l.crossJoin(n_r)
         .crossJoin(vocab)
         .crossJoin(postings)
         .crossJoin(agg)
+    )
+    if stop_token_cap is None:
+        return out.select(*base_cols)
+
+    # ---- cap advisory (docstring): all still token-level linear ----
+    # the join's own stop-list definition (joins/core.stop_token_frame):
+    # GLOBAL document frequency (ranks.cnt) above the cap
+    stop = ranks.where(F.col("cnt") > stop_token_cap).select(
+        F.col("tid").alias("token")
+    )
+    n_stop = stop.select(F.count("*").alias("capped_tokens"))
+    surv_agg = per_tok.join(stop, "token", "left_anti").agg(
+        F.coalesce(F.sum("meet"), F.lit(0)).alias("est_candidates_capped")
+    )
+    flagged = stop.withColumn("__stop", F.lit(True))
+
+    def _rec_stats(px: DataFrame, side: str, w_col: str, b_col: str):
+        # per record: does ANY / does EVERY prefix token hit the cap
+        return (
+            px.join(flagged, "token", "left")
+            .groupBy(f"{side}_id")
+            .agg(
+                F.count(F.lit(1)).alias("__tot"),
+                F.coalesce(
+                    F.sum(F.col("__stop").cast("long")), F.lit(0)
+                ).alias("__cap"),
+            )
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("__cap") > 0).cast("long")), F.lit(0)
+                ).alias(w_col),
+                F.coalesce(
+                    F.sum((F.col("__cap") == F.col("__tot")).cast("long")),
+                    F.lit(0),
+                ).alias(b_col),
+            )
+        )
+
+    if self_join:
+        rec = _rec_stats(pl, "l", "w_l", "blind_l")
+        pair_bound = F.expr("CAST(w_l AS BIGINT) * (w_l - 1) DIV 2")
+        blind = F.col("blind_l")
+    else:
+        rec = _rec_stats(pl, "l", "w_l", "blind_l").crossJoin(
+            _rec_stats(pr, "r", "w_r", "blind_r")
+        )
+        pair_bound = F.col("w_l").cast("long") * F.col("w_r")
+        blind = (F.col("blind_l") + F.col("blind_r")).cast("long")
+    return (
+        out.crossJoin(n_stop).crossJoin(surv_agg).crossJoin(rec)
         .select(
-            "n_left", "n_right", "distinct_tokens", "prefix_postings",
-            "est_candidates", "max_token_candidates", "hot_tokens",
+            *base_cols,
+            F.lit(int(stop_token_cap)).cast("long").alias("stop_token_cap"),
+            "capped_tokens",
+            "est_candidates_capped",
+            F.least(
+                F.col("est_candidates") - F.col("est_candidates_capped"),
+                pair_bound,
+            ).cast("long").alias("lost_pairs_ub"),
+            blind.alias("blind_records"),
         )
     )
 

@@ -189,15 +189,21 @@ def run_pipeline(
     workdir: str,
     config: PipelineConfig | None = None,
     checkpoint_format: str = "parquet",
+    ckpt: CheckpointManager | None = None,
 ) -> DataFrame:
     """-> clusters DataFrame(conv_id, component). Resumable: rerun
     with the same workdir after a failure and completed stages are
     read back instead of recomputed. ``checkpoint_format='iceberg'``
     (with the runtime jars + a configured catalog; see checkpoint.py)
-    stores stages as Iceberg tables under the ``workdir`` namespace."""
+    stores stages as Iceberg tables under the ``workdir`` namespace.
+    ``ckpt`` overrides construction entirely (pre-configured manager,
+    e.g. an injected catalog adapter — tests drive the Iceberg branch
+    jar-free this way); ``workdir``/``checkpoint_format`` are then
+    ignored."""
     cfg = config or PipelineConfig()
     validate_refine_config(cfg)
-    ckpt = CheckpointManager(spark, workdir, fmt=checkpoint_format)
+    if ckpt is None:
+        ckpt = CheckpointManager(spark, workdir, fmt=checkpoint_format)
     # scoped_caches (not a global release_all): every stage is durably
     # checkpointed before the scope exits, so releasing the caches
     # tracked INSIDE this run is safe — while caches belonging to

@@ -171,3 +171,66 @@ def test_hybrid_estimate_upper_bounds_real_join(spark):
                             WhitespaceTokenizer(), 0.9, self_join=True).count()
     assert est.est_candidates >= 2 * real  # ordered meetings vs canonical pairs
     assert est.token_pairs >= est.vocab_left  # diagonal always survives
+
+
+def test_cap_advisor_exact_and_sound(spark):
+    """stop_token_cap advisory columns: est_candidates_capped is the
+    EXACT post-cap meeting count (python re-derivation), lost_pairs_ub
+    really bounds the pairs the capped join loses (measured against
+    the real overlap_coefficient_join with and without the cap), and
+    blind_records counts exactly the records whose every prefix token
+    is capped."""
+    from collections import Counter
+
+    from sparksimjoin import overlap_coefficient_join
+
+    rows = _corpus(40)
+    df = spark.createDataFrame(rows, ["id", "name"])
+    cap = 8
+    est = estimate_join_cost(
+        df, df, "id", "id", "name", "name", WhitespaceTokenizer(),
+        "OVERLAP_COEFFICIENT", 0.6, self_join=True, stop_token_cap=cap,
+    ).first()
+
+    # python re-derivation (overlap-coefficient prefix = full set)
+    toks = {i: set(t.split()) for i, t in rows if t is not None and t.split()}
+    cnt = Counter(w for s in toks.values() for w in s)
+    stopset = {w for w, c in cnt.items() if c > cap}
+    surv_pdf = Counter(w for s in toks.values() for w in s if w not in stopset)
+    exp_capped = sum(c * (c - 1) // 2 for c in surv_pdf.values())
+    exp_blind = sum(1 for s in toks.values() if s <= stopset)
+    w_l = sum(1 for s in toks.values() if s & stopset)
+    exp_ub = min(est.est_candidates - exp_capped, w_l * (w_l - 1) // 2)
+    assert est.capped_tokens == len(stopset)
+    assert est.est_candidates_capped == exp_capped
+    assert est.blind_records == exp_blind
+    assert est.lost_pairs_ub == exp_ub
+
+    # soundness against the real join: pairs lost to the cap <= ub
+    kw = dict(tokenizer=WhitespaceTokenizer(), threshold=0.6)
+    full = {(r.l_id, r.r_id) for r in overlap_coefficient_join(
+        df, df, "id", "id", "name", "name", **kw).collect()}
+    capped = {(r.l_id, r.r_id) for r in overlap_coefficient_join(
+        df, df, "id", "id", "name", "name", stop_token_cap=cap,
+        **kw).collect()}
+    assert capped <= full
+    assert len(full - capped) <= est.lost_pairs_ub
+
+    # cap high above every df: advisory reports a no-op, zero loss
+    hi = estimate_join_cost(
+        df, df, "id", "id", "name", "name", WhitespaceTokenizer(),
+        "OVERLAP_COEFFICIENT", 0.6, self_join=True,
+        stop_token_cap=10_000,
+    ).first()
+    assert hi.capped_tokens == 0
+    assert hi.est_candidates_capped == hi.est_candidates
+    assert hi.lost_pairs_ub == 0 and hi.blind_records == 0
+    # and without the knob the original 7-column schema is unchanged
+    base = estimate_join_cost(
+        df, df, "id", "id", "name", "name", WhitespaceTokenizer(),
+        "OVERLAP_COEFFICIENT", 0.6, self_join=True,
+    )
+    assert base.columns == [
+        "n_left", "n_right", "distinct_tokens", "prefix_postings",
+        "est_candidates", "max_token_candidates", "hot_tokens",
+    ]

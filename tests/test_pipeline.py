@@ -403,3 +403,112 @@ def test_pipeline_time_window_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="incremental"):
         run_incremental(spark, df, wd, str(tmp_path / "inc_tw"),
                         PipelineConfig(threshold=0.6, time_window_seconds=60.0))
+
+
+class _FakeCatalog:
+    """In-memory double of checkpoint.SparkCatalogAdapter: a dict of
+    frozen table snapshots plus an operation log. replace_table
+    collects and re-creates the frame (true snapshot isolation: later
+    mutations of the input plan can never leak into a stored
+    snapshot, matching Iceberg's swap semantics); the op log lets
+    tests assert the data-before-manifest completion ordering."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.tables: dict[str, object] = {}
+        self.manifests: dict[str, dict[str, str]] = {}
+        self.ops: list[tuple] = []
+
+    def ensure_root(self, root):
+        self.ops.append(("ensure_root", root))
+        self.manifests.setdefault(root, {})
+
+    def read_table(self, root, name):
+        self.ops.append(("read_table", root, name))
+        return self.tables[f"{root}.{name}"]
+
+    def replace_table(self, root, name, df):
+        self.ops.append(("replace_table", root, name))
+        snap = self.spark.createDataFrame(df.collect(), df.schema)
+        self.tables[f"{root}.{name}"] = snap
+        return snap
+
+    def manifest_rows(self, root):
+        self.ops.append(("manifest_rows", root))
+        rows = list(self.manifests.get(root, {}).items())
+        return self.spark.createDataFrame(
+            rows or self.spark.sparkContext.emptyRDD(),
+            "stage string, manifest string",
+        )
+
+    def upsert_manifest(self, root, stage, manifest_json):
+        self.ops.append(("upsert_manifest", root, stage))
+        self.manifests[root][stage] = manifest_json
+
+
+def test_iceberg_branch_logic_with_catalog_double(spark):
+    """Every line of CheckpointManager's fmt='iceberg' branch —
+    exists / read / manifest / write / get_or_compute resume /
+    all_manifests — driven through an injected catalog double, so
+    the branch is really tested in-sandbox and only the jar probe +
+    SparkCatalogAdapter bodies stay jar-gated (round-4 item 5)."""
+    from sparksimjoin.checkpoint import CheckpointManager
+
+    cat = _FakeCatalog(spark)
+    ckpt = CheckpointManager(spark, "local.simjoin_run", fmt="iceberg",
+                             catalog=cat)
+    assert ("ensure_root", "local.simjoin_run") in cat.ops
+    assert not ckpt.exists("stage_a")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(7).selectExpr("id", "id * 2 AS v")
+
+    df1 = ckpt.get_or_compute("stage_a", compute, inputs=["src"],
+                              extra={"threshold": 0.6})
+    assert df1.count() == 7 and ckpt.exists("stage_a") and calls == [1]
+    # completion ordering contract: the data snapshot landed BEFORE
+    # the manifest upsert (a crash between the two leaves the stage
+    # incomplete, never a manifest pointing at missing data)
+    t = cat.ops.index(("replace_table", "local.simjoin_run", "stage_a"))
+    m = cat.ops.index(("upsert_manifest", "local.simjoin_run", "stage_a"))
+    assert t < m
+    # resume: second get_or_compute reads the snapshot, no recompute
+    df2 = ckpt.get_or_compute("stage_a", compute)
+    assert df2.count() == 7 and calls == [1]
+    man = ckpt.manifest("stage_a")
+    assert man["rows"] == 7 and man["inputs"] == ["src"]
+    assert man["threshold"] == 0.6 and man["stage"] == "stage_a"
+    assert man["schema"].startswith("struct<id:bigint")
+    # snapshot replace: a re-write swaps the table AND the manifest
+    ckpt.write(spark.range(3).selectExpr("id", "id AS v"), "stage_a")
+    assert ckpt.manifest("stage_a")["rows"] == 3
+    assert ckpt.read("stage_a").count() == 3
+    # read of an uncheckpointed stage still refuses
+    with pytest.raises(AssertionError, match="not checkpointed"):
+        ckpt.read("missing")
+    assert [mm["stage"] for mm in ckpt.all_manifests()] == ["stage_a"]
+
+
+def test_iceberg_double_runs_full_pipeline(spark, transcripts, tmp_path):
+    """The whole pipeline through the Iceberg code path (catalog
+    double): same clusters as the parquet backend, byte for byte, and
+    a full manifest chain in the __manifests 'table'."""
+    from sparksimjoin.checkpoint import CheckpointManager
+
+    cfg = PipelineConfig(threshold=0.6)
+    pq_clusters = run_pipeline(
+        spark, transcripts, str(tmp_path / "wd_pq"), cfg
+    ).orderBy("conv_id").collect()
+
+    cat = _FakeCatalog(spark)
+    ckpt = CheckpointManager(spark, "local.simjoin_pipe", fmt="iceberg",
+                             catalog=cat)
+    ice_clusters = run_pipeline(
+        spark, transcripts, str(tmp_path / "unused"), cfg, ckpt=ckpt
+    ).orderBy("conv_id").collect()
+    assert ice_clusters == pq_clusters
+    stages = {m["stage"] for m in ckpt.all_manifests()}
+    assert {"records", "token_ranks", "tokens", "candidates",
+            "scored", "clusters"} <= stages
