@@ -1292,10 +1292,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     replicates the ALGORITHM (same smallest-id seed centroids, same
     TWO deterministic Lloyd refinement iterations — exact-integer
     quantized update, so both engines derive bit-identical centroids
-    — same single-cell lists / n_probe probes, same rerank) so the
-    approximate result is checked hash-exactly. Rank columns only:
-    numpy and DuckDB dot products can differ by 1 ulp at 6-decimal
-    rounding boundaries (same caveat as the other ANN rows)."""
+    GIVEN identical cell memberships — same single-cell lists /
+    n_probe probes, same rerank) so the approximate result is checked
+    hash-exactly. Rank columns only: numpy and DuckDB dot products
+    can differ by 1 ulp at 6-decimal rounding boundaries (same caveat
+    as the other ANN rows). The Lloyd iterations widen that caveat's
+    surface: a 1-ulp assignment flip during REFINEMENT would perturb
+    the derived centroids (not just one pair's rank), so a future
+    hash mismatch here should be triaged as a rounding-boundary
+    membership flip first — raise the assignment rounding to 5 dp in
+    BOTH engines to confirm — not as an engine bug."""
     from sparksimjoin.ann import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")

@@ -35,8 +35,11 @@ input_path = {input_path!r}
 spark = get_spark(app_name="scalebench", cores=cores, shuffle_partitions=cores)
 if input_path:
     # pre-generated parquet (scale-proof corpora): every leg reads the
-    # IDENTICAL bytes, and generation cost stays out of the timing
+    # IDENTICAL bytes, and generation cost stays out of the timing.
+    # n_conv is re-derived from the corpus itself so the BENCH row's
+    # provenance column never echoes a forgotten/default argv value
     tdf = spark.read.parquet(input_path).repartition(cores).cache()
+    n_conv = tdf.select("conv_id").distinct().count()
 else:
     tpdf, _ = make_transcripts(n_conv=n_conv, seed=42, vocab=expanded_vocab(2000))
     tdf = spark.createDataFrame(tpdf).repartition(cores).cache()

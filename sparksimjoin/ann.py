@@ -298,7 +298,11 @@ def _ivf_centroids(
         return cents
     dim = cents.shape[1]
     id_t = df.schema[id_col].dataType.simpleString()
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    # cached: every Lloyd iteration scans base twice (the mapInPandas
+    # assignment + the re-join fetching _v for the update), so an
+    # expensive upstream lineage would otherwise re-execute 2x per
+    # iteration; unpersisted before return
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")).cache()
     for _ in range(kmeans_iters):
         asg = _ivf_assign(base, id_t, cents, 1)
         got = (
@@ -323,6 +327,7 @@ def _ivf_centroids(
             cents[int(r["cell"])] = [
                 (int(r[f"__s{d}"]) / n) / _KMEANS_Q for d in range(dim)
             ]
+    base.unpersist()
     return cents
 
 

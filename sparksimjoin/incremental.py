@@ -103,6 +103,23 @@ def _chained_stage(
     return reduce(DataFrame.unionByName, frames)
 
 
+def _chained_rows(ckpt: CheckpointManager, fmt: str, name: str) -> int:
+    """Total manifest row count of a stage across the base chain —
+    the size of what :func:`_chained_stage` would union, as a
+    driver-side manifest walk (no data action)."""
+    total = 0
+    cur: CheckpointManager | None = ckpt
+    seen = set()
+    while cur is not None:
+        assert cur.root not in seen, f"checkpoint base chain cycle at {cur.root}"
+        seen.add(cur.root)
+        m = cur.manifest(name)
+        total += int(m["rows"])
+        base = m.get("base")
+        cur = CheckpointManager(cur.spark, base, fmt=fmt) if base else None
+    return total
+
+
 def _require_base_stages(base: CheckpointManager) -> None:
     missing = [s for s in ("records", "token_ranks", "tokens", "candidates", "clusters")
                if not base.exists(s)]
@@ -361,9 +378,25 @@ def _run_stages(
             if isinstance(candidates.schema["l_id"].dataType, LongType)
             else "id"
         )
+        # same verify-stage cliff dodge as the batch pipeline
+        # (pipeline.py _scored / PipelineConfig.tokens_broadcast_cap):
+        # never leave the token-lookup strategy to Catalyst's mid-plan
+        # estimate. Sized on the LARGER r side (base+new union) — the
+        # incremental verify's token table is bigger than the batch
+        # case's, so the sort-merge fallback cliff is nearer, not
+        # farther.
+        n_tok = (
+            ckpt.manifest("tokens")["rows"]
+            + _chained_rows(base, fmt, "tokens")
+        )
+        strategy = (
+            "broadcast" if n_tok <= cfg.tokens_broadcast_cap
+            else "shuffle_hash"
+        )
         return verify_pairs(
             candidates, tokens_new, tokens_base.unionByName(tokens_new),
             cfg.measure, cfg.threshold, cfg.comp_op, id_space=id_space,
+            tokens_join=strategy,
         )
 
     scored = ckpt.get_or_compute(

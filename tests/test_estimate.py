@@ -234,3 +234,18 @@ def test_cap_advisor_exact_and_sound(spark):
         "n_left", "n_right", "distinct_tokens", "prefix_postings",
         "est_candidates", "max_token_candidates", "hot_tokens",
     ]
+
+
+def test_cap_zero_rejected(spark):
+    """stop_token_cap=0 means 'disabled' to the joins/pipeline
+    (truthiness check) but would mean 'cap everything' to the
+    advisory — an unrunnable configuration, so the estimator rejects
+    it (round-5 review fix; same contract as resolve_salt_cap)."""
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], ["id", "name"])
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="stop_token_cap"):
+            estimate_join_cost(
+                df, df, "id", "id", "name", "name", WhitespaceTokenizer(),
+                "OVERLAP_COEFFICIENT", 0.6, self_join=True,
+                stop_token_cap=bad,
+            )

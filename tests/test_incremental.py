@@ -164,3 +164,42 @@ def test_incomplete_base_rejected(spark, split, tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(ValueError, match="not a completed pipeline run"):
         run_incremental(spark, new, str(tmp_path / "empty"), str(tmp_path / "inc"), CFG)
+
+
+def test_verify_strategy_pinned_and_chain_sized(spark, split, tmp_path):
+    """Round-5 review fix: the incremental verify stage pins its
+    token-lookup strategy like the batch pipeline (never Catalyst's
+    mid-plan estimate — the 77 GB sort-merge cliff), sized on the
+    FULL base-chain token count. Both forced strategies must produce
+    identical clusters, and _chained_rows must sum every link of the
+    chain, not just the immediate base."""
+    import dataclasses
+
+    from sparksimjoin.checkpoint import CheckpointManager
+    from sparksimjoin.incremental import _chained_rows
+
+    base, new, full = split
+    full_rows = _rows(run_pipeline(spark, full, str(tmp_path / "full"), CFG))
+    run_pipeline(spark, base, str(tmp_path / "base"), CFG)
+    # cap=1 -> n_tok always above -> pinned SHUFFLE_HASH end to end
+    shuffle_cfg = dataclasses.replace(CFG, tokens_broadcast_cap=1)
+    rows_sh = _rows(run_incremental(
+        spark, new, str(tmp_path / "base"), str(tmp_path / "inc_sh"), shuffle_cfg
+    ))
+    # default cap (1M) -> broadcast branch on this corpus
+    rows_bc = _rows(run_incremental(
+        spark, new, str(tmp_path / "base"), str(tmp_path / "inc_bc"), CFG
+    ))
+    assert rows_sh == rows_bc == full_rows
+
+    # chain sizing: inc dir's tokens + base dir's tokens, walked via
+    # manifests (the r-side union verify_pairs actually joins)
+    base_ck = CheckpointManager(spark, str(tmp_path / "base"))
+    inc_ck = CheckpointManager(spark, str(tmp_path / "inc_bc"))
+    expect = (
+        base_ck.manifest("tokens")["rows"] + inc_ck.manifest("tokens")["rows"]
+    )
+    assert _chained_rows(inc_ck, "parquet", "tokens") == expect
+    assert _chained_rows(base_ck, "parquet", "tokens") == base_ck.manifest(
+        "tokens"
+    )["rows"]
