@@ -199,6 +199,8 @@ def _lsh_scored_candidates(
     n_tables: int,
     dim: int | None,
     seed: int,
+    bucket_cap: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Shared LSH candidate+score stage: pairs sharing a bucket in
     >= 1 of ``n_tables`` hyperplane hash tables, exact cosine computed
@@ -206,7 +208,29 @@ def _lsh_scored_candidates(
     cosine), both orientations, no ranking. The bucket equi-join
     replaces the O(N^2) cross join; pair dedup happens on the id pair
     alone, with vectors re-joined after — never shuffled as part of a
-    distinct key."""
+    distinct key.
+
+    ``bucket_cap``: LOSSY guard for the bucket self-join's quadratic
+    term — a (table, signature) bucket holding more than ``cap``
+    vectors is excluded from candidate generation entirely (a pair
+    can still meet through the OTHER tables' buckets; only pairs
+    whose every co-bucket is over-cap are lost). On clustered
+    corpora — which real embedding corpora are — an under-planed
+    config concentrates thousands of vectors into a few buckets and
+    the self-join's Sigma(bucket^2) term explodes: measured at 200k
+    planted-cluster vectors with n_planes=10, the uncapped distinct
+    spilled past a 77 GB disk and killed the job. The right first
+    fix is more planes (shrinks every bucket geometrically); the cap
+    is the backstop for the skewed tail that remains at any plane
+    count. Same no-silent-caps discipline as the joins'
+    ``stop_token_cap``: pass ``metrics_out`` to receive
+    ``dropped_buckets`` as a lazy observed metric riding the query's
+    own action."""
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(
+            f"bucket_cap must be >= 1 (got {bucket_cap}); pass None "
+            "to disable the cap"
+        )
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -215,6 +239,34 @@ def _lsh_scored_candidates(
     )
     planes_by_table = np.stack([_planes(dim, n_planes, seed + t) for t in range(n_tables)])
     buckets = _lsh_buckets(base, df.schema[id_col].dataType.simpleString(), planes_by_table)
+    if bucket_cap is not None:
+        from .joins.core import LazyObservedMetric
+        from pyspark.sql import Observation
+
+        hot = (
+            buckets.groupBy("tbl", "sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > bucket_cap)
+            .select("tbl", "sig")
+        )
+        obs = Observation()
+        observed = hot.observe(obs, F.count(F.lit(1)).alias("dropped_buckets"))
+        # tbl=-1 sentinel (real tbl >= 0): keeps the broadcast
+        # non-empty when NO bucket exceeds the cap, else AQE's
+        # empty-relation propagation deletes the anti-join and the
+        # CollectMetrics node with it (stop_token_frame precedent)
+        sentinel = buckets.sparkSession.range(1).select(
+            F.lit(-1).cast("int").alias("tbl"),
+            F.lit(-1).cast("long").alias("sig"),
+        )
+        buckets = buckets.join(
+            F.broadcast(observed.unionAll(sentinel)), ["tbl", "sig"], "left_anti"
+        )
+        if metrics_out is not None:
+            metrics_out["bucket_cap"] = bucket_cap
+            metrics_out["dropped_buckets"] = LazyObservedMetric(
+                obs, "dropped_buckets"
+            )
     l = buckets.select(F.col("id").alias("query_id"), "tbl", "sig")
     r = buckets.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
     cand = (
@@ -246,10 +298,15 @@ def lsh_topk(
     n_tables: int = 4,
     dim: int | None = None,
     seed: int = 42,
+    bucket_cap: int | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH bucket candidates + exact cosine
-    rerank. -> (query_id, neighbor_id, cosine, rank)."""
-    scored = _lsh_scored_candidates(df, id_col, vec_col, n_planes, n_tables, dim, seed)
+    rerank. -> (query_id, neighbor_id, cosine, rank). ``bucket_cap``/
+    ``metrics_out``: the lossy hot-bucket guard — see
+    :func:`_lsh_scored_candidates`."""
+    scored = _lsh_scored_candidates(df, id_col, vec_col, n_planes, n_tables,
+                                    dim, seed, bucket_cap, metrics_out)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -421,6 +478,7 @@ def ivf_topk(
 def embedding_neardup(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+    bucket_cap: int | None = None, metrics_out: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates +
     exact verify. -> (l_id, r_id, cosine).
@@ -429,8 +487,11 @@ def embedding_neardup(
     stage — no top-k ``row_number`` window. The window version sorted
     every candidate per query, and on a skewed bucket (many collisions
     on one query id) that per-query sort becomes one hot task; a plain
-    filter stays embarrassingly parallel."""
-    scored = _lsh_scored_candidates(df, id_col, vec_col, n_planes, n_tables, None, seed)
+    filter stays embarrassingly parallel. ``bucket_cap``/
+    ``metrics_out``: the lossy hot-bucket guard — see
+    :func:`_lsh_scored_candidates`."""
+    scored = _lsh_scored_candidates(df, id_col, vec_col, n_planes, n_tables,
+                                    None, seed, bucket_cap, metrics_out)
     return (
         scored.where(
             (F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))

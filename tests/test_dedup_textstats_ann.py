@@ -374,3 +374,51 @@ def test_ivf_kmeans_refinement_improves_recall(spark):
     # partitioning invariance of the refined codebook end to end
     _, got2b = recall(2, e.repartition(13, F.col("vec_id")))
     assert got2 == got2b
+
+
+def test_lsh_bucket_cap(spark):
+    """bucket_cap: the lossy hot-bucket guard (round-5 scale finding —
+    the uncapped bucket self-join's Sigma(bucket^2) term filled a
+    77 GB disk on a 200k clustered corpus). A high cap is a no-op
+    (identical result set, dropped_buckets == 0); a tight cap on a
+    degenerate corpus drops the hot buckets (dropped_buckets > 0),
+    the result is a subset of the uncapped result, and near-identical
+    pairs still meet through the other tables' buckets."""
+    import numpy as np
+
+    from sparksimjoin.ann import lsh_topk
+
+    rng = np.random.default_rng(7)
+    # degenerate cluster: 30 copies of one direction (one hot bucket
+    # per table) + 20 spread vectors
+    hot = rng.standard_normal(8)
+    rows = [(i, (hot + 0.01 * rng.standard_normal(8)).tolist()) for i in range(30)]
+    rows += [(100 + i, rng.standard_normal(8).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = {(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in lsh_topk(df, "vec_id", "embedding", k=2).collect()}
+    m_hi: dict = {}
+    hi = {(r["query_id"], r["neighbor_id"], r["rank"])
+          for r in lsh_topk(df, "vec_id", "embedding", k=2,
+                            bucket_cap=1000, metrics_out=m_hi).collect()}
+    assert hi == uncapped
+    assert int(m_hi["dropped_buckets"]) == 0
+
+    m_lo: dict = {}
+    lo_rows = lsh_topk(df, "vec_id", "embedding", k=2,
+                       bucket_cap=25, metrics_out=m_lo).collect()
+    lo_pairs = {(r["query_id"], r["neighbor_id"]) for r in lo_rows}
+    assert int(m_lo["dropped_buckets"]) > 0
+    assert lo_pairs <= {(q, n) for q, n, _ in uncapped} | lo_pairs
+    # capped candidates are a subset of uncapped CANDIDATES: every
+    # capped pair appears in the uncapped candidate set (rank may
+    # shift when competitors are dropped, so compare pairs via a
+    # bigger-k uncapped run)
+    uncapped_all = {(r["query_id"], r["neighbor_id"])
+                    for r in lsh_topk(df, "vec_id", "embedding", k=50).collect()}
+    assert lo_pairs <= uncapped_all
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="bucket_cap"):
+            lsh_topk(df, "vec_id", "embedding", bucket_cap=bad)
