@@ -267,25 +267,30 @@ def _lsh_scored_candidates(
             metrics_out["dropped_buckets"] = LazyObservedMetric(
                 obs, "dropped_buckets"
             )
-    l = buckets.select(F.col("id").alias("query_id"), "tbl", "sig")
-    r = buckets.select(F.col("id").alias("neighbor_id"), "tbl", "sig")
-    cand = (
+    # vectors ride the BUCKET join, not a per-candidate re-join: each
+    # side shuffles N*n_tables rows of (id, sig, vector) ONCE, the
+    # join output streams straight into the cosine expression in the
+    # same stage (no exchange between them), and only the NARROW
+    # (query_id, neighbor_id, cosine) rows reach the dedup shuffle.
+    # The previous shape (bucket join on ids -> distinct -> re-join
+    # both vectors) shuffled candidates x vector-size: measured at
+    # 200k clustered 64-dim vectors / ~1e9 candidates, the two
+    # re-joins moved ~0.5 kB per CANDIDATE and filled a 77 GB disk;
+    # this shape moves vectors O(N*tables) and candidates at 32 B.
+    # cosine is computed up to n_tables times per pair (numpy-cheap)
+    # and rounded to 6 dp, so the distinct collapses the multi-table
+    # meets to one row exactly as before.
+    bv = buckets.join(base, "id")
+    l = bv.select(F.col("id").alias("query_id"), "tbl", "sig",
+                  F.col("_v").alias("_qv"))
+    r = bv.select(F.col("id").alias("neighbor_id"), "tbl", "sig",
+                  F.col("_v").alias("_nv"))
+    return (
         l.join(r, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    # no explicit repartition between distinct and the vector
-    # re-joins: the joins hash-exchange on query_id/neighbor_id
-    # themselves, so a pinned (query_id, neighbor_id) repartition
-    # here was a pure extra full shuffle of the candidate set
-    # (read off the physical plan: Exchange(distinct) ->
-    # Exchange(pin) -> Exchange(join key))
-    return (
-        cand.join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")), "query_id")
-        .join(base.select(F.col("id").alias("neighbor_id"), F.col("_v").alias("_nv")), "neighbor_id")
         .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
         .select("query_id", "neighbor_id", "cosine")
+        .distinct()
     )
 
 
