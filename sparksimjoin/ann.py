@@ -457,18 +457,27 @@ def ivf_topk(
                            kmeans_iters=kmeans_iters)
     lists = _ivf_assign(base, id_t, cents, 1)
     probes = _ivf_assign(base, id_t, cents, n_probe)
-    cand = (
-        probes.withColumnRenamed("id", "query_id")
-        .join(lists.withColumnRenamed("id", "neighbor_id"), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
+    # vectors ride the CELL join (lists: N rows, probes: N*n_probe
+    # rows — O(N) vector shuffle either way), and the join output
+    # streams straight into the cosine expression in the same stage,
+    # so only NARROW (query_id, neighbor_id, cosine) rows reach the
+    # top-k window exchange. Joining vectors per CANDIDATE instead
+    # (the pre-round-5 shape) moved ~0.5 kB per candidate row —
+    # measured filling a 77 GB disk at 200k 64-dim vectors with
+    # n_probe=8 (~0.7e9 candidates); same fix as the LSH stage.
     scored = (
-        cand.join(base.select(F.col("id").alias("query_id"), F.col("_v").alias("_qv")),
-                  "query_id")
-        .join(base.select(F.col("id").alias("neighbor_id"), F.col("_v").alias("_nv")),
-              "neighbor_id")
+        probes.withColumnRenamed("id", "query_id")
+        .join(base.select(F.col("id").alias("query_id"),
+                          F.col("_v").alias("_qv")), "query_id")
+        .join(
+            lists.withColumnRenamed("id", "neighbor_id").join(
+                base.select(F.col("id").alias("neighbor_id"),
+                            F.col("_v").alias("_nv")), "neighbor_id"),
+            "cell",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
