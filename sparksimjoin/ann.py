@@ -440,50 +440,67 @@ def ivf_topk(
 
     The cell-structured alternative to ``lsh_topk``: recall degrades
     gracefully with ``n_probe/n_cells`` instead of with hyperplane
-    count, and the probe is an equi-join on one int key. Because a
-    base vector lives in exactly ONE cell, a (query, neighbor) pair
-    meets at most once across the probed cells — no distinct/dedup
-    shuffle at all (vs the LSH multi-table bucket join).
+    count. Because a base vector lives in exactly ONE cell, a
+    (query, neighbor) pair meets at most once across the probed cells
+    — so a per-cell top-k followed by the global window merge IS the
+    exact top-k of the full candidate set, no distinct/dedup shuffle
+    at all (vs the LSH multi-table bucket join).
 
     Scale: assignment is one numpy matmul per Arrow batch with the
-    centroid matrix in the task closure; the probe equi-join on
-    ``cell`` is left to Catalyst un-pinned so AQE's skew-join split
-    handles popular cells. Size ``n_cells`` ~ sqrt(N) at scale
-    (standard IVF sizing) so each inverted list stays
-    executor-sized."""
+    centroid matrix in the task closure; the probe is a cogroup on
+    ``cell`` — each cell's (probes x list) block scores as ONE numpy
+    matmul (``_partial_topk``, the brute-force kernel) and emits at
+    most ``k`` rows per probing query, so candidate pairs are never
+    materialized as rows at all. The pre-cogroup shape (equi-join on
+    cell + per-row pandas cosine) moved every candidate as a ~1 kB
+    wide row through ArrowEvalPython and the top-k window: measured
+    87% of wall at 60k vectors and 716M candidates at 200k; the
+    cogroup computes identical cosines (same matmul + 6-dp round as
+    brute_force_topk, whose oracle is hash-green) at matmul speed.
+    Size ``n_cells`` ~ sqrt(N) at scale (standard IVF sizing) so each
+    inverted list stays executor-sized; within a task the query block
+    is sliced so the sims matrix stays bounded regardless of cell
+    size."""
     id_t = df.schema[id_col].dataType.simpleString()
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
     cents = _ivf_centroids(df, id_col, vec_col, n_cells,
                            kmeans_iters=kmeans_iters)
     lists = _ivf_assign(base, id_t, cents, 1)
     probes = _ivf_assign(base, id_t, cents, n_probe)
-    # vectors ride the CELL join (lists: N rows, probes: N*n_probe
-    # rows — O(N) vector shuffle either way), and the join output
-    # streams straight into the cosine expression in the same stage,
-    # so only NARROW (query_id, neighbor_id, cosine) rows reach the
-    # top-k window exchange. Joining vectors per CANDIDATE instead
-    # (the pre-round-5 shape) moved ~0.5 kB per candidate row —
-    # measured filling a 77 GB disk at 200k 64-dim vectors with
-    # n_probe=8 (~0.7e9 candidates); same fix as the LSH stage.
-    scored = (
-        probes.withColumnRenamed("id", "query_id")
-        .join(base.select(F.col("id").alias("query_id"),
-                          F.col("_v").alias("_qv")), "query_id")
-        .join(
-            lists.withColumnRenamed("id", "neighbor_id").join(
-                base.select(F.col("id").alias("neighbor_id"),
-                            F.col("_v").alias("_nv")), "neighbor_id"),
-            "cell",
-        )
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
-        .select("query_id", "neighbor_id", "cosine")
+    q_side = probes.join(base, "id").select(
+        F.col("id").alias("query_id"), "cell", F.col("_v").alias("_qv")
+    )
+    b_side = lists.join(base, "id").select(
+        F.col("id").alias("neighbor_id"), "cell", F.col("_v").alias("_nv")
+    )
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
+
+    def score_cell(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+        bm = np.array(right["_nv"].tolist(), dtype=np.float64)
+        b_ids = right["neighbor_id"].to_numpy()
+        # slice the query block so sims stays <= ~16M doubles (128 MB)
+        step = max(1, (1 << 24) // max(len(right), 1))
+        rows = []
+        for s in range(0, len(left), step):
+            sl = left.iloc[s:s + step]
+            qm = np.array(sl["_qv"].tolist(), dtype=np.float64)
+            rows.extend(
+                _partial_topk(qm, sl["query_id"].to_numpy(), bm, b_ids, k)
+            )
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = (
+        q_side.groupBy("cell")
+        .cogroup(b_side.groupBy("cell"))
+        .applyInPandas(score_cell, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
