@@ -48,8 +48,11 @@ _COSINE_UDF = None
 
 def cosine_pandas(a: Column, b: Column) -> Column:
     """Row-wise cosine of two array columns, numpy-vectorized per
-    Arrow batch (the pair-volume hot path). UDF built lazily — the
-    pandas_udf decorator needs an active session to parse its DDL."""
+    Arrow batch — a utility for scoring an existing pair table (the
+    ANN probes themselves score in-kernel via ``_partial_topk``; this
+    row-wise form moves both vectors per pair, so keep it off
+    candidate-volume paths). UDF built lazily — the pandas_udf
+    decorator needs an active session to parse its DDL."""
     global _COSINE_UDF
     if _COSINE_UDF is None:
 
@@ -201,14 +204,27 @@ def _lsh_scored_candidates(
     seed: int,
     bucket_cap: int | None = None,
     metrics_out: dict | None = None,
+    topk: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Shared LSH candidate+score stage: pairs sharing a bucket in
     >= 1 of ``n_tables`` hyperplane hash tables, exact cosine computed
-    on each (numpy over Arrow batches). -> (query_id, neighbor_id,
-    cosine), both orientations, no ranking. The bucket equi-join
-    replaces the O(N^2) cross join; pair dedup happens on the id pair
-    alone, with vectors re-joined after — never shuffled as part of a
-    distinct key.
+    per bucket as ONE numpy self-matmul (the brute-force
+    ``_partial_topk`` discipline: matmul + 6-dp round). -> distinct
+    (query_id, neighbor_id, cosine) rows. Exactly one in-kernel
+    reduction must be chosen so candidate pairs never materialize as
+    Spark rows:
+
+    - ``topk=k``: per bucket, each member's k best co-members
+      (cosine desc, id asc), both orientations. Per-bucket top-k
+      followed by the caller's global top-k is EXACT: a pair's cosine
+      is bucket-independent, so any globally top-k neighbor of q is
+      top-k within every bucket where the pair meets.
+    - ``threshold=t``: pairs with cosine >= t, lesser-id-left
+      orientation only.
+
+    Duplicate meets across tables produce bit-identical rows (same
+    matmul inputs), so the closing ``distinct`` collapses them.
 
     ``bucket_cap``: LOSSY guard for the bucket self-join's quadratic
     term — a (table, signature) bucket holding more than ``cap``
@@ -226,6 +242,8 @@ def _lsh_scored_candidates(
     ``stop_token_cap``: pass ``metrics_out`` to receive
     ``dropped_buckets`` as a lazy observed metric riding the query's
     own action."""
+    if (topk is None) == (threshold is None):
+        raise ValueError("exactly one of topk/threshold must be set")
     if bucket_cap is not None and bucket_cap < 1:
         raise ValueError(
             f"bucket_cap must be >= 1 (got {bucket_cap}); pass None "
@@ -267,29 +285,54 @@ def _lsh_scored_candidates(
             metrics_out["dropped_buckets"] = LazyObservedMetric(
                 obs, "dropped_buckets"
             )
-    # vectors ride the BUCKET join, not a per-candidate re-join: each
-    # side shuffles N*n_tables rows of (id, sig, vector) ONCE, the
-    # join output streams straight into the cosine expression in the
-    # same stage (no exchange between them), and only the NARROW
-    # (query_id, neighbor_id, cosine) rows reach the dedup shuffle.
-    # The previous shape (bucket join on ids -> distinct -> re-join
-    # both vectors) shuffled candidates x vector-size: measured at
-    # 200k clustered 64-dim vectors / ~1e9 candidates, the two
-    # re-joins moved ~0.5 kB per CANDIDATE and filled a 77 GB disk;
-    # this shape moves vectors O(N*tables) and candidates at 32 B.
-    # cosine is computed up to n_tables times per pair (numpy-cheap)
-    # and rounded to 6 dp, so the distinct collapses the multi-table
-    # meets to one row exactly as before.
-    bv = buckets.join(base, "id")
-    l = bv.select(F.col("id").alias("query_id"), "tbl", "sig",
-                  F.col("_v").alias("_qv"))
-    r = bv.select(F.col("id").alias("neighbor_id"), "tbl", "sig",
-                  F.col("_v").alias("_nv"))
+    # vectors ride the BUCKET shuffle, not a per-candidate re-join:
+    # each id shuffles n_tables rows of (id, sig, vector) ONCE into
+    # its bucket groups, each bucket scores as one numpy self-matmul
+    # inside applyInPandas, and the in-kernel reduction (top-k or
+    # threshold) means candidate pairs NEVER exist as Spark rows.
+    # Two prior shapes died or crawled at 200k clustered vectors:
+    # candidates x vector-size re-joins filled a 77 GB disk at ~1e9
+    # meets, and the per-row pandas cosine over the bucket equi-join
+    # output moved ~1 kB per candidate through ArrowEvalPython + the
+    # dedup/window shuffles (measured 87% of IVF wall, same disease).
+    # Duplicate multi-table meets emit bit-identical rows, collapsed
+    # by the closing distinct.
+    bv = buckets.join(base, "id").select("tbl", "sig", "id", "_v")
+    k, t = topk, threshold
+
+    def bucket_kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "neighbor_id", "cosine"]
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=cols)
+        vm = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        norms = np.linalg.norm(vm, axis=1)
+        norms[norms == 0] = 1.0
+        rows = []
+        # slice the query block so the sims slice stays <= ~16M doubles
+        step = max(1, (1 << 24) // len(pdf))
+        for s in range(0, len(pdf), step):
+            if k is not None:
+                rows.extend(_partial_topk(vm[s:s + step], ids[s:s + step],
+                                          vm, ids, k))
+            else:
+                sims = np.round(
+                    (vm[s:s + step] @ vm.T)
+                    / np.outer(norms[s:s + step], norms), 6
+                )
+                qi, ni = np.nonzero(
+                    (sims >= t) & (ids[s:s + step, None] < ids[None, :])
+                )
+                rows.extend(zip(ids[s + qi], ids[ni], sims[qi, ni]))
+        return pd.DataFrame(rows, columns=cols)
+
+    id_t = df.schema[id_col].dataType.simpleString()
     return (
-        l.join(r, ["tbl", "sig"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_pandas(F.col("_qv"), F.col("_nv")), 6))
-        .select("query_id", "neighbor_id", "cosine")
+        bv.groupBy("tbl", "sig")
+        .applyInPandas(
+            bucket_kernel,
+            schema=f"query_id {id_t}, neighbor_id {id_t}, cosine double",
+        )
         .distinct()
     )
 
@@ -309,9 +352,12 @@ def lsh_topk(
     """Approximate cosine top-k: LSH bucket candidates + exact cosine
     rerank. -> (query_id, neighbor_id, cosine, rank). ``bucket_cap``/
     ``metrics_out``: the lossy hot-bucket guard — see
-    :func:`_lsh_scored_candidates`."""
+    :func:`_lsh_scored_candidates`. The stage pre-reduces to each
+    query's per-bucket top-k (exact — see the stage docstring), so the
+    global window merges at most k rows per (query, co-bucket)."""
     scored = _lsh_scored_candidates(df, id_col, vec_col, n_planes, n_tables,
-                                    dim, seed, bucket_cap, metrics_out)
+                                    dim, seed, bucket_cap, metrics_out,
+                                    topk=k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -514,22 +560,18 @@ def embedding_neardup(
     """Embedding-cosine near-duplicate pairs via LSH candidates +
     exact verify. -> (l_id, r_id, cosine).
 
-    Applies ``cosine >= threshold`` directly on the shared candidate
-    stage — no top-k ``row_number`` window. The window version sorted
-    every candidate per query, and on a skewed bucket (many collisions
-    on one query id) that per-query sort becomes one hot task; a plain
-    filter stays embarrassingly parallel. ``bucket_cap``/
-    ``metrics_out``: the lossy hot-bucket guard — see
-    :func:`_lsh_scored_candidates`."""
+    Applies ``cosine >= threshold`` inside the bucket kernel — no
+    top-k ``row_number`` window, and sub-threshold pairs never exist
+    as rows. A window version would sort every candidate per query,
+    and on a skewed bucket (many collisions on one query id) that
+    per-query sort becomes one hot task; the in-kernel filter stays
+    embarrassingly parallel. ``bucket_cap``/``metrics_out``: the
+    lossy hot-bucket guard — see :func:`_lsh_scored_candidates`."""
     scored = _lsh_scored_candidates(df, id_col, vec_col, n_planes, n_tables,
-                                    None, seed, bucket_cap, metrics_out)
-    return (
-        scored.where(
-            (F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
-        )
-        .select(
-            F.col("query_id").alias("l_id"),
-            F.col("neighbor_id").alias("r_id"),
-            "cosine",
-        )
+                                    None, seed, bucket_cap, metrics_out,
+                                    threshold=threshold)
+    return scored.select(
+        F.col("query_id").alias("l_id"),
+        F.col("neighbor_id").alias("r_id"),
+        "cosine",
     )
