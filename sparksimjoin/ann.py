@@ -297,18 +297,28 @@ def _lsh_scored_candidates(
     # dedup/window shuffles (measured 87% of IVF wall, same disease).
     # Duplicate multi-table meets emit bit-identical rows, collapsed
     # by the closing distinct.
+    # One Spark group PER BUCKET costs ~0.1 ms of pandas slicing per
+    # group — ruinous in the over-planed regime where buckets are tiny
+    # and numerous (measured 3.4x slower than the old equi-join at 16
+    # planes / ~800k buckets on 200k vectors). Instead, buckets are
+    # coarse-grouped by hash into ~32*n_part Spark groups (whole
+    # buckets never split — the hash key is the full (tbl, sig)) and
+    # the kernel iterates sub-buckets with ONE pandas groupby, so the
+    # per-bucket overhead is a dict lookup, not an Arrow slice. A hot
+    # bucket still lands in one group — the same one-task skew the
+    # per-bucket shape had; rows per group stay ~N*tables/(32*n_part).
     bv = buckets.join(base, "id").select("tbl", "sig", "id", "_v")
+    n_groups = 32 * n_part
+    grp = bv.withColumn(
+        "_g", F.pmod(F.xxhash64("tbl", "sig"), F.lit(n_groups)).cast("int")
+    )
     k, t = topk, threshold
 
-    def bucket_kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["query_id", "neighbor_id", "cosine"]
-        if len(pdf) < 2:
-            return pd.DataFrame(columns=cols)
+    def one_bucket(pdf: pd.DataFrame, rows: list) -> None:
         vm = np.array(pdf["_v"].tolist(), dtype=np.float64)
         ids = pdf["id"].to_numpy()
         norms = np.linalg.norm(vm, axis=1)
         norms[norms == 0] = 1.0
-        rows = []
         # slice the query block so the sims slice stays <= ~16M doubles
         step = max(1, (1 << 24) // len(pdf))
         for s in range(0, len(pdf), step):
@@ -324,13 +334,20 @@ def _lsh_scored_candidates(
                     (sims >= t) & (ids[s:s + step, None] < ids[None, :])
                 )
                 rows.extend(zip(ids[s + qi], ids[ni], sims[qi, ni]))
+
+    def group_kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "neighbor_id", "cosine"]
+        rows: list = []
+        for _, sub in pdf.groupby(["tbl", "sig"], sort=False):
+            if len(sub) >= 2:
+                one_bucket(sub, rows)
         return pd.DataFrame(rows, columns=cols)
 
     id_t = df.schema[id_col].dataType.simpleString()
     return (
-        bv.groupBy("tbl", "sig")
+        grp.groupBy("_g")
         .applyInPandas(
-            bucket_kernel,
+            group_kernel,
             schema=f"query_id {id_t}, neighbor_id {id_t}, cosine double",
         )
         .distinct()
