@@ -335,7 +335,7 @@ def _lsh_scored_candidates(
                 )
                 rows.extend(zip(ids[s + qi], ids[ni], sims[qi, ni]))
 
-    def group_kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def group_kernel(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["query_id", "neighbor_id", "cosine"]
         rows: list = []
         for _, sub in pdf.groupby(["tbl", "sig"], sort=False):
