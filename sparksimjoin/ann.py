@@ -72,10 +72,15 @@ def cosine_pandas(a: Column, b: Column) -> Column:
 
 def _partial_topk(qm, q_ids, bm, b_ids, k):
     """numpy: per query row, top-k (cosine desc, id asc) over bm,
-    excluding self-matches. -> list of (qid, nid, cosine) rows."""
-    sims = (qm @ bm.T) / np.outer(
-        np.linalg.norm(qm, axis=1), np.linalg.norm(bm, axis=1)
-    )
+    excluding self-matches. -> list of (qid, nid, cosine) rows.
+    Zero-norm vectors (failed encoder output) score cosine 0.0, not
+    NaN — NaN would sort FIRST under the callers' cosine-desc window
+    and emit k garbage rows for that query."""
+    qn = np.linalg.norm(qm, axis=1)
+    bn = np.linalg.norm(bm, axis=1)
+    qn[qn == 0] = 1.0
+    bn[bn == 0] = 1.0
+    sims = (qm @ bm.T) / np.outer(qn, bn)
     sims = np.round(sims, 6)
     rows = []
     for qi, qid in enumerate(q_ids):
@@ -223,8 +228,8 @@ def _lsh_scored_candidates(
     - ``threshold=t``: pairs with cosine >= t, lesser-id-left
       orientation only.
 
-    Duplicate meets across tables produce bit-identical rows (same
-    matmul inputs), so the closing ``distinct`` collapses them.
+    Duplicate meets across tables collapse via a per-pair max(cosine)
+    aggregation (see the inline note on why not ``distinct``).
 
     ``bucket_cap``: LOSSY guard for the bucket self-join's quadratic
     term — a (table, signature) bucket holding more than ``cap``
@@ -258,9 +263,16 @@ def _lsh_scored_candidates(
     planes_by_table = np.stack([_planes(dim, n_planes, seed + t) for t in range(n_tables)])
     buckets = _lsh_buckets(base, df.schema[id_col].dataType.simpleString(), planes_by_table)
     if bucket_cap is not None:
+        from .cache import track
         from .joins.core import LazyObservedMetric
         from pyspark.sql import Observation
 
+        # the hot-bucket aggregation consumes the UN-filtered plan on
+        # the broadcast side while the main path scans buckets again —
+        # without this persist the signature mapInPandas stage runs
+        # twice per capped query (measured: the capped 10-plane 200k
+        # run was slower than the uncapped one)
+        buckets = track(buckets)
         hot = (
             buckets.groupBy("tbl", "sig")
             .agg(F.count(F.lit(1)).alias("__bn"))
@@ -314,35 +326,55 @@ def _lsh_scored_candidates(
     )
     k, t = topk, threshold
 
-    def one_bucket(pdf: pd.DataFrame, rows: list) -> None:
+    def one_bucket(pdf: pd.DataFrame, out: list) -> None:
         vm = np.array(pdf["_v"].tolist(), dtype=np.float64)
         ids = pdf["id"].to_numpy()
-        norms = np.linalg.norm(vm, axis=1)
-        norms[norms == 0] = 1.0
         # slice the query block so the sims slice stays <= ~16M doubles
         step = max(1, (1 << 24) // len(pdf))
+        if k is not None:
+            for s in range(0, len(pdf), step):
+                out.extend(_partial_topk(vm[s:s + step], ids[s:s + step],
+                                         vm, ids, k))
+            return
+        norms = np.linalg.norm(vm, axis=1)
+        norms[norms == 0] = 1.0
         for s in range(0, len(pdf), step):
-            if k is not None:
-                rows.extend(_partial_topk(vm[s:s + step], ids[s:s + step],
-                                          vm, ids, k))
-            else:
-                sims = np.round(
-                    (vm[s:s + step] @ vm.T)
-                    / np.outer(norms[s:s + step], norms), 6
-                )
-                qi, ni = np.nonzero(
-                    (sims >= t) & (ids[s:s + step, None] < ids[None, :])
-                )
-                rows.extend(zip(ids[s + qi], ids[ni], sims[qi, ni]))
+            sims = np.round(
+                (vm[s:s + step] @ vm.T)
+                / np.outer(norms[s:s + step], norms), 6
+            )
+            qi, ni = np.nonzero(
+                (sims >= t) & (ids[s:s + step, None] < ids[None, :])
+            )
+            # numpy triples, not Python tuples: threshold survivors are
+            # O(bucket^2) in the worst case and tuple overhead is ~5x
+            # the array bytes (an over-cap bucket is still bucket_cap's
+            # job — this only widens the headroom below it)
+            out.append((ids[s + qi], ids[ni], sims[qi, ni]))
 
     def group_kernel(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["query_id", "neighbor_id", "cosine"]
-        rows: list = []
+        out: list = []
         for _, sub in pdf.groupby(["tbl", "sig"], sort=False):
             if len(sub) >= 2:
-                one_bucket(sub, rows)
-        return pd.DataFrame(rows, columns=cols)
+                one_bucket(sub, out)
+        if k is not None:
+            return pd.DataFrame(out, columns=cols)
+        if not out:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame({
+            "query_id": np.concatenate([o[0] for o in out]),
+            "neighbor_id": np.concatenate([o[1] for o in out]),
+            "cosine": np.concatenate([o[2] for o in out]),
+        })
 
+    # per-pair max, NOT distinct: a pair meeting in several tables'
+    # buckets recomputes its cosine inside matmuls of different
+    # shapes, and BLAS blocking makes the raw dot differ at ulp level
+    # — two meets straddling a round(.,6) boundary would survive a
+    # row-level distinct as two rows (double-counting the neighbor in
+    # the top-k window). max() is order-free, so the collapse is
+    # deterministic regardless of partitioning.
     id_t = df.schema[id_col].dataType.simpleString()
     return (
         grp.groupBy("_g")
@@ -350,7 +382,8 @@ def _lsh_scored_candidates(
             group_kernel,
             schema=f"query_id {id_t}, neighbor_id {id_t}, cosine double",
         )
-        .distinct()
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 

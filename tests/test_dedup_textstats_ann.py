@@ -149,6 +149,24 @@ def test_lsh_topk_recall(spark):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_topk_zero_vector_scores_zero_not_nan(spark):
+    """A zero embedding (failed encoder output) must score cosine 0.0
+    against everything — a NaN would sort FIRST under the cosine-desc
+    window and emit k garbage rows for that query."""
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = brute_force_topk(df, "vec_id", "embedding", k=1).collect()
+    by_q = {r["query_id"]: r for r in got}
+    # the zero vector's own best match has cosine 0.0 (any partner)
+    assert by_q[0]["cosine"] == 0.0
+    # no other query ranks the zero vector first (real neighbors with
+    # positive cosine exist for 1/2/3), and nothing is NaN
+    for q in (1, 2, 3):
+        assert by_q[q]["neighbor_id"] != 0
+        assert by_q[q]["cosine"] == by_q[q]["cosine"]  # not NaN
+
+
 def test_ivf_topk_recall_and_no_pair_dup(spark):
     from sparksimjoin.ann import ivf_topk
 
@@ -410,7 +428,6 @@ def test_lsh_bucket_cap(spark):
                        bucket_cap=25, metrics_out=m_lo).collect()
     lo_pairs = {(r["query_id"], r["neighbor_id"]) for r in lo_rows}
     assert int(m_lo["dropped_buckets"]) > 0
-    assert lo_pairs <= {(q, n) for q, n, _ in uncapped} | lo_pairs
     # capped candidates are a subset of uncapped CANDIDATES: every
     # capped pair appears in the uncapped candidate set (rank may
     # shift when competitors are dropped, so compare pairs via a
