@@ -31,7 +31,7 @@ from sparksimjoin import (  # noqa: E402
     edit_distance_join,
     jaccard_join,
 )
-from sparksimjoin.ann import brute_force_topk, lsh_topk  # noqa: E402
+from sparksimjoin.ann import brute_force_topk, ivf_topk, lsh_topk  # noqa: E402
 from sparksimjoin.dedup import minhash_lsh_dedup, simhash  # noqa: E402
 from sparksimjoin.session import get_spark  # noqa: E402
 from sparksimjoin.textstats import text_stats  # noqa: E402
@@ -168,6 +168,12 @@ def bench_queries():
         ),
         "ann_lsh_topk": lambda s, d: lsh_topk(
             s.read.parquet(f"{d}/embeddings.parquet"), "vec_id", "embedding", k=3
+        ),
+        # IVF with the k-means-refined codebook (NEW round 5): the
+        # recall-end of the ladder, per-cell cogroup matmul kernel
+        "ann_ivf_topk": lambda s, d: ivf_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"), "vec_id", "embedding",
+            k=3, n_cells=16, n_probe=4, kmeans_iters=2
         ),
         "text_stats_doc": lambda s, d: text_stats(_docs(s, d), "doc_id", "text"),
         # IDF-weighted jaccard (joins/weighted.py): exercises the
