@@ -525,6 +525,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 2,
+    list_chunks: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k: a coarse
     quantizer (smallest-id seed + ``kmeans_iters`` deterministic
@@ -556,7 +557,21 @@ def ivf_topk(
     Size ``n_cells`` ~ sqrt(N) at scale (standard IVF sizing) so each
     inverted list stays executor-sized; within a task the query block
     is sliced so the sims matrix stays bounded regardless of cell
-    size."""
+    size.
+
+    ``list_chunks``: one cell = one cogroup task, so a cell far above
+    the sizing rule (an adversarially dense clump the quantizer can't
+    split below n_cells resolution) becomes one wall-clock straggler.
+    ``list_chunks=j`` hash-splits every cell's inverted list j ways
+    and replicates the probe side per chunk (brute_force_topk's
+    chunking idea applied per cell): per-(cell, chunk) top-k followed
+    by the same global window merge is still the exact top-k of the
+    candidate set (top-k of a union = top-k over per-subset top-ks,
+    and a pair still meets exactly once). Cost: the probe side's
+    vector shuffle multiplies by j — keep 1 unless cell skew is
+    observed."""
+    if list_chunks < 1:
+        raise ValueError(f"list_chunks must be >= 1 (got {list_chunks})")
     id_t = df.schema[id_col].dataType.simpleString()
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
     cents = _ivf_centroids(df, id_col, vec_col, n_cells,
@@ -569,6 +584,16 @@ def ivf_topk(
     b_side = lists.join(base, "id").select(
         F.col("id").alias("neighbor_id"), "cell", F.col("_v").alias("_nv")
     )
+    if list_chunks > 1:
+        spark = df.sparkSession
+        chunks = spark.range(list_chunks).select(
+            F.col("id").cast("int").alias("_ch")
+        )
+        q_side = q_side.crossJoin(chunks)
+        b_side = b_side.withColumn(
+            "_ch",
+            F.pmod(F.xxhash64("neighbor_id"), F.lit(list_chunks)).cast("int"),
+        )
     out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
 
     def score_cell(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -587,9 +612,10 @@ def ivf_topk(
             )
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
+    keys = ["cell"] if list_chunks == 1 else ["cell", "_ch"]
     partial = (
-        q_side.groupBy("cell")
-        .cogroup(b_side.groupBy("cell"))
+        q_side.groupBy(*keys)
+        .cogroup(b_side.groupBy(*keys))
         .applyInPandas(score_cell, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -167,6 +167,24 @@ def test_topk_zero_vector_scores_zero_not_nan(spark):
         assert by_q[q]["cosine"] == by_q[q]["cosine"]  # not NaN
 
 
+def test_ivf_list_chunks_exact_equivalence(spark):
+    """Hash-splitting the inverted lists (the hot-cell straggler
+    guard) must not change a single row: per-(cell, chunk) top-k
+    followed by the global window merge is the same exact top-k."""
+    import pytest
+
+    from sparksimjoin.ann import ivf_topk
+
+    df = spark.createDataFrame(_vectors(), "vec_id long, embedding array<double>")
+    one = ivf_topk(df, "vec_id", "embedding", k=3, n_cells=4, n_probe=2)
+    three = ivf_topk(df, "vec_id", "embedding", k=3, n_cells=4, n_probe=2,
+                     list_chunks=3)
+    assert one.exceptAll(three).count() == 0
+    assert three.exceptAll(one).count() == 0
+    with pytest.raises(ValueError, match="list_chunks"):
+        ivf_topk(df, "vec_id", "embedding", list_chunks=0)
+
+
 def test_ivf_topk_recall_and_no_pair_dup(spark):
     from sparksimjoin.ann import ivf_topk
 
