@@ -609,6 +609,77 @@ def prefix_explode(
     )
 
 
+# ---- cost-based dense (all-pairs) candidate generation --------------
+# On corpora whose vocabulary is tiny relative to the record count
+# (boilerplate-heavy text, enum-like attributes) prefix blocking
+# cannot prune: every posting list is O(n) and the candidate equi-join
+# materializes MORE meeting rows than there are record pairs (measured
+# on the 31-word bench corpus: ~226M meeting rows + a 676 MB pair
+# shuffle + spill for at most 12.5M distinct pairs — the blocked plan
+# costs ~20x its own candidate output). When the exact meeting volume
+# (computable from a vocabulary-sized aggregate) reaches n_l*n_r, a
+# broadcast nested-loop over the records themselves is strictly less
+# work than the blocked join's OUTPUT alone, and it needs zero
+# shuffles: candidates stream straight into verification. This is a
+# physical-plan choice in the broadcast-vs-sort-merge spirit — both
+# paths produce the same verified output (the dense candidate set is
+# a superset of the blocked one and exact verification filters both
+# to the identical qualifying set; equivalence is property-tested).
+# The broadcast side is capped (rows) so the fallback stays the
+# blocked join whenever the build side could not fit executor memory.
+DENSE_ALLPAIRS_CAP = 200_000
+
+
+def prefix_meeting_estimate(ex_l: DataFrame, ex_r: DataFrame,
+                            same: bool = False) -> int:
+    """EXACT meeting volume of the blocked candidate equi-join
+    (pre-residual-filter, salt-invariant): sum over tokens of
+    |l prefix posting list| * |r prefix posting list|. One
+    vocabulary-sized aggregation over the already-built exploded
+    prefix frames — the same runtime-statistics spirit as AQE, priced
+    at one linear pass of (cached) prep per side. ``same=True``
+    (self-join) computes one posting histogram and squares it."""
+    pl = ex_l.groupBy("token").agg(F.count(F.lit(1)).alias("_pl"))
+    if same:
+        row = pl.agg(F.sum(F.col("_pl") * F.col("_pl"))).first()
+    else:
+        pr = ex_r.groupBy("token").agg(F.count(F.lit(1)).alias("_pr"))
+        row = pl.join(pr, "token").agg(F.sum(F.col("_pl") * F.col("_pr"))).first()
+    return int(row[0] or 0)
+
+
+def dense_candidates(
+    prep_l: DataFrame,
+    prep_r: DataFrame,
+    measure: str,
+    threshold: float,
+    self_join: bool = False,
+) -> DataFrame:
+    """All-pairs candidate generation (the dense plan described at
+    :data:`DENSE_ALLPAIRS_CAP`): broadcast nested-loop of the two
+    record frames on the size-band + self-join orientation
+    predicates, in iid space — (l_id, r_id), each unordered pair
+    exactly once, no exchange anywhere.
+
+    Equivalence contract with :func:`candidate_pairs` + verification:
+    the output is a SUPERSET of the blocked candidates (blocking is
+    sound, so qualifying pairs survive both), and exact verification
+    maps both sets to the identical result. Records with empty token
+    sets are excluded exactly as the prefix explode excludes them
+    (the ``allow_empty`` branch alone emits empty-empty pairs)."""
+    l = prep_l.where(F.col("size") > 0).select(
+        F.col("iid").alias("l_id"), F.col("size").alias("l_size")
+    )
+    r = prep_r.where(F.col("size") > 0).select(
+        F.col("iid").alias("r_id"), F.col("size").alias("r_size")
+    )
+    lo, hi = size_bounds_expr(F.col("l_size"), measure, threshold)
+    cond = F.col("r_size").between(lo, hi)
+    if self_join:
+        cond = cond & (F.col("l_id") < F.col("r_id"))
+    return l.join(F.broadcast(r), cond, "inner").select("l_id", "r_id")
+
+
 # default hot-token split threshold: an unsplit join cell is at most
 # cap^2 = 262k expansion rows (sub-second), a split token's cells are
 # at most cap*cnt rows each, and the replication overhead per hot
@@ -835,6 +906,7 @@ def verify_pairs(
     score_fn=None,
     orient_score: bool = False,
     tokens_join: str = "auto",
+    spread: bool = True,
 ) -> DataFrame:
     """Exact similarity on the full token sets; JVM-side
     ``array_intersect`` (ordered, duplicate-free int arrays — the
@@ -924,9 +996,13 @@ def verify_pairs(
     # spread with no skew (l_id alone skews on hot records) and no
     # local sort (round-robin repartition sorts each input partition
     # serially); when the token-array joins broadcast, co-partitioning
-    # is irrelevant and this spread survives into the scoring stage
+    # is irrelevant and this spread survives into the scoring stage.
+    # ``spread=False`` callers (the dense all-pairs path) already
+    # deliver uniformly-spread candidates from a shuffle-free stage —
+    # skipping the exchange lets candidate generation, the broadcast
+    # token joins, and scoring fuse into ONE zero-exchange stage.
     scored = (
-        cand.repartition(n_part, "l_id", "r_id")
+        (cand.repartition(n_part, "l_id", "r_id") if spread else cand)
         .join(l_tok, "l_id")
         .join(r_tok, "r_id")
         .withColumn(

@@ -151,29 +151,56 @@ def set_sim_join(
             metrics_out["dropped_stop_tokens"] = LazyObservedMetric(
                 obs, "dropped_stop_tokens"
             )
-    # salting is always on (AUTO_SALT_CAP default): the pinned-
-    # parallelism candidate join opts out of AQE skew splitting, so
-    # hot blocking tokens must be split here (lossless,
-    # property-tested); salt_cap overrides the threshold
-    from .core import resolve_salt_cap
-
-    salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap))
-    # position-bound mode: occurrence by default — the accumulated
-    # bound's tighter candidate set never paid for its pair-grouping
-    # shuffle on any quiet-host measurement (resolve_position_mode
-    # docstring has the numbers and the contaminated-A/B history)
-    cand = candidate_pairs(
-        ex_l, ex_r, measure, threshold,
-        self_join=self_join, salt_map=salt_map, position_filter=position_filter,
-        position_mode=position_mode or resolve_position_mode(measure, threshold),
+    # cost-based dense path (joins/core.DENSE_ALLPAIRS_CAP): when the
+    # EXACT meeting volume of the blocked equi-join (vocabulary-sized
+    # probe over the exploded prefixes) reaches n_l*n_r, all-pairs
+    # broadcast nested-loop is strictly less work than the blocked
+    # join's own output and needs zero shuffles. Candidate sets differ
+    # (dense is a superset) but exact verification maps both to the
+    # identical result; disabled under the LOSSY stop_token_cap
+    # (whose candidate drop is part of the declared semantics) and for
+    # non-monotone comp_ops (the blocked candidate set IS the
+    # semantics there — verify keeps low scores).
+    from .core import (
+        DENSE_ALLPAIRS_CAP,
+        dense_candidates,
+        prefix_meeting_estimate,
+        resolve_salt_cap,
     )
+
+    use_dense = False
+    if stop_token_cap is None and comp_op in (">=", ">"):
+        n_l = prep_l.count()
+        n_r = n_l if prep_r is prep_l else prep_r.count()
+        if 0 < max(n_l, n_r) <= DENSE_ALLPAIRS_CAP:
+            est = prefix_meeting_estimate(ex_l, ex_r, same=prep_r is prep_l)
+            use_dense = est >= n_l * n_r
+    if use_dense:
+        cand = dense_candidates(prep_l, prep_r, measure, threshold,
+                                self_join=self_join)
+    else:
+        # salting is always on (AUTO_SALT_CAP default): the pinned-
+        # parallelism candidate join opts out of AQE skew splitting, so
+        # hot blocking tokens must be split here (lossless,
+        # property-tested); salt_cap overrides the threshold
+        salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap))
+        # position-bound mode: occurrence by default — the accumulated
+        # bound's tighter candidate set never paid for its pair-grouping
+        # shuffle on any quiet-host measurement (resolve_position_mode
+        # docstring has the numbers and the contaminated-A/B history)
+        cand = candidate_pairs(
+            ex_l, ex_r, measure, threshold,
+            self_join=self_join, salt_map=salt_map, position_filter=position_filter,
+            position_mode=position_mode or resolve_position_mode(measure, threshold),
+        )
     # the candidate funnel above ran on dense-long iids (with_iid);
     # verify decodes back to original ids through its prep joins and
     # restores the canonical self-join pair orientation
     v_threshold = threshold if _verify_threshold is None else _verify_threshold
     pairs = verify_pairs(cand, prep_l, prep_r, measure, v_threshold, comp_op,
                          self_join=self_join, score_fn=_verify_score_fn,
-                         orient_score=_verify_orient, tokens_join=tokens_join)
+                         orient_score=_verify_orient, tokens_join=tokens_join,
+                         spread=not use_dense)
 
     if allow_empty and measure != fm.OVERLAP:
         ep = empty_pairs(prep_l, prep_r, v_threshold, comp_op, self_join=self_join,

@@ -79,7 +79,14 @@ from pyspark.sql import functions as F
 from ..cache import track
 from ..tokenizers import Tokenizer
 from ..validation import validate_join_inputs, validate_threshold
-from .core import apply_salt, build_salt_map, build_token_ranks, resolve_salt_cap
+from .core import (
+    DENSE_ALLPAIRS_CAP,
+    apply_salt,
+    build_salt_map,
+    build_token_ranks,
+    prefix_meeting_estimate,
+    resolve_salt_cap,
+)
 
 #: weight quantization: w = (N * TFIDF_SCALE) DIV df. 10³ (not
 #: weighted.py's 10⁶) so Σv² keeps DECIMAL(38,0) headroom at 10¹²
@@ -230,16 +237,48 @@ def tfidf_join(
 
     ex_l = rec_l.select(F.col("id").alias("l_id"), F.explode("prefix").alias("token"))
     ex_r = rec_r.select(F.col("id").alias("r_id"), F.explode("prefix").alias("token"))
-    salt_map = build_salt_map(ranks, cap, key_col="tid")
-    ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
+
+    # cost-based dense path (joins/core.DENSE_ALLPAIRS_CAP rationale):
+    # when the exact meeting volume of the blocked prefix equi-join
+    # reaches n_l*n_r, an all-pairs broadcast nested-loop is strictly
+    # less work than the blocked join's own output and fuses candidate
+    # generation + verification into one zero-exchange stage. Exact
+    # verification filters both candidate sets to the identical
+    # result. Cosine is scale-invariant, so there is no size/norm band
+    # to carry — the dense candidate set is the full l<r product.
+    n_l = rec_l.count()
+    n_r = n_l if self_join else rec_r.count()
+    use_dense = False
+    if 0 < max(n_l, n_r) <= DENSE_ALLPAIRS_CAP:
+        est = prefix_meeting_estimate(ex_l, ex_r, same=self_join)
+        use_dense = est >= n_l * n_r
 
     pair_pred = F.col("l_id") < F.col("r_id") if self_join else F.lit(True)
-    cand = (
-        ex_l.join(ex_r, join_keys)
-        .where(pair_pred)
-        .select("l_id", "r_id")
-        .distinct()
-    )
+    if use_dense:
+        dl = rec_l.select(F.col("id").alias("l_id"))
+        dr = rec_r.select(F.col("id").alias("r_id"))
+        cand = dl.join(F.broadcast(dr), pair_pred, "inner")
+    else:
+        salt_map = build_salt_map(ranks, cap, key_col="tid")
+        ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
+
+        # pin the candidate join's exchanges to the session parallelism
+        # (same rationale as joins/core.candidate_pairs): the exploded
+        # prefix rows are narrow, so AQE's byte-based coalescing
+        # collapses the planner-inserted exchanges to 1-2 tasks and the
+        # join's posting-list x posting-list OUTPUT expansion then runs
+        # serially (measured: a 2-task 27 exec-s candidate stage =
+        # ~13s serial wall of the 22s tfidf bench query)
+        n_part = int(l_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        ex_l = ex_l.repartition(n_part, *join_keys)
+        ex_r = ex_r.repartition(n_part, *join_keys)
+
+        cand = (
+            ex_l.join(ex_r, join_keys)
+            .where(pair_pred)
+            .select("l_id", "r_id")
+            .distinct()
+        )
 
     lv = rec_l.select(
         F.col("id").alias("l_id"), F.col("tids").alias("l_tids"),
@@ -258,12 +297,36 @@ def tfidf_join(
             "(a, t) -> a + l_vmap[t] * r_vmap[t])"
         )
     else:
-        dot = F.expr(
-            "CAST(aggregate(array_intersect(l_tids, r_tids), "
-            f"CAST(0 AS {_DEC}), "
-            f"(a, t) -> CAST(a + CAST(l_vmap[t] AS {_DEC}) * r_vmap[t] AS {_DEC})"
-            ") AS DOUBLE)"
-        )
+        # adaptive exact-integer dot: every partial sum and every
+        # product is bounded by dot <= sqrt(n2_x * n2_y) <= max(n2)
+        # (Cauchy-Schwarz; all terms non-negative, so partial sums are
+        # monotone below the final dot), so when max(n2) over both
+        # record frames stays under 2^62 the whole aggregate runs in
+        # primitive BIGINT with zero wrap risk — measured far cheaper
+        # per pair than the Decimal fallback (object arithmetic +
+        # per-op scale checks), and bit-identical: both forms are
+        # exact integers and the final CAST(x AS DOUBLE) is correctly
+        # rounded from either type. Corpora whose weights outgrow the
+        # bound (the 10^12-record headroom case in the module
+        # docstring) keep the DECIMAL(38,0) path.
+        max_n2 = rec_l.agg(F.max("n2")).first()[0]
+        if not self_join:
+            m2r = rec_r.agg(F.max("n2")).first()[0]
+            max_n2 = max(max_n2 or 0, m2r or 0)
+        if max_n2 is not None and int(max_n2) < (1 << 62):
+            dot = F.expr(
+                "CAST(aggregate(array_intersect(l_tids, r_tids), "
+                "CAST(0 AS BIGINT), "
+                "(a, t) -> a + l_vmap[t] * r_vmap[t]"
+                ") AS DOUBLE)"
+            )
+        else:
+            dot = F.expr(
+                "CAST(aggregate(array_intersect(l_tids, r_tids), "
+                f"CAST(0 AS {_DEC}), "
+                f"(a, t) -> CAST(a + CAST(l_vmap[t] AS {_DEC}) * r_vmap[t] AS {_DEC})"
+                ") AS DOUBLE)"
+            )
     # op order mirrored EXACTLY in the SQL oracle: double(dot) /
     # (sqrt(double(l_n2)) * sqrt(double(r_n2)))
     sim = dot / (

@@ -173,6 +173,16 @@ def _weighted_join(
     salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap), key_col="tid")
     ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
 
+    # pin the candidate join's exchanges to the session parallelism
+    # (same rationale as joins/core.candidate_pairs): narrow exploded
+    # prefix rows get AQE-coalesced to 1-2 tasks and the join's output
+    # expansion runs serially (measured: a 1-task 12.6 exec-s
+    # candidate stage = ~12s serial wall of the 15s weighted bench
+    # query)
+    n_part = int(l_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ex_l = ex_l.repartition(n_part, *join_keys)
+    ex_r = ex_r.repartition(n_part, *join_keys)
+
     eps = 1e-9
     band = (
         (F.col("r_tw").cast("double")
