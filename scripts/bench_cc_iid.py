@@ -47,7 +47,8 @@ def main() -> None:
     tpdf, _ = make_transcripts(n_conv=n_conv, seed=42, vocab=expanded_vocab(2000))
     tdf = spark.createDataFrame(tpdf).repartition(cores).cache()
     tdf.count()
-    cfg = PipelineConfig(threshold=0.6)
+    # durable CC rounds back on: this script MEASURES their bytes
+    cfg = PipelineConfig(threshold=0.6, cc_round_artifacts=True)
 
     base = tempfile.mkdtemp(prefix="cc_ab_base_")
     t0 = time.time()

@@ -463,28 +463,32 @@ def _ivf_centroids(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")).cache()
     for _ in range(kmeans_iters):
         asg = _ivf_assign(base, id_t, cents, 1)
+        # dim-independent Lloyd update: posexplode the vector and
+        # aggregate one narrow (cell, pos) histogram instead of one
+        # Catalyst sum-expression per dimension — at production
+        # embedding widths (768-1536) the per-dim form hits
+        # codegen/planning limits long before data-size limits. The
+        # summed quantities are the identical floor(v*Q + 0.5)
+        # integers (exact, order-independent), so the collected
+        # centroids are bit-identical to the per-dim aggregation the
+        # SQL oracle replicates; the collect stays model-sized
+        # (n_cells * dim rows).
         got = (
             base.join(asg, "id")
-            .groupBy("cell")
+            .select("cell", F.posexplode("_v").alias("pos", "__x"))
+            .groupBy("cell", "pos")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(
-                        F.floor(
-                            F.col("_v").getItem(d) * F.lit(_KMEANS_Q)
-                            + F.lit(0.5)
-                        )
-                    ).alias(f"__s{d}")
-                    for d in range(dim)
-                ],
+                F.sum(
+                    F.floor(F.col("__x") * F.lit(_KMEANS_Q) + F.lit(0.5))
+                ).alias("__s"),
             )
             .collect()
         )
         for r in got:  # cells with no members keep their centroid
-            n = int(r["__n"])
-            cents[int(r["cell"])] = [
-                (int(r[f"__s{d}"]) / n) / _KMEANS_Q for d in range(dim)
-            ]
+            cents[int(r["cell"])][int(r["pos"])] = (
+                int(r["__s"]) / int(r["__n"])
+            ) / _KMEANS_Q
     base.unpersist()
     return cents
 

@@ -45,6 +45,26 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
 
+# stage names are public API (CheckpointManager.write/get_or_compute)
+# and — on the Iceberg backend — are interpolated into SQL identifiers
+# and a DELETE predicate; restrict them to identifier characters so a
+# quoted or pathological name fails loudly instead of breaking (or
+# injecting into) the statement (ADVICE r5). Parquet stages share the
+# rule: names become directory components there.
+import re
+
+_STAGE_NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
+
+
+def _check_stage_name(name: str) -> str:
+    if not _STAGE_NAME_RE.match(name or ""):
+        raise ValueError(
+            f"invalid stage name {name!r}: stage names must match "
+            f"{_STAGE_NAME_RE.pattern} (they are used as SQL identifiers "
+            "and directory components)"
+        )
+    return name
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff the Iceberg Spark runtime is on the JVM classpath."""
@@ -195,6 +215,7 @@ class CheckpointManager:
         for parquet; createOrReplace snapshot for Iceberg), then the
         manifest write marks the stage complete."""
         t0 = time.time()
+        _check_stage_name(name)
         if self.fmt == "iceberg":
             # completion ordering is the contract: the data snapshot
             # swap lands FIRST, the manifest upsert SECOND — a crash

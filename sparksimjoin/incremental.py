@@ -393,10 +393,15 @@ def _run_stages(
             "broadcast" if n_tok <= cfg.tokens_broadcast_cap
             else "shuffle_hash"
         )
+        # spread=False: candidates come straight off the checkpoint
+        # (hash-spread by the distinct exchange at write time, re-split
+        # by the parquet reader) — the pair-key exchange re-shuffled
+        # the full candidate stream for nothing (pipeline.py _scored
+        # has the same reasoning)
         return verify_pairs(
             candidates, tokens_new, tokens_base.unionByName(tokens_new),
             cfg.measure, cfg.threshold, cfg.comp_op, id_space=id_space,
-            tokens_join=strategy,
+            tokens_join=strategy, spread=False,
         )
 
     scored = ckpt.get_or_compute(
@@ -419,7 +424,9 @@ def _run_stages(
 
         comp = connected_components(
             edges, "l_id", "r_id", max_rounds=cfg.max_cc_rounds,
-            round_checkpoint=round_ckpt,
+            # durable rounds opt-in, as in the batch pipeline
+            # (PipelineConfig.cc_round_artifacts rationale)
+            round_checkpoint=round_ckpt if cfg.cc_round_artifacts else None,
         )
         all_ids = records_base.select("conv_id").unionByName(
             records_new.select("conv_id")

@@ -969,7 +969,15 @@ def verify_pairs(
     build side = records / shuffle_partitions, sized by the same knob
     that sizes every other stage). The pipeline picks from its
     checkpoint manifest row counts (pipeline.py)."""
-    assert tokens_join in ("auto", "broadcast", "shuffle_hash"), tokens_join
+    # ValueError, not assert: under `python -O` a stripped assert
+    # would let a typo'd strategy fall through to Catalyst's "auto"
+    # behavior — the exact sort-merge spill cliff this knob exists to
+    # avoid (ADVICE r5)
+    if tokens_join not in ("auto", "broadcast", "shuffle_hash"):
+        raise ValueError(
+            f"tokens_join must be 'auto', 'broadcast' or 'shuffle_hash'; "
+            f"got {tokens_join!r}"
+        )
     spark = cand.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert id_space in ("iid", "id"), id_space

@@ -89,6 +89,15 @@ class PipelineConfig:
     # executor-sized; raise/lower to taste per cluster.
     tokens_broadcast_cap: int = 1_000_000
     max_cc_rounds: int = 50
+    # durable per-round CC checkpoints (cc_round_N stages). OFF by
+    # default: resume NEVER read them back (a kill mid-CC resumes
+    # from `scored` and redoes the contraction — the rounds were
+    # write-only cost, one parquet write + read-back + manifest per
+    # round), and lineage truncation — their in-plan function — is
+    # served by localCheckpoint exactly as connected_components does
+    # without a hook. Turn on to keep the per-round edge sets as
+    # debugging artifacts.
+    cc_round_artifacts: bool = False
     # also checkpoint an `audit` stage (audit.cluster_audit over the
     # scored edges + final clusters): per-component size / edge
     # support / density / weakest similarity — the bad-transitive-
@@ -368,9 +377,17 @@ def _run_stages(
             "broadcast" if n_rec <= cfg.tokens_broadcast_cap
             else "shuffle_hash"
         )
+        # spread=False: the candidates checkpoint was WRITTEN from the
+        # distinct's hash-partitioned output (unique pair keys ->
+        # uniform files) and parquet reads re-split by
+        # maxPartitionBytes, so the pairs arrive spread already; the
+        # extra pair-key exchange re-shuffled the full candidate
+        # stream for nothing (at 10^9 candidates that is the single
+        # biggest avoidable shuffle left in the scored stage)
         return verify_pairs(candidates, tokens, tokens, cfg.measure, cfg.threshold,
                             cfg.comp_op, self_join=True, id_space=id_space,
-                            keep_iids=id_space == "iid", tokens_join=strategy)
+                            keep_iids=id_space == "iid", tokens_join=strategy,
+                            spread=False)
 
     scored = ckpt.get_or_compute("scored", _scored, inputs=["candidates", "tokens"])
 
@@ -379,6 +396,11 @@ def _run_stages(
 
         def round_ckpt(df: DataFrame, rnd: int) -> DataFrame:
             return ckpt.write(df, f"cc_round_{rnd}", inputs=["scored"])
+
+        if not cfg.cc_round_artifacts:
+            # localCheckpoint lineage truncation only (see
+            # PipelineConfig.cc_round_artifacts)
+            round_ckpt = None  # noqa: F811
 
         if "l_iid" in scored.columns:
             # iid-space contraction: every star round (and its durable

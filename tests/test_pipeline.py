@@ -147,8 +147,14 @@ def test_clusters_iid_space_cc_parity(spark, transcripts, tmp_path):
     from sparksimjoin.checkpoint import CheckpointManager
     from sparksimjoin.clustering import connected_components
 
+    from dataclasses import replace
+
     wd = str(tmp_path / "wd_iid")
-    clusters = run_pipeline(spark, transcripts, wd, CFG)
+    # cc_round_artifacts=True: durable round checkpoints are opt-in
+    # now (write-only cost by default), but this test reads one back
+    # to prove the CC rounds actually moved 8-byte longs
+    clusters = run_pipeline(spark, transcripts, wd,
+                            replace(CFG, cc_round_artifacts=True))
     ckpt = CheckpointManager(spark, wd)
     scored = ckpt.read("scored")
     # the scored checkpoint carries the surrogate pair, and the CC
