@@ -174,8 +174,12 @@ def minhash_lsh_dedup(
         l.join(r, ["band", "sig"]).where(F.col("l_id") < F.col("r_id"))
         .select("l_id", "r_id").distinct()
     )
+    # no pair-key respread here: `cand` IS the cached output of a
+    # distinct over (l_id, r_id) — already hash-partitioned by exactly
+    # the spread key, so the old repartition was a full extra exchange
+    # of the candidate stream for an identical layout
     verified = (
-        cand.repartition(n_part, "l_id", "r_id")
+        cand
         .join(base.select(F.col("id").alias("l_id"), F.col("toks_h").alias("_lt")), "l_id")
         .join(base.select(F.col("id").alias("r_id"), F.col("toks_h").alias("_rt")), "r_id")
         .withColumn("jaccard_sim", sim_expr(F.col("_lt"), F.col("_rt"), "JACCARD"))

@@ -389,10 +389,28 @@ def _run_stages(
             ckpt.manifest("tokens")["rows"]
             + _chained_rows(base, fmt, "tokens")
         )
-        strategy = (
-            "broadcast" if n_tok <= cfg.tokens_broadcast_cap
-            else "shuffle_hash"
+        # byte guard mirrors pipeline._scored (PipelineConfig.
+        # tokens_broadcast_bytes_cap): per-manager parquet bytes
+        # summed over the chain; Iceberg contributes 0 and the row
+        # cap alone decides
+        from .pipeline import TOKENS_BROADCAST_EXPANSION, tokens_checkpoint_bytes
+
+        tok_bytes = tokens_checkpoint_bytes(ckpt)
+        cur = base
+        seen = set()
+        while cur is not None:
+            if cur.root in seen:
+                break
+            seen.add(cur.root)
+            tok_bytes += tokens_checkpoint_bytes(cur)
+            b = cur.manifest("tokens").get("base")
+            cur = CheckpointManager(cur.spark, b, fmt=fmt) if b else None
+        fits = (
+            n_tok <= cfg.tokens_broadcast_cap
+            and tok_bytes * TOKENS_BROADCAST_EXPANSION
+            <= cfg.tokens_broadcast_bytes_cap
         )
+        strategy = "broadcast" if fits else "shuffle_hash"
         # spread=False: candidates come straight off the checkpoint
         # (hash-spread by the distinct exchange at write time, re-split
         # by the parquet reader) — the pair-key exchange re-shuffled

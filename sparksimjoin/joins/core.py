@@ -507,7 +507,15 @@ def string_dedup_maps(
                 )),
             ).otherwise(F.col("__gid")),
         ).drop("__gn")
-        mp = keyed.join(reps.select("__k", "__gid"), "__k").select("__gid", "__oid")
+        # the membership map is consumed up to FOUR times downstream
+        # (expand_gid_pairs' two sides + diagonal_pairs' two sides),
+        # and each consumer otherwise re-derives the canonical dedup
+        # key over the FULL table (tokenize + sort + netstring encode
+        # per row — measured as a wave of parallel 1-2s broadcast-
+        # build jobs per consumer on the bench corpus); persist it
+        mp = track(
+            keyed.join(reps.select("__k", "__gid"), "__k").select("__gid", "__oid")
+        )
         return reps.select("__gid", "__val"), mp
 
     same = l_join_attr == r_join_attr and l_key_attr == r_key_attr and (

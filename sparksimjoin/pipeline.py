@@ -88,6 +88,16 @@ class PipelineConfig:
     # of token array ~= 400 MB broadcast, comfortably
     # executor-sized; raise/lower to taste per cluster.
     tokens_broadcast_cap: int = 1_000_000
+    # byte-level guard on the same decision (ADVICE r5): the row cap
+    # alone mis-sizes wide documents, and the verify stage broadcasts
+    # BOTH token-side projections (AQE usually collapses them into one
+    # reused broadcast stage, but sizing must assume the worst). For
+    # the parquet backend the tokens checkpoint's on-disk bytes are
+    # free information: estimated in-memory relation ~= parquet bytes
+    # x TOKENS_BROADCAST_EXPANSION, and broadcast is only chosen when
+    # BOTH the row cap and this byte budget hold. Iceberg checkpoints
+    # fall back to the row cap alone.
+    tokens_broadcast_bytes_cap: int = 256 << 20
     max_cc_rounds: int = 50
     # durable per-round CC checkpoints (cc_round_N stages). OFF by
     # default: resume NEVER read them back (a kill mid-CC resumes
@@ -115,6 +125,30 @@ class PipelineConfig:
     refine_threshold: float | None = None
     refine_max_size: int | None = None
     refine_min_density: float | None = None
+
+
+#: decompressed/UnsafeRow blow-up factor applied to a tokens stage's
+#: snappy-parquet bytes when estimating its broadcast relation size
+#: (int token arrays compress ~3-5x; rounded up for safety)
+TOKENS_BROADCAST_EXPANSION = 6
+
+
+def tokens_checkpoint_bytes(ckpt: CheckpointManager, stage: str = "tokens") -> int:
+    """On-disk bytes of a parquet stage (0 for the Iceberg backend —
+    callers then decide on rows alone)."""
+    import os
+
+    if ckpt.fmt != "parquet":
+        return 0
+    d = os.path.join(ckpt.root, stage)
+    try:
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if not f.startswith("_")
+        )
+    except OSError:
+        return 0
 
 
 def tokenizer_descriptor(cfg: PipelineConfig) -> str:
@@ -373,10 +407,10 @@ def _run_stages(
         # (see PipelineConfig.tokens_broadcast_cap for the cliff this
         # dodges)
         n_rec = ckpt.manifest("tokens")["rows"]
-        strategy = (
-            "broadcast" if n_rec <= cfg.tokens_broadcast_cap
-            else "shuffle_hash"
-        )
+        fits = n_rec <= cfg.tokens_broadcast_cap and tokens_checkpoint_bytes(
+            ckpt
+        ) * TOKENS_BROADCAST_EXPANSION <= cfg.tokens_broadcast_bytes_cap
+        strategy = "broadcast" if fits else "shuffle_hash"
         # spread=False: the candidates checkpoint was WRITTEN from the
         # distinct's hash-partitioned output (unique pair keys ->
         # uniform files) and parquet reads re-split by

@@ -1,0 +1,149 @@
+"""Equivalence of the cost-based dense all-pairs candidate path
+(joins/core.dense_candidates + the probes in set_sim_join/tfidf_join)
+with the blocked prefix-filter path — the round-6 optimization's
+correctness contract: candidate sets differ (dense is a superset) but
+exact verification must map both to the IDENTICAL result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksimjoin import (
+    WhitespaceTokenizer,
+    jaccard_join,
+    tfidf_join,
+    tversky_index_join,
+)
+
+WS = WhitespaceTokenizer()
+
+
+def _dense_corpus(spark, n=400, vocab=12):
+    """Tiny vocabulary relative to n -> every posting list is O(n) and
+    the meeting-volume probe must flip the join to the dense path."""
+    df = spark.range(n)
+    toks = []
+    for k in range(7):
+        h = F.xxhash64(F.col("id"), F.lit(k))
+        toks.append(F.concat(F.lit("w"), F.pmod(h, F.lit(vocab)).cast("string")))
+    return df.select("id", F.concat_ws(" ", *toks).alias("text"))
+
+
+def _sparse_corpus(spark, n=400, vocab=20000):
+    """Huge vocabulary -> blocking prunes well, the probe must keep
+    the blocked path."""
+    df = spark.range(n)
+    toks = []
+    for k in range(7):
+        h = F.xxhash64(F.col("id"), F.lit(k))
+        toks.append(F.concat(F.lit("w"), F.pmod(h, F.lit(vocab)).cast("string")))
+    return df.select("id", F.concat_ws(" ", *toks).alias("text"))
+
+
+def _pairs(df):
+    return sorted(
+        (r["l_id"], r["r_id"], round(r["_sim_score"], 12)) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_dense_vs_blocked_jaccard_identical(spark, threshold):
+    """Force both paths via DENSE_ALLPAIRS_CAP monkey-knob-free A/B:
+    the dense corpus triggers the probe naturally; the blocked arm is
+    obtained by disabling the probe through a stop-gap comp_op-safe
+    route — here, by patching the cap to 0."""
+    import sparksimjoin.joins.core as core
+
+    corpus = _dense_corpus(spark)
+    dense = jaccard_join(corpus, corpus, "id", "id", "text", "text", WS,
+                         threshold, self_join=True, dedup_strings=False)
+    got_dense = _pairs(dense.select("l_id", "r_id", "_sim_score"))
+
+    old = core.DENSE_ALLPAIRS_CAP
+    core.DENSE_ALLPAIRS_CAP = 0  # probe can never trigger -> blocked
+    try:
+        blocked = jaccard_join(corpus, corpus, "id", "id", "text", "text", WS,
+                               threshold, self_join=True, dedup_strings=False)
+        got_blocked = _pairs(blocked.select("l_id", "r_id", "_sim_score"))
+    finally:
+        core.DENSE_ALLPAIRS_CAP = old
+    assert got_dense == got_blocked
+    assert len(got_dense) > 0
+
+
+def test_dense_probe_actually_fires(spark):
+    """The dense corpus must flip the probe (meeting volume >= n^2);
+    the sparse corpus must not — checked through the physical plan
+    (BroadcastNestedLoopJoin present/absent)."""
+    # allow_empty=False: the empty-pair branch is itself a crossJoin
+    # (BroadcastNestedLoopJoin) and would shadow the assertion
+    dense = jaccard_join(_dense_corpus(spark), _dense_corpus(spark),
+                         "id", "id", "text", "text", WS, 0.5,
+                         self_join=True, dedup_strings=False, allow_empty=False)
+    plan_dense = dense._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_dense
+
+    sparse = jaccard_join(_sparse_corpus(spark), _sparse_corpus(spark),
+                          "id", "id", "text", "text", WS, 0.5,
+                          self_join=True, dedup_strings=False, allow_empty=False)
+    plan_sparse = sparse._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_sparse
+
+
+def test_dense_vs_blocked_tversky_asymmetric(spark):
+    """Asymmetric Tversky self-join (the orientation-sensitive verify)
+    through both candidate paths."""
+    import sparksimjoin.joins.core as core
+
+    corpus = _dense_corpus(spark)
+    kw = dict(alpha=0.7, beta=0.3, self_join=True, allow_empty=False)
+    dense = tversky_index_join(corpus, corpus, "id", "id", "text", "text",
+                               WS, 0.5, **kw)
+    got_dense = _pairs(dense.select("l_id", "r_id", "_sim_score"))
+    old = core.DENSE_ALLPAIRS_CAP
+    core.DENSE_ALLPAIRS_CAP = 0
+    try:
+        blocked = tversky_index_join(corpus, corpus, "id", "id", "text", "text",
+                                     WS, 0.5, **kw)
+        got_blocked = _pairs(blocked.select("l_id", "r_id", "_sim_score"))
+    finally:
+        core.DENSE_ALLPAIRS_CAP = old
+    assert got_dense == got_blocked
+    assert len(got_dense) > 0
+
+
+def test_dense_vs_blocked_tfidf(spark):
+    """tfidf_join's own dense probe (and the adaptive BIGINT dot) vs
+    the blocked path with the DECIMAL dot: scores must be
+    bit-identical (both integer-exact)."""
+    import sparksimjoin.joins.core as core
+    import sparksimjoin.joins.tfidf as tfidf_mod
+
+    corpus = _dense_corpus(spark)
+    dense = tfidf_join(corpus, corpus, "id", "id", "text", "text", WS, 0.5,
+                       self_join=True)
+    got_dense = _pairs(dense)
+    old = core.DENSE_ALLPAIRS_CAP
+    tfidf_mod.DENSE_ALLPAIRS_CAP = 0
+    try:
+        blocked = tfidf_join(corpus, corpus, "id", "id", "text", "text", WS, 0.5,
+                             self_join=True)
+        got_blocked = _pairs(blocked)
+    finally:
+        tfidf_mod.DENSE_ALLPAIRS_CAP = old
+    assert got_dense == got_blocked
+    assert len(got_dense) > 0
+
+
+def test_dense_not_used_for_lossy_or_nonmonotone(spark):
+    """stop_token_cap (lossy candidate semantics) and comp_op '<='
+    (verify keeps low scores) must keep the blocked path regardless of
+    corpus shape."""
+    corpus = _dense_corpus(spark)
+    capped = jaccard_join(corpus, corpus, "id", "id", "text", "text", WS, 0.5,
+                          self_join=True, dedup_strings=False,
+                          allow_empty=False, stop_token_cap=10**9)
+    assert "BroadcastNestedLoopJoin" not in (
+        capped._jdf.queryExecution().executedPlan().toString()
+    )
