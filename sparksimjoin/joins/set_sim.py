@@ -77,6 +77,7 @@ def set_sim_join(
     position_mode: str | None = None,
     dedup_strings: bool | str = "auto",
     stop_token_cap: int | None = None,
+    candidate_budget: int | None = None,
     tokens_join: str = "auto",
     metrics_out: dict | None = None,
     _verify_score_fn=None,
@@ -93,6 +94,13 @@ def set_sim_join(
     record-local prefix exists for that measure), so one hot token in
     every record makes candidate volume quadratic; a cap restores
     sub-quadratic blocking at a bounded, observable recall cost.
+
+    ``candidate_budget``: pre-flight guard — when set, the EXACT
+    candidate meeting volume is computed with a vocabulary-sized probe
+    before any pairwise work, and a breach raises ValueError carrying
+    the projected volume plus the cap-advisor workflow
+    (estimate_join_cost's stop_token_cap pricing) instead of
+    launching a runaway join. None (default) = off, no extra jobs.
 
     ``_verify_score_fn`` / ``_verify_threshold`` (internal, used by
     joins/tversky.py): when set, ``measure``/``threshold`` drive ONLY
@@ -167,6 +175,29 @@ def set_sim_join(
         prefix_meeting_estimate,
         resolve_salt_cap,
     )
+
+    # pre-flight candidate-volume guard (round-5 verdict item 4, the
+    # OVERLAP_COEFFICIENT quadratic-blow-up defense): when a budget is
+    # set, the EXACT meeting volume of the blocked candidate join is
+    # priced with the vocabulary-sized probe BEFORE anything pairwise
+    # runs, and a breach raises with the numbers instead of launching
+    # a runaway join. Off by default (None): the probe then only runs
+    # when the dense-path gate wants it.
+    if candidate_budget is not None:
+        if candidate_budget <= 0:
+            raise ValueError(f"candidate_budget must be > 0, got {candidate_budget}")
+        est_guard = prefix_meeting_estimate(ex_l, ex_r, same=prep_r is prep_l)
+        if est_guard > candidate_budget:
+            raise ValueError(
+                f"projected candidate meeting volume {est_guard:,} exceeds "
+                f"candidate_budget {candidate_budget:,} for measure {measure} "
+                f"at threshold {threshold}. Price a lossy stop-token cap "
+                "first: estimate_join_cost(..., stop_token_cap=N) reports the "
+                "exact capped volume, a sound lost-pair upper bound, and the "
+                "blind-record count (the cap_advisor workflow); then pass "
+                "stop_token_cap=N here, pre-filter boilerplate tokens "
+                "upstream, or raise the budget."
+            )
 
     use_dense = False
     if stop_token_cap is None and comp_op in (">=", ">"):
@@ -271,7 +302,9 @@ record's tokens), so blocking must use the FULL token set
 full inverted-index join and one ubiquitous token makes it quadratic.
 At scale pass ``stop_token_cap`` (lossy, documented on set_sim_join;
 dropped-token count via ``metrics_out``) or pre-filter boilerplate
-tokens upstream."""
+tokens upstream; set ``candidate_budget`` to make the join REFUSE to
+launch past a projected meeting volume (the ValueError carries the
+number and the cap-advisor workflow)."""
 
 
 def overlap_join(

@@ -147,3 +147,30 @@ def test_dense_not_used_for_lossy_or_nonmonotone(spark):
     assert "BroadcastNestedLoopJoin" not in (
         capped._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_candidate_budget_guard(spark):
+    """candidate_budget (verdict item 4): a breached budget must
+    refuse to launch with the projected volume in the error; a
+    generous budget must not change the result."""
+    from sparksimjoin import overlap_coefficient_join
+
+    corpus = _dense_corpus(spark)
+    with pytest.raises(ValueError, match="candidate meeting volume"):
+        overlap_coefficient_join(
+            corpus, corpus, "id", "id", "text", "text", WS, 0.6,
+            self_join=True, dedup_strings=False, allow_empty=False,
+            candidate_budget=10,
+        ).count()
+    ok = overlap_coefficient_join(
+        corpus, corpus, "id", "id", "text", "text", WS, 0.6,
+        self_join=True, dedup_strings=False, allow_empty=False,
+        candidate_budget=10**12,
+    )
+    base = overlap_coefficient_join(
+        corpus, corpus, "id", "id", "text", "text", WS, 0.6,
+        self_join=True, dedup_strings=False, allow_empty=False,
+    )
+    assert _pairs(ok.select("l_id", "r_id", "_sim_score")) == _pairs(
+        base.select("l_id", "r_id", "_sim_score")
+    )
