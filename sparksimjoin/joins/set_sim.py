@@ -199,6 +199,11 @@ def set_sim_join(
                 "upstream, or raise the budget."
             )
 
+    # validate salt_cap up front, whichever candidate path runs: the
+    # dense path never salts, but a nonsensical cap must still fail
+    # loudly (the falsy-coercion contract test)
+    resolved_salt_cap = resolve_salt_cap(salt_cap)
+
     use_dense = False
     if stop_token_cap is None and comp_op in (">=", ">"):
         n_l = prep_l.count()
@@ -214,7 +219,7 @@ def set_sim_join(
         # parallelism candidate join opts out of AQE skew splitting, so
         # hot blocking tokens must be split here (lossless,
         # property-tested); salt_cap overrides the threshold
-        salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap))
+        salt_map = build_salt_map(ranks, resolved_salt_cap)
         # position-bound mode: occurrence by default — the accumulated
         # bound's tighter candidate set never paid for its pair-grouping
         # shuffle on any quiet-host measurement (resolve_position_mode

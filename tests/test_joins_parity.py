@@ -529,5 +529,7 @@ def test_tokens_join_strategies_equivalent_and_planned(spark, tables):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert node in plan, f"{strat}: expected {node} in plan"
         assert _collect_pairs(out) == base, strat
-    with pytest.raises(AssertionError):
+    # ValueError (not a strippable assert) since the r5-advice fix:
+    # a typo'd strategy must fail loudly even under python -O
+    with pytest.raises(ValueError, match="tokens_join"):
         run(tokens_join="nonsense").collect()
