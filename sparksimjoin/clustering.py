@@ -106,6 +106,13 @@ def connected_components(
 
     e = _ckpt(e, -1)
     prev_sig = _sig(e)
+    # NOTE (round-6 optimization attempt, REVERTED): skipping the
+    # per-round localCheckpoint for small graphs looked like ~1s of
+    # saved materialization latency, but the star transforms reference
+    # their input 2-3x each (unionAll of selects / join + union), so
+    # an un-truncated plan grows EXPONENTIALLY (~4x per round) and
+    # Catalyst analysis stalls within a few rounds. The per-round
+    # truncation is load-bearing for this algorithm at every scale.
     for rnd in range(max_rounds):
         e1 = _large_star(e).localCheckpoint(eager=True)
         e2 = _ckpt(_small_star(e1), rnd)
