@@ -637,6 +637,23 @@ def prefix_explode(
 # blocked join whenever the build side could not fit executor memory.
 DENSE_ALLPAIRS_CAP = 200_000
 
+# crossover factor for the dense gate: dense fires when
+# est * DENSE_MEETING_FACTOR >= n_l * n_r, i.e. when the blocked
+# equi-join's own OUTPUT volume reaches 1/FACTOR of the all-pairs
+# count. FACTOR > 1 is justified because a meeting row costs strictly
+# more than a dense-path BNL predicate eval: it runs the same residual
+# predicate eval PLUS an exchange write+read (the pinned candidate
+# repartition) plus a distinct hash — measured on the bench corpus at
+# est/n^2 = 0.92 the dense path ran the identical query 2.2-3.2x
+# faster (A/B, 190,925 rows both arms), so the old FACTOR=1 gate was
+# declining wins. 2 is deliberately conservative: at the gate boundary
+# the blocked join shuffles n^2/2 meeting rows, which already costs
+# more than n^2 fused predicate evals, while keeping blocked the clear
+# winner whenever blocking prunes >= half of all pairs (dense's extra
+# verification volume — size-band survivors vs distinct candidates —
+# stays bounded by the same 2x at the boundary).
+DENSE_MEETING_FACTOR = 2
+
 
 def prefix_meeting_estimate(ex_l: DataFrame, ex_r: DataFrame,
                             same: bool = False) -> int:
@@ -674,10 +691,20 @@ def dense_candidates(
     sound, so qualifying pairs survive both), and exact verification
     maps both sets to the identical result. Records with empty token
     sets are excluded exactly as the prefix explode excludes them
-    (the ``allow_empty`` branch alone emits empty-empty pairs)."""
+    (the ``allow_empty`` branch alone emits empty-empty pairs).
+
+    The streamed (left) side is explicitly hash-repartitioned to the
+    session parallelism: it comes off a cached record frame whose
+    terminal aggregation AQE coalesces to 1-2 partitions (the frame is
+    tiny), and BNL parallelism == streamed-side partitions — so the
+    whole fused candidate+verify stage would otherwise run serially
+    (measured: a 1-task 38 exec-s stage on the weighted twin of this
+    path). One exchange of the row-capped (<= DENSE_ALLPAIRS_CAP)
+    frame buys full parallelism for the n_l*n_r-cell loop."""
+    n_part = int(prep_l.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     l = prep_l.where(F.col("size") > 0).select(
         F.col("iid").alias("l_id"), F.col("size").alias("l_size")
-    )
+    ).repartition(n_part, "l_id")
     r = prep_r.where(F.col("size") > 0).select(
         F.col("iid").alias("r_id"), F.col("size").alias("r_size")
     )

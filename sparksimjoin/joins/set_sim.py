@@ -161,9 +161,11 @@ def set_sim_join(
             )
     # cost-based dense path (joins/core.DENSE_ALLPAIRS_CAP): when the
     # EXACT meeting volume of the blocked equi-join (vocabulary-sized
-    # probe over the exploded prefixes) reaches n_l*n_r, all-pairs
-    # broadcast nested-loop is strictly less work than the blocked
-    # join's own output and needs zero shuffles. Candidate sets differ
+    # probe over the exploded prefixes) reaches n_l*n_r /
+    # DENSE_MEETING_FACTOR, all-pairs broadcast nested-loop beats the
+    # blocked join's own output (each meeting row costs more than a
+    # BNL predicate eval — factor rationale at the constant) and needs
+    # zero shuffles. Candidate sets differ
     # (dense is a superset) but exact verification maps both to the
     # identical result; disabled under the LOSSY stop_token_cap
     # (whose candidate drop is part of the declared semantics) and for
@@ -171,6 +173,7 @@ def set_sim_join(
     # semantics there — verify keeps low scores).
     from .core import (
         DENSE_ALLPAIRS_CAP,
+        DENSE_MEETING_FACTOR,
         dense_candidates,
         prefix_meeting_estimate,
         resolve_salt_cap,
@@ -210,7 +213,7 @@ def set_sim_join(
         n_r = n_l if prep_r is prep_l else prep_r.count()
         if 0 < max(n_l, n_r) <= DENSE_ALLPAIRS_CAP:
             est = prefix_meeting_estimate(ex_l, ex_r, same=prep_r is prep_l)
-            use_dense = est >= n_l * n_r
+            use_dense = est * DENSE_MEETING_FACTOR >= n_l * n_r
     if use_dense:
         cand = dense_candidates(prep_l, prep_r, measure, threshold,
                                 self_join=self_join)

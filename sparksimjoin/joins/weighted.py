@@ -61,7 +61,15 @@ from pyspark.sql import functions as F
 from ..cache import track
 from ..tokenizers import Tokenizer
 from ..validation import validate_join_inputs, validate_threshold
-from .core import apply_salt, build_salt_map, build_token_ranks, resolve_salt_cap
+from .core import (
+    DENSE_ALLPAIRS_CAP,
+    DENSE_MEETING_FACTOR,
+    apply_salt,
+    build_salt_map,
+    build_token_ranks,
+    prefix_meeting_estimate,
+    resolve_salt_cap,
+)
 
 #: weight quantization: w = (N * WEIGHT_SCALE) DIV df
 WEIGHT_SCALE = 1_000_000
@@ -170,19 +178,6 @@ def _weighted_join(
         F.col("id").alias("r_id"), F.col("tw").alias("r_tw"),
         F.explode("prefix").alias("token"),
     )
-    salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap), key_col="tid")
-    ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
-
-    # pin the candidate join's exchanges to the session parallelism
-    # (same rationale as joins/core.candidate_pairs): narrow exploded
-    # prefix rows get AQE-coalesced to 1-2 tasks and the join's output
-    # expansion runs serially (measured: a 1-task 12.6 exec-s
-    # candidate stage = ~12s serial wall of the 15s weighted bench
-    # query)
-    n_part = int(l_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ex_l = ex_l.repartition(n_part, *join_keys)
-    ex_r = ex_r.repartition(n_part, *join_keys)
-
     eps = 1e-9
     band = (
         (F.col("r_tw").cast("double")
@@ -191,12 +186,59 @@ def _weighted_join(
            <= F.col("l_tw") / F.lit(frac) * (1.0 + eps))
     )
     pair_pred = F.col("l_id") < F.col("r_id") if self_join else F.lit(True)
-    cand = (
-        ex_l.join(ex_r, join_keys)
-        .where(band & pair_pred)
-        .select("l_id", "r_id")
-        .distinct()
-    )
+
+    # cost-based dense path (joins/core.DENSE_ALLPAIRS_CAP rationale —
+    # the same gate as set_sim_join/tfidf_join): when the exact meeting
+    # volume of the blocked prefix equi-join reaches n_l*n_r /
+    # DENSE_MEETING_FACTOR, an all-pairs broadcast nested-loop over the
+    # record frames beats the blocked join's own output and fuses
+    # candidate generation + verification into one zero-exchange
+    # stage. The dense join evaluates the SAME W-band predicate the
+    # blocked path applies as a residual, so its candidate set is a
+    # superset of the blocked one only through dropped prefix
+    # blocking — exact verification maps both to the identical result.
+    n_l = rec_l.count()
+    n_r = n_l if self_join else rec_r.count()
+    use_dense = False
+    if 0 < max(n_l, n_r) <= DENSE_ALLPAIRS_CAP:
+        est = prefix_meeting_estimate(ex_l, ex_r, same=self_join)
+        use_dense = est * DENSE_MEETING_FACTOR >= n_l * n_r
+
+    if use_dense:
+        # streamed-side repartition: BNL parallelism == left-side
+        # partitions, and the cached rec frame's terminal groupBy is
+        # AQE-coalesced to 1-2 partitions — without this the fused
+        # candidate+verify stage ran as ONE task (measured: 1-task
+        # 38 exec-s stage = the whole query serial; 32-task after)
+        n_part = int(l_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        dl = rec_l.select(
+            F.col("id").alias("l_id"), F.col("tw").alias("l_tw")
+        ).repartition(n_part, "l_id")
+        dr = rec_r.select(F.col("id").alias("r_id"), F.col("tw").alias("r_tw"))
+        cand = (
+            dl.join(F.broadcast(dr), band & pair_pred, "inner")
+            .select("l_id", "r_id")
+        )
+    else:
+        salt_map = build_salt_map(ranks, resolve_salt_cap(salt_cap), key_col="tid")
+        ex_l, ex_r, join_keys = apply_salt(ex_l, ex_r, salt_map)
+
+        # pin the candidate join's exchanges to the session parallelism
+        # (same rationale as joins/core.candidate_pairs): narrow
+        # exploded prefix rows get AQE-coalesced to 1-2 tasks and the
+        # join's output expansion runs serially (measured: a 1-task
+        # 12.6 exec-s candidate stage = ~12s serial wall of the 15s
+        # weighted bench query)
+        n_part = int(l_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        ex_l = ex_l.repartition(n_part, *join_keys)
+        ex_r = ex_r.repartition(n_part, *join_keys)
+
+        cand = (
+            ex_l.join(ex_r, join_keys)
+            .where(band & pair_pred)
+            .select("l_id", "r_id")
+            .distinct()
+        )
 
     lv = rec_l.select(
         F.col("id").alias("l_id"), F.col("tids").alias("l_tids"),

@@ -136,6 +136,86 @@ def test_dense_vs_blocked_tfidf(spark):
     assert len(got_dense) > 0
 
 
+def test_dense_vs_blocked_weighted_jaccard(spark):
+    """_weighted_join's dense probe (round-6 batch 2): the dense arm
+    evaluates the same W-band predicate inside the BNL, so both paths
+    must verify to the identical exact-integer-weight result; the
+    dense corpus must actually fire the probe (BNL in the plan)."""
+    import sparksimjoin.joins.weighted as wmod
+    from sparksimjoin.joins.weighted import weighted_jaccard_join
+
+    corpus = _dense_corpus(spark)
+    dense = weighted_jaccard_join(corpus, corpus, "id", "id", "text", "text",
+                                  WS, 0.5, self_join=True)
+    # the weight table's crossJoin(broadcast(N)) is itself one BNL in
+    # EVERY weighted plan; the dense candidate path adds a second one
+    # (the W-band nested loop over the record frames)
+    n_bnl_dense = dense._jdf.queryExecution().executedPlan().toString().count(
+        "BroadcastNestedLoopJoin"
+    )
+    got_dense = _pairs(dense)
+    old = wmod.DENSE_ALLPAIRS_CAP
+    wmod.DENSE_ALLPAIRS_CAP = 0
+    try:
+        blocked = weighted_jaccard_join(corpus, corpus, "id", "id", "text",
+                                        "text", WS, 0.5, self_join=True)
+        n_bnl_blocked = (
+            blocked._jdf.queryExecution().executedPlan().toString().count(
+                "BroadcastNestedLoopJoin"
+            )
+        )
+        assert n_bnl_dense == n_bnl_blocked + 1, (n_bnl_dense, n_bnl_blocked)
+        got_blocked = _pairs(blocked)
+    finally:
+        wmod.DENSE_ALLPAIRS_CAP = old
+    assert got_dense == got_blocked
+    assert len(got_dense) > 0
+
+
+def test_dense_gate_factor_boundary(spark):
+    """DENSE_MEETING_FACTOR widens the gate to est*FACTOR >= n_l*n_r:
+    on a corpus whose exact meeting volume sits between n^2/FACTOR and
+    n^2 the dense path must now fire (it was declined under the old
+    est >= n^2 gate). The sparse corpus (est << n^2/FACTOR) must still
+    keep the blocked path — asserted in test_dense_probe_actually_fires."""
+    from sparksimjoin.joins.core import (
+        DENSE_MEETING_FACTOR,
+        canonical_set_key,
+        prefix_explode,
+        prefix_meeting_estimate,
+        prepare_sides,
+    )
+
+    # half the corpus in a tiny shared vocabulary (meets everything),
+    # half in a huge one (meets ~nothing) -> est ~ (n/2)^2 = n^2/4...
+    # tune the mix so n^2/2 > est >= n^2/4 with FACTOR=2 coverage
+    n = 300
+    df = spark.range(n)
+    toks = []
+    for k in range(7):
+        h = F.xxhash64(F.col("id"), F.lit(k))
+        dense_tok = F.concat(F.lit("w"), F.pmod(h, F.lit(8)).cast("string"))
+        sparse_tok = F.concat(F.lit("s"), h.cast("string"))
+        toks.append(F.when(F.col("id") % 4 < 3, dense_tok).otherwise(sparse_tok))
+    corpus = df.select("id", F.concat_ws(" ", *toks).alias("text"))
+
+    tok = WS.with_return_set(True)
+    prep_l, prep_r, _ = prepare_sides(corpus, corpus, "id", "id",
+                                      "text", "text", tok)
+    ex = prefix_explode(prep_l, "l", "JACCARD", 0.5)
+    est = prefix_meeting_estimate(ex, ex, same=True)
+    n_rec = prep_l.count()
+    # the corpus must actually sit in the newly-opened window
+    assert est < n_rec * n_rec, (est, n_rec)
+    assert est * DENSE_MEETING_FACTOR >= n_rec * n_rec, (est, n_rec)
+
+    out = jaccard_join(corpus, corpus, "id", "id", "text", "text", WS, 0.5,
+                       self_join=True, dedup_strings=False, allow_empty=False)
+    assert "BroadcastNestedLoopJoin" in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_dense_not_used_for_lossy_or_nonmonotone(spark):
     """stop_token_cap (lossy candidate semantics) and comp_op '<='
     (verify keeps low scores) must keep the blocked path regardless of
