@@ -637,22 +637,29 @@ def prefix_explode(
 # blocked join whenever the build side could not fit executor memory.
 DENSE_ALLPAIRS_CAP = 200_000
 
-# crossover factor for the dense gate: dense fires when
-# est * DENSE_MEETING_FACTOR >= n_l * n_r, i.e. when the blocked
-# equi-join's own OUTPUT volume reaches 1/FACTOR of the all-pairs
-# count. FACTOR > 1 is justified because a meeting row costs strictly
-# more than a dense-path BNL predicate eval: it runs the same residual
-# predicate eval PLUS an exchange write+read (the pinned candidate
-# repartition) plus a distinct hash — measured on the bench corpus at
-# est/n^2 = 0.92 the dense path ran the identical query 2.2-3.2x
-# faster (A/B, 190,925 rows both arms), so the old FACTOR=1 gate was
-# declining wins. 2 is deliberately conservative: at the gate boundary
-# the blocked join shuffles n^2/2 meeting rows, which already costs
-# more than n^2 fused predicate evals, while keeping blocked the clear
-# winner whenever blocking prunes >= half of all pairs (dense's extra
-# verification volume — size-band survivors vs distinct candidates —
-# stays bounded by the same 2x at the boundary).
+# Marginal-window refinement of the dense gate. est >= n_l*n_r keeps
+# firing dense unconditionally (the blocked join's own output alone
+# costs more than every dense predicate eval). Below that, down to
+# est * DENSE_MEETING_FACTOR >= n_l*n_r, the decision is PRICED: a
+# meeting row costs strictly more than a BNL cell eval (same residual
+# eval + exchange write/read + distinct hash), but the dense path also
+# verifies EVERY size-band-surviving pair while the blocked path
+# verifies only the distinct candidates — and verification cost scales
+# with token-array length. The window rule charges the dense path its
+# full verify volume (exact band-pair count BP from the size
+# histograms x mean token count L) against the meeting rows saved:
+#
+#     dense  iff  BP * L <= DENSE_MEET_COST_RATIO * est
+#
+# Calibration anchors (A/B on this host, both >3x inside the rule's
+# margin): a 3,935-rep 22-token corpus at est/n^2 = 0.92 with
+# BP*L = 58M vs 16*est = 229M ran 2.2-3.2x FASTER dense (identical
+# 190,925-row output); a 5,000-record 80-token corpus at
+# est/n^2 = 0.72 with BP*L = 1.0B vs 16*est = 289M ran ~30% SLOWER
+# dense — the ratio separates the regimes by >3.5x on both sides, so
+# the rule tolerates a few-x miscalibration of the per-row cost model.
 DENSE_MEETING_FACTOR = 2
+DENSE_MEET_COST_RATIO = 16
 
 
 def prefix_meeting_estimate(ex_l: DataFrame, ex_r: DataFrame,
@@ -671,6 +678,44 @@ def prefix_meeting_estimate(ex_l: DataFrame, ex_r: DataFrame,
         pr = ex_r.groupBy("token").agg(F.count(F.lit(1)).alias("_pr"))
         row = pl.join(pr, "token").agg(F.sum(F.col("_pl") * F.col("_pr"))).first()
     return int(row[0] or 0)
+
+
+def dense_band_pair_stats(
+    prep_l: DataFrame, prep_r: DataFrame, measure: str, threshold: float,
+    same: bool = False,
+) -> tuple[int, float]:
+    """-> (exact size-band pair volume of the dense BNL — its verify-
+    volume upper bound — and the larger of the two sides' mean token
+    counts). Computed from the size histograms of the (cached) record
+    frames through the SAME ``size_bounds_expr`` the join applies, so
+    the count is exact by construction; the histograms have at most
+    one row per distinct set size (bounded by record length, not
+    corpus size), so the non-equi histogram join is trivially small.
+    Unoriented (self-join pairs counted both ways), matching
+    :func:`prefix_meeting_estimate`'s convention."""
+    hl = (
+        prep_l.where(F.col("size") > 0)
+        .groupBy("size").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    hr = hl if same else (
+        prep_r.where(F.col("size") > 0)
+        .groupBy("size").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    lo, hi = size_bounds_expr(F.col("s1"), measure, threshold)
+    bp_row = (
+        hl.select(F.col("size").alias("s1"), F.col("_c").alias("c1"))
+        .join(
+            hr.select(F.col("size").alias("s2"), F.col("_c").alias("c2")),
+            F.col("s2").between(lo, hi),
+        )
+        .agg(F.sum(F.col("c1") * F.col("c2")))
+        .first()
+    )
+    mean_expr = (F.sum(F.col("size") * F.col("_c")) / F.sum("_c"))
+    lbar = hl.agg(mean_expr).first()[0] or 0.0
+    if not same:
+        lbar = max(lbar, hr.agg(mean_expr).first()[0] or 0.0)
+    return int(bp_row[0] or 0), float(lbar)
 
 
 def dense_candidates(

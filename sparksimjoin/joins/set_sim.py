@@ -173,7 +173,9 @@ def set_sim_join(
     # semantics there — verify keeps low scores).
     from .core import (
         DENSE_ALLPAIRS_CAP,
+        DENSE_MEET_COST_RATIO,
         DENSE_MEETING_FACTOR,
+        dense_band_pair_stats,
         dense_candidates,
         prefix_meeting_estimate,
         resolve_salt_cap,
@@ -213,7 +215,18 @@ def set_sim_join(
         n_r = n_l if prep_r is prep_l else prep_r.count()
         if 0 < max(n_l, n_r) <= DENSE_ALLPAIRS_CAP:
             est = prefix_meeting_estimate(ex_l, ex_r, same=prep_r is prep_l)
-            use_dense = est * DENSE_MEETING_FACTOR >= n_l * n_r
+            use_dense = est >= n_l * n_r
+            if not use_dense and est * DENSE_MEETING_FACTOR >= n_l * n_r:
+                # marginal window (core.DENSE_MEET_COST_RATIO has the
+                # cost model + calibration anchors): price the dense
+                # path's full verify volume — exact size-band pair
+                # count x mean token count, two histogram-sized jobs —
+                # against the meeting rows the BNL saves
+                bp, lbar = dense_band_pair_stats(
+                    prep_l, prep_r, measure, threshold,
+                    same=prep_r is prep_l,
+                )
+                use_dense = bp * lbar <= DENSE_MEET_COST_RATIO * est
     if use_dense:
         cand = dense_candidates(prep_l, prep_r, measure, threshold,
                                 self_join=self_join)

@@ -81,7 +81,6 @@ from ..tokenizers import Tokenizer
 from ..validation import validate_join_inputs, validate_threshold
 from .core import (
     DENSE_ALLPAIRS_CAP,
-    DENSE_MEETING_FACTOR,
     apply_salt,
     build_salt_map,
     build_token_ranks,
@@ -241,19 +240,24 @@ def tfidf_join(
 
     # cost-based dense path (joins/core.DENSE_ALLPAIRS_CAP rationale):
     # when the exact meeting volume of the blocked prefix equi-join
-    # reaches n_l*n_r / DENSE_MEETING_FACTOR, an all-pairs broadcast
-    # nested-loop beats the blocked join's own output (factor rationale
-    # at the core.py constant) and fuses candidate generation +
-    # verification into one zero-exchange stage. Exact verification
-    # filters both candidate sets to the identical result. Cosine is
-    # scale-invariant, so there is no size/norm band to carry — the
-    # dense candidate set is the full l<r product.
+    # reaches n_l*n_r, an all-pairs broadcast nested-loop is strictly
+    # less work than the blocked join's own output and fuses candidate
+    # generation + verification into one zero-exchange stage. Exact
+    # verification filters both candidate sets to the identical
+    # result. Cosine is scale-invariant, so there is no size/norm band
+    # to carry — the dense candidate set is the full l<r product; for
+    # the same reason the set-sim gate's priced marginal window
+    # (core.DENSE_MEET_COST_RATIO) does not transfer: with no band to
+    # prune it, the dense verify volume IS n_l*n_r, which the window
+    # rule would only admit past est >= n^2*L/RATIO — stricter than
+    # the unconditional gate at realistic token counts. The bench
+    # corpus sits at est/n^2 = 5.2, far inside the unconditional gate.
     n_l = rec_l.count()
     n_r = n_l if self_join else rec_r.count()
     use_dense = False
     if 0 < max(n_l, n_r) <= DENSE_ALLPAIRS_CAP:
         est = prefix_meeting_estimate(ex_l, ex_r, same=self_join)
-        use_dense = est * DENSE_MEETING_FACTOR >= n_l * n_r
+        use_dense = est >= n_l * n_r
 
     pair_pred = F.col("l_id") < F.col("r_id") if self_join else F.lit(True)
     if use_dense:

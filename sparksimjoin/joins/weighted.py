@@ -63,7 +63,6 @@ from ..tokenizers import Tokenizer
 from ..validation import validate_join_inputs, validate_threshold
 from .core import (
     DENSE_ALLPAIRS_CAP,
-    DENSE_MEETING_FACTOR,
     apply_salt,
     build_salt_map,
     build_token_ranks,
@@ -188,21 +187,26 @@ def _weighted_join(
     pair_pred = F.col("l_id") < F.col("r_id") if self_join else F.lit(True)
 
     # cost-based dense path (joins/core.DENSE_ALLPAIRS_CAP rationale —
-    # the same gate as set_sim_join/tfidf_join): when the exact meeting
-    # volume of the blocked prefix equi-join reaches n_l*n_r /
-    # DENSE_MEETING_FACTOR, an all-pairs broadcast nested-loop over the
-    # record frames beats the blocked join's own output and fuses
-    # candidate generation + verification into one zero-exchange
-    # stage. The dense join evaluates the SAME W-band predicate the
-    # blocked path applies as a residual, so its candidate set is a
-    # superset of the blocked one only through dropped prefix
-    # blocking — exact verification maps both to the identical result.
+    # the same unconditional gate as set_sim_join/tfidf_join): when the
+    # exact meeting volume of the blocked prefix equi-join reaches
+    # n_l*n_r, an all-pairs broadcast nested-loop over the record
+    # frames is strictly less work than the blocked join's own output
+    # and fuses candidate generation + verification into one
+    # zero-exchange stage. The dense join evaluates the SAME W-band
+    # predicate the blocked path applies as a residual, so its
+    # candidate set is a superset of the blocked one only through
+    # dropped prefix blocking — exact verification maps both to the
+    # identical result. The set-sim gate's priced marginal window is
+    # not wired here: it needs a size histogram, and the W-band prunes
+    # on total weight, whose histogram is corpus-sized — while the
+    # bench corpus sits at est/n^2 = 3.1, far inside the unconditional
+    # gate anyway.
     n_l = rec_l.count()
     n_r = n_l if self_join else rec_r.count()
     use_dense = False
     if 0 < max(n_l, n_r) <= DENSE_ALLPAIRS_CAP:
         est = prefix_meeting_estimate(ex_l, ex_r, same=self_join)
-        use_dense = est * DENSE_MEETING_FACTOR >= n_l * n_r
+        use_dense = est >= n_l * n_r
 
     if use_dense:
         # streamed-side repartition: BNL parallelism == left-side

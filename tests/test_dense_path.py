@@ -172,46 +172,71 @@ def test_dense_vs_blocked_weighted_jaccard(spark):
     assert len(got_dense) > 0
 
 
-def test_dense_gate_factor_boundary(spark):
-    """DENSE_MEETING_FACTOR widens the gate to est*FACTOR >= n_l*n_r:
-    on a corpus whose exact meeting volume sits between n^2/FACTOR and
-    n^2 the dense path must now fire (it was declined under the old
-    est >= n^2 gate). The sparse corpus (est << n^2/FACTOR) must still
-    keep the blocked path — asserted in test_dense_probe_actually_fires."""
+def test_dense_gate_marginal_window(spark):
+    """The priced marginal window (joins/core.DENSE_MEET_COST_RATIO):
+    below est >= n^2 but above est*FACTOR >= n^2 the gate charges the
+    dense path its full verify volume (exact band-pair count x mean
+    token count) against the meeting rows saved. A short-token corpus
+    in the window must fire dense; the same window shape with long
+    records (verify volume dominates) must keep the blocked path."""
     from sparksimjoin.joins.core import (
+        DENSE_MEET_COST_RATIO,
         DENSE_MEETING_FACTOR,
-        canonical_set_key,
+        dense_band_pair_stats,
         prefix_explode,
         prefix_meeting_estimate,
         prepare_sides,
     )
 
-    # half the corpus in a tiny shared vocabulary (meets everything),
-    # half in a huge one (meets ~nothing) -> est ~ (n/2)^2 = n^2/4...
-    # tune the mix so n^2/2 > est >= n^2/4 with FACTOR=2 coverage
-    n = 300
-    df = spark.range(n)
-    toks = []
-    for k in range(7):
-        h = F.xxhash64(F.col("id"), F.lit(k))
-        dense_tok = F.concat(F.lit("w"), F.pmod(h, F.lit(8)).cast("string"))
-        sparse_tok = F.concat(F.lit("s"), h.cast("string"))
-        toks.append(F.when(F.col("id") % 4 < 3, dense_tok).otherwise(sparse_tok))
-    corpus = df.select("id", F.concat_ws(" ", *toks).alias("text"))
+    def window_corpus(n, n_tok, vocab_dense, dense_share=3):
+        """~dense_share/4 of records in a tiny shared vocabulary, the
+        rest unique -> est lands strictly between n^2/FACTOR and n^2."""
+        df = spark.range(n)
+        toks = []
+        for k in range(n_tok):
+            h = F.xxhash64(F.col("id"), F.lit(k))
+            dense_tok = F.concat(
+                F.lit("w"), F.pmod(h, F.lit(vocab_dense)).cast("string"))
+            sparse_tok = F.concat(F.lit(f"s{k}_"), h.cast("string"))
+            toks.append(
+                F.when(F.col("id") % 4 < dense_share, dense_tok)
+                .otherwise(sparse_tok))
+        return df.select("id", F.concat_ws(" ", *toks).alias("text"))
 
-    tok = WS.with_return_set(True)
-    prep_l, prep_r, _ = prepare_sides(corpus, corpus, "id", "id",
-                                      "text", "text", tok)
-    ex = prefix_explode(prep_l, "l", "JACCARD", 0.5)
-    est = prefix_meeting_estimate(ex, ex, same=True)
-    n_rec = prep_l.count()
-    # the corpus must actually sit in the newly-opened window
+    def gate_inputs(corpus, threshold):
+        tok = WS.with_return_set(True)
+        prep_l, _, _ = prepare_sides(corpus, corpus, "id", "id",
+                                     "text", "text", tok)
+        ex = prefix_explode(prep_l, "l", "JACCARD", threshold)
+        est = prefix_meeting_estimate(ex, ex, same=True)
+        n_rec = prep_l.count()
+        bp, lbar = dense_band_pair_stats(prep_l, prep_l, "JACCARD",
+                                         threshold, same=True)
+        return est, n_rec, bp, lbar
+
+    # short-token corpus: in the window AND cheap to verify -> dense
+    short = window_corpus(300, n_tok=7, vocab_dense=8)
+    est, n_rec, bp, lbar = gate_inputs(short, 0.5)
     assert est < n_rec * n_rec, (est, n_rec)
     assert est * DENSE_MEETING_FACTOR >= n_rec * n_rec, (est, n_rec)
-
-    out = jaccard_join(corpus, corpus, "id", "id", "text", "text", WS, 0.5,
+    assert bp * lbar <= DENSE_MEET_COST_RATIO * est, (bp, lbar, est)
+    out = jaccard_join(short, short, "id", "id", "text", "text", WS, 0.5,
                        self_join=True, dedup_strings=False, allow_empty=False)
     assert "BroadcastNestedLoopJoin" in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # long-record corpus, same window shape: the n^2-ish band-pair
+    # volume x ~60-token arrays overwhelms the meeting-row savings ->
+    # the priced window must keep the blocked path
+    long = window_corpus(300, n_tok=60, vocab_dense=900)
+    est, n_rec, bp, lbar = gate_inputs(long, 0.5)
+    assert est < n_rec * n_rec, (est, n_rec)
+    assert est * DENSE_MEETING_FACTOR >= n_rec * n_rec, (est, n_rec)
+    assert bp * lbar > DENSE_MEET_COST_RATIO * est, (bp, lbar, est)
+    out = jaccard_join(long, long, "id", "id", "text", "text", WS, 0.5,
+                       self_join=True, dedup_strings=False, allow_empty=False)
+    assert "BroadcastNestedLoopJoin" not in (
         out._jdf.queryExecution().executedPlan().toString()
     )
 
