@@ -137,6 +137,14 @@ def brute_force_topk(
                              right["neighbor_id"].to_numpy(), k)
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
+    # pin the cogroup children to the session parallelism (joins/core.
+    # candidate_pairs rationale): chunk rows are few in bytes but each
+    # cogroup task is a matmul — AQE's byte-based coalescing would
+    # fold the c^2 chunk pairs onto 1-2 tasks. The explicit numbered
+    # repartition on the exact cogroup keys is reused by
+    # EnsureRequirements and exempt from coalescing.
+    q_rep = q_rep.repartition(n_part, "_qc", "_bc")
+    b_rep = b_rep.repartition(n_part, "_qc", "_bc")
     partial = (
         q_rep.groupBy("_qc", "_bc")
         .cogroup(b_rep.groupBy("_qc", "_bc"))
@@ -324,6 +332,16 @@ def _lsh_scored_candidates(
     grp = bv.withColumn(
         "_g", F.pmod(F.xxhash64("tbl", "sig"), F.lit(n_groups)).cast("int")
     )
+    # pin the kernel stage's parallelism (joins/core.candidate_pairs
+    # rationale): the grouped rows are small in BYTES (ids + one
+    # vector per table) but the kernel is matmul-CPU-heavy, so AQE's
+    # byte-based coalescing collapses the groupBy exchange to 1-2
+    # tasks and the whole scoring stage runs nearly serially
+    # (measured: a 2-task 1.85s kernel stage = over half the warm
+    # lsh_topk wall at sf0.1). The explicit numbered repartition on
+    # the group key is reused by EnsureRequirements and is exempt
+    # from AQE coalescing (REPARTITION_BY_NUM).
+    grp = grp.repartition(n_part, "_g")
     k, t = topk, threshold
 
     def one_bucket(pdf: pd.DataFrame, out: list) -> None:
@@ -617,6 +635,13 @@ def ivf_topk(
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     keys = ["cell"] if list_chunks == 1 else ["cell", "_ch"]
+    # pin the cogroup children to the session parallelism (same
+    # REPARTITION_BY_NUM rationale as brute_force_topk/_lsh_scored_
+    # candidates): cells are few in bytes but each is a matmul task,
+    # and AQE's byte-based coalescing folds them onto 1-2 tasks
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    q_side = q_side.repartition(n_part, *keys)
+    b_side = b_side.repartition(n_part, *keys)
     partial = (
         q_side.groupBy(*keys)
         .cogroup(b_side.groupBy(*keys))
