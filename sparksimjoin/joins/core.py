@@ -651,15 +651,25 @@ DENSE_ALLPAIRS_CAP = 200_000
 #
 #     dense  iff  BP * L <= DENSE_MEET_COST_RATIO * est
 #
-# Calibration anchors (A/B on this host, both >3x inside the rule's
-# margin): a 3,935-rep 22-token corpus at est/n^2 = 0.92 with
-# BP*L = 58M vs 16*est = 229M ran 2.2-3.2x FASTER dense (identical
-# 190,925-row output); a 5,000-record 80-token corpus at
-# est/n^2 = 0.72 with BP*L = 1.0B vs 16*est = 289M ran ~30% SLOWER
-# dense — the ratio separates the regimes by >3.5x on both sides, so
-# the rule tolerates a few-x miscalibration of the per-row cost model.
+# Calibration anchors (same-window A/Bs on this host, identical
+# outputs both arms; the decision statistic is BP*L / est):
+#   - 3,935-rep 22-token corpus, est/n^2 = 0.92, BP*L/est = 4.0:
+#     dense 2.2-3.2x FASTER (190,925 rows both arms) -> must fire;
+#   - 48,000-record 7-token OVERLAP_COEFFICIENT corpus (the zipf-skew
+#     bench query: its full-token-set "prefix" means the size band
+#     prunes NOTHING, BP = n^2 = 2.3B), est/n^2 = 0.755,
+#     BP*L/est = 9.6: dense 3-4x SLOWER (probe-off 8-18s vs probe-on
+#     28-53s; 662 exec-s dense stage vs 77) -> must stay blocked;
+#   - 5,000-record 80-token corpus, est/n^2 = 0.72, BP*L/est = 55:
+#     dense ~30% SLOWER -> must stay blocked.
+# 6 sits between the measured win (4.0) and the nearest measured loss
+# (9.6), slightly conservative toward blocked — the safe side, since
+# a wrongly-blocked join is never catastrophic while a wrongly-dense
+# one multiplies its verify volume by the unpruned band. A first cut
+# of 16 admitted the overlap anchor and cost that query 3-4x; the
+# constant is now pinned by three anchors, not a cost model.
 DENSE_MEETING_FACTOR = 2
-DENSE_MEET_COST_RATIO = 16
+DENSE_MEET_COST_RATIO = 6
 
 
 def prefix_meeting_estimate(ex_l: DataFrame, ex_r: DataFrame,

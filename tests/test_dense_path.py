@@ -241,6 +241,43 @@ def test_dense_gate_marginal_window(spark):
     )
 
 
+def test_overlap_coeff_zipf_stays_blocked(spark):
+    """Regression anchor for the gate constant: OVERLAP_COEFFICIENT
+    blocks on the FULL token set, so its size band prunes nothing
+    (BP = n^2) and the dense path's verify volume is the whole pair
+    square — measured 3-4x SLOWER dense on the 48k-row bench corpus
+    even though its meeting ratio (est/n^2 = 0.755) opens the marginal
+    window. A RATIO miscalibration that re-admits this shape must turn
+    this test red before it burns the bench."""
+    from bench import _zipf_skew_corpus
+    from sparksimjoin import overlap_coefficient_join
+    from sparksimjoin.joins.core import (
+        DENSE_MEETING_FACTOR,
+        prefix_explode,
+        prefix_meeting_estimate,
+        prepare_sides,
+    )
+
+    corpus = _zipf_skew_corpus(spark, n_rows=3000, vocab=1000)
+    tok = WS.with_return_set(True)
+    prep, _, _ = prepare_sides(corpus, corpus, "id", "id", "text", "text", tok)
+    ex = prefix_explode(prep, "l", "OVERLAP_COEFFICIENT", 0.8)
+    est = prefix_meeting_estimate(ex, ex, same=True)
+    n = prep.count()
+    # the zipf shape must actually sit inside the marginal window
+    # (scale-free: hot-token (n/2)^2 plus the zipf head) — otherwise
+    # this test stops guarding the window rule
+    assert est < n * n, (est, n)
+    assert est * DENSE_MEETING_FACTOR >= n * n, (est, n)
+    out = overlap_coefficient_join(
+        corpus, corpus, "id", "id", "text", "text", WS, 0.8,
+        self_join=True, allow_empty=False, dedup_strings=False,
+    )
+    assert "BroadcastNestedLoopJoin" not in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_dense_not_used_for_lossy_or_nonmonotone(spark):
     """stop_token_cap (lossy candidate semantics) and comp_op '<='
     (verify keeps low scores) must keep the blocked path regardless of
